@@ -1,0 +1,292 @@
+"""Readability-style HTML main-content extraction (pure Python, stdlib only).
+
+The north-star pipeline (BASELINE.json north_star) runs "batched DOM parsing
+with text-density/link-density boilerplate classification (readability-style
+block scoring) on html bytes" — this module is that engine, built from
+scratch on stdlib ``html.parser`` (no external deps; lxml/bs4 are not in the
+container). It is deliberately deterministic: same bytes in → same text out,
+byte-for-byte, which is the pipeline's per-url invariant.
+
+Design (public-knowledge lineage: Readability/Arc90 heuristics, boilerpipe's
+text-density + link-density features — Kohlschütter et al., WSDM 2010):
+
+1. Parse the DOM stream once, segmenting character data into *blocks* at
+   block-level element boundaries.
+2. Per block, record: total chars, anchor-text chars, descendant tag count,
+   ancestor hints (nav/footer/aside/... and class/id keyword hits), and
+   whether the block is whitespace-verbatim (<pre>).
+3. Score: link_density = link_chars/chars; text_density = chars/(1+tags).
+   A block is content iff it is not inside a structural-boilerplate ancestor
+   and (verbatim, or (chars >= MIN_CONTENT_CHARS and link_density <=
+   MAX_LINK_DENSITY), or it continues an accepted content run (short
+   follow-on paragraphs survive, per boilerpipe's sequence smoothing)).
+4. Emit extracted text = accepted blocks joined by '\n', plus span records
+   (block index, char offsets into the output, source tag, densities).
+
+<pre> blocks are emitted verbatim (no whitespace collapsing) — this is what
+makes the synthetic statement corpus round-trip byte-identically.
+
+The per-row API is wrapped by a vectorized pandas UDF in
+pdf_parser_spark/operators/extract.py; keep this module Spark-free.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html import unescape
+from html.parser import HTMLParser
+
+# Elements that open/close a text block.
+BLOCK_TAGS = frozenset(
+    """address article aside blockquote body caption dd div dl dt fieldset
+    figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr li main nav ol
+    p pre section table tbody td tfoot th thead title tr ul""".split()
+)
+
+# Subtrees whose character data is never content.
+SKIP_TAGS = frozenset("script style noscript template svg iframe object".split())
+
+# Ancestors that mark a block as structural boilerplate regardless of score.
+BOILERPLATE_TAGS = frozenset("nav footer header aside form".split())
+
+# class/id keyword hints (Arc90 negative list, trimmed to unambiguous ones).
+_HINT_RE = re.compile(
+    r"(nav|menu|footer|header|sidebar|side-bar|advert|banner|promo|cookie|"
+    r"breadcrumb|comment|share|social|related|widget|copyright)",
+    re.IGNORECASE,
+)
+
+VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+MIN_CONTENT_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass
+class Block:
+    """One candidate text block with its boilerplate features."""
+
+    index: int
+    tag: str
+    text: str = ""
+    link_chars: int = 0
+    tag_count: int = 0
+    verbatim: bool = False
+    boiler_ancestor: bool = False
+    hint_ancestor: bool = False
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+    @property
+    def text_density(self) -> float:
+        return self.n_chars / (1 + self.tag_count)
+
+
+@dataclass
+class _OpenBlock:
+    tag: str
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    tag_count: int = 0
+    verbatim: bool = False
+    boiler: bool = False
+    hint: bool = False
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[tuple[str, bool]] = []  # (tag, hinted) open elements
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._pre_depth = 0
+        self._boiler_depth = 0
+        self._hint_depth = 0
+        self._open: _OpenBlock | None = None
+
+    # -- block lifecycle ---------------------------------------------------
+
+    def _flush(self) -> None:
+        ob = self._open
+        self._open = None
+        if ob is None:
+            return
+        raw = "".join(ob.parts)
+        text = raw if ob.verbatim else _WS_RE.sub(" ", raw).strip()
+        if not text:
+            return
+        self.blocks.append(
+            Block(
+                index=len(self.blocks),
+                tag=ob.tag,
+                text=text,
+                link_chars=min(ob.link_chars, len(text)),
+                tag_count=ob.tag_count,
+                verbatim=ob.verbatim,
+                boiler_ancestor=ob.boiler,
+                hint_ancestor=ob.hint,
+            )
+        )
+
+    def _ensure_open(self, tag: str) -> _OpenBlock:
+        if self._open is None:
+            self._open = _OpenBlock(
+                tag=tag,
+                verbatim=self._pre_depth > 0,
+                boiler=self._boiler_depth > 0,
+                hint=self._hint_depth > 0,
+            )
+        return self._open
+
+    # -- parser callbacks ----------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        hinted = any(
+            v and _HINT_RE.search(v) for k, v in attrs if k in ("class", "id", "role")
+        )
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in BOILERPLATE_TAGS:
+                self._boiler_depth += 1
+            if hinted:
+                self._hint_depth += 1
+            if tag == "pre":
+                self._pre_depth += 1
+            self._stack.append((tag, hinted))
+            self._ensure_open(tag)
+        else:
+            if tag == "a":
+                self._anchor_depth += 1
+            if self._open is not None:
+                self._open.tag_count += 1
+            if tag in VOID_TAGS:
+                if tag == "br" and self._open is not None:
+                    self._open.parts.append("\n" if self._pre_depth else " ")
+                return
+            self._stack.append((tag, hinted))
+            if hinted:
+                self._hint_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        # unwind the open-element stack to the matching tag (lenient HTML)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for pbase, phinted in self._stack[i:]:
+                    if phinted:
+                        self._hint_depth = max(0, self._hint_depth - 1)
+                    if pbase in BOILERPLATE_TAGS:
+                        self._boiler_depth = max(0, self._boiler_depth - 1)
+                    if pbase == "pre":
+                        self._pre_depth = max(0, self._pre_depth - 1)
+                del self._stack[i:]
+                break
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        ob = self._ensure_open(self._stack[-1][0] if self._stack else "body")
+        ob.parts.append(data)
+        if self._anchor_depth > 0:
+            ob.link_chars += len(_WS_RE.sub(" ", data).strip() if not ob.verbatim else data)
+
+    def close(self) -> None:  # noqa: D102 - flush trailing block
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> list[Block]:
+    """DOM → scored candidate blocks (single streaming pass)."""
+    p = _Extractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # malformed-input fallback: strip tags crudely, one block
+        text = _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", unescape(html))).strip()
+        return [Block(index=0, tag="body", text=text)] if text else []
+    return p.blocks
+
+
+def classify_blocks(blocks: list[Block]) -> list[bool]:
+    """Per-block content/boilerplate decision (readability-style scoring)."""
+    decisions: list[bool] = []
+    prev_content = False
+    for b in blocks:
+        if b.boiler_ancestor or b.hint_ancestor or b.tag in ("title",):
+            decisions.append(False)
+            prev_content = False
+            continue
+        if b.verbatim:
+            decisions.append(True)
+            prev_content = True
+            continue
+        if b.link_density > MAX_LINK_DENSITY:
+            decisions.append(False)
+            prev_content = False
+            continue
+        if b.n_chars >= MIN_CONTENT_CHARS:
+            decisions.append(True)
+            prev_content = True
+            continue
+        # short block: survives only as continuation of a content run
+        # (boilerpipe-style sequence smoothing for short paragraphs)
+        decisions.append(prev_content and b.n_chars > 0 and b.link_density == 0.0)
+    return decisions
+
+
+def extract_main_text(html_bytes: bytes | None) -> tuple[str, list[dict]]:
+    """html bytes → (extracted main text, span records).
+
+    Spans are `{block, start, end, tag, n_chars, link_density}` with
+    start/end as char offsets into the returned text. Deterministic:
+    the same bytes always yield the same (text, spans).
+    """
+    if not html_bytes:
+        return "", []
+    html = html_bytes.decode("utf-8", errors="replace")
+    blocks = parse_blocks(html)
+    keep = classify_blocks(blocks)
+    out_parts: list[str] = []
+    spans: list[dict] = []
+    offset = 0
+    for b, k in zip(blocks, keep):
+        if not k:
+            continue
+        if out_parts:
+            offset += 1  # the joining '\n'
+        out_parts.append(b.text)
+        spans.append(
+            {
+                "block": b.index,
+                "start": offset,
+                "end": offset + b.n_chars,
+                "tag": b.tag,
+                "n_chars": b.n_chars,
+                "link_density": round(b.link_density, 4),
+            }
+        )
+        offset += b.n_chars
+    return "\n".join(out_parts), spans

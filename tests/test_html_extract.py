@@ -1,0 +1,115 @@
+"""Readability-style HTML extraction tests — the per-url byte-identity gate."""
+
+from __future__ import annotations
+
+from pdf_parser_spark import fixtures
+from pdf_parser_spark.html_extract import (
+    classify_blocks,
+    extract_main_text,
+    parse_blocks,
+)
+
+
+def test_fixture_round_trip_byte_identity():
+    """extract_main_text(wrap_html(text)) == text for every HTML fixture row."""
+    for doc_id in range(0, 120):
+        row = fixtures.page_row(doc_id)
+        if row["url"].endswith(".pdf"):
+            continue
+        extracted, spans = extract_main_text(row["html"])
+        assert extracted == row["text"], f"doc {doc_id} not byte-identical"
+        assert spans and spans[0]["start"] == 0
+
+
+def test_boilerplate_stripped():
+    row = fixtures.page_row(1)  # doc_id % 4 != 0 → full boilerplate wrapper
+    extracted, _ = extract_main_text(row["html"])
+    for frag in ("Home", "Logout", "Special offers", "Terms", "Privacy", "© 2024"):
+        assert frag not in extracted
+    assert "Statement 1" not in extracted  # <title> dropped
+
+
+def test_link_density_drops_link_farms():
+    html = (
+        b"<html><body>"
+        b'<p><a href="/a">aaaa aaaa</a> <a href="/b">bbbb bbbb</a> '
+        b'<a href="/c">cccc cccc</a></p>'
+        b"<p>This paragraph is genuine readable content with enough characters"
+        b" to stand on its own as main text.</p>"
+        b"</body></html>"
+    )
+    text, spans = extract_main_text(html)
+    assert "genuine readable content" in text
+    assert "aaaa" not in text
+
+
+def test_short_continuation_survives():
+    html = (
+        b"<html><body>"
+        b"<p>A long opening paragraph that is certainly over the minimum"
+        b" character threshold for content blocks.</p>"
+        b"<p>Short tail.</p>"
+        b"</body></html>"
+    )
+    text, _ = extract_main_text(html)
+    assert "Short tail." in text
+
+
+def test_isolated_short_block_dropped():
+    html = b"<html><body><div>menu</div><p>%s</p></body></html>" % (
+        b"Long enough paragraph of body content to pass the threshold easily."
+    )
+    text, _ = extract_main_text(html)
+    assert "menu" not in text
+
+
+def test_pre_verbatim_whitespace():
+    payload = "line one\n  indented   line\n\nafter blank"
+    html = f"<html><body><pre>{payload}</pre></body></html>".encode()
+    text, _ = extract_main_text(html)
+    assert text == payload
+
+
+def test_script_style_skipped():
+    html = (
+        b"<html><head><script>var x = 'DATE DESCRIPTION AMOUNT';</script>"
+        b"<style>p{color:red}</style></head>"
+        b"<body><p>Real content paragraph long enough to pass the filter.</p>"
+        b"</body></html>"
+    )
+    text, _ = extract_main_text(html)
+    assert "DATE DESCRIPTION" not in text and "color" not in text
+
+
+def test_entities_unescaped():
+    html = b"<html><body><p>Packaging &amp; Shipping costs rose by 4% this quarter overall.</p></body></html>"
+    text, _ = extract_main_text(html)
+    assert "Packaging & Shipping" in text
+
+
+def test_malformed_html_fallback():
+    text, spans = extract_main_text(b"<p>unclosed <b>bold text and trailing")
+    assert "unclosed" in text
+
+
+def test_empty_input():
+    assert extract_main_text(None) == ("", [])
+    assert extract_main_text(b"") == ("", [])
+
+
+def test_spans_offsets_consistent():
+    row = fixtures.page_row(2)
+    text, spans = extract_main_text(row["html"])
+    for s in spans:
+        assert text[s["start"] : s["end"]] != ""
+        assert s["end"] - s["start"] == s["n_chars"]
+
+
+def test_block_features():
+    blocks = parse_blocks(
+        '<html><body><nav><a href="/">x</a></nav><p>content paragraph of '
+        "sufficient length to be kept around here</p></body></html>"
+    )
+    keep = classify_blocks(blocks)
+    kept = [b for b, k in zip(blocks, keep) if k]
+    assert len(kept) == 1 and kept[0].tag == "p"
