@@ -1,0 +1,159 @@
+"""C3/D1/D4/G15/U1 — the classification cascade, set-based.
+
+Reference cascade (utils/classify_transaction.py:139-155): per row, user
+memory → global memory → structural (no-op) → LLM, with per-row Firestore
+reads and an OpenAI call per miss. Rebuild: two broadcast left joins + a
+native `when` chain; the LLM stage is replaced by the deterministic keyword
+ruleset (G15) pre-mapped onto the allowed chart via the reference's own
+_force_map_to_allowed (D4) at plan-build time — so the hot path has ZERO
+Python, and the only UDF in the stage is the vendor-key derivation (G1 must
+run Python `re` for byte identity with the reference).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from pdf_parser_spark import extraction_core as core
+
+# G15 keyword → final account, resolved through D4 once at import time with
+# the reference's own mapping function (utils/classify_transaction.py:15-37).
+_KEYWORD_ACCOUNTS = {
+    kw: core.force_map_to_allowed(acct, core.ALLOWED_ACCOUNTS)
+    for kw, acct in {
+        "interest": "7100 - Interest Expense",
+        "fee": "7110 - Loan Fees",
+        "payment": "Credit Card Payment",
+        "credit": "4090 - Refunds and Discounts (Contra-Revenue)",
+    }.items()
+}
+FALLBACK_ACCOUNT = core.fallback_account(core.ALLOWED_ACCOUNTS)
+
+
+@F.pandas_udf(StringType())
+def vendor_key_udf(memo: pd.Series) -> pd.Series:
+    """G1 vendor key, vectorized (Python re for byte identity; ref main.py:281)."""
+    return memo.map(core.vendor_key)
+
+
+def keyword_account_col(memo_col):
+    """G15 rules as a native when-chain (ref: (pyc) parse.classify_transaction_type).
+
+    Word-boundary 'fee' matching per the extraction_core re-spec.
+    """
+    lo = F.lower(F.coalesce(memo_col, F.lit("")))
+    return (
+        F.when(lo.contains("interest"), F.lit(_KEYWORD_ACCOUNTS["interest"]))
+        .when(lo.rlike(r"\bfees?\b"), F.lit(_KEYWORD_ACCOUNTS["fee"]))
+        .when(
+            lo.contains("payment") | lo.contains("thank you"),
+            F.lit(_KEYWORD_ACCOUNTS["payment"]),
+        )
+        .when(
+            lo.contains("credit") | lo.contains("refund"),
+            F.lit(_KEYWORD_ACCOUNTS["credit"]),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def empty_memory(spark: SparkSession, with_uid: bool) -> DataFrame:
+    schema = (
+        "uid string, vendor_key string, account string"
+        if with_uid
+        else "vendor_key string, account string"
+    )
+    return spark.createDataFrame([], schema)
+
+
+def classify(
+    txns: DataFrame,
+    user_memory: DataFrame | None = None,
+    global_memory: DataFrame | None = None,
+) -> DataFrame:
+    """Full cascade → account + classificationSource columns.
+
+    user_memory(uid, vendor_key, account) and global_memory(vendor_key,
+    account) are small dimensions → broadcast (ref per-row lookups at
+    utils/classify_transaction.py:91-116 become C3 broadcast joins).
+    """
+    spark = txns.sparkSession
+    user_memory = user_memory if user_memory is not None else empty_memory(spark, True)
+    global_memory = (
+        global_memory if global_memory is not None else empty_memory(spark, False)
+    )
+
+    t = txns.withColumn("vendor_key", vendor_key_udf(F.col("memo")))
+    u = F.broadcast(
+        user_memory.select(
+            F.col("uid").alias("u_uid"),
+            F.col("vendor_key").alias("u_vk"),
+            F.col("account").alias("user_account"),
+        )
+    )
+    g = F.broadcast(
+        global_memory.select(
+            F.col("vendor_key").alias("g_vk"), F.col("account").alias("global_account")
+        )
+    )
+    t = t.join(u, (t["uid"] == u["u_uid"]) & (t["vendor_key"] == u["u_vk"]), "left").drop(
+        "u_uid", "u_vk"
+    )
+    t = t.join(g, t["vendor_key"] == g["g_vk"], "left").drop("g_vk")
+
+    kw = keyword_account_col(F.col("memo"))
+    account = F.coalesce(
+        F.col("user_account"), F.col("global_account"), kw, F.lit(FALLBACK_ACCOUNT)
+    )
+    source = (
+        F.when(F.col("user_account").isNotNull(), F.lit("memory:user"))
+        .when(F.col("global_account").isNotNull(), F.lit("memory:global"))
+        .otherwise(F.lit("ai"))  # deterministic LLM replacement (SURVEY §2.11 U1)
+    )
+    return (
+        t.withColumn("account", account)
+        .withColumn("classificationSource", source)
+        .drop("user_account", "global_account")
+    )
+
+
+def learning_aggregate(classified: DataFrame) -> DataFrame:
+    """D1 — per-vendor learning aggregate (ref: utils/classify_transaction.py:121-137).
+
+    total, byAccount counts, distinct-user count; top_account via a
+    deterministic argmax (count desc, account asc — canonical tie-break
+    re-spec; the reference's dict-insertion-order argmax is arrival-order
+    dependent). Two-phase: the (vendor_key, account) pre-aggregate is
+    map-side combinable, so the wide rows never shuffle raw.
+    """
+    from pyspark.sql import Window as W
+
+    by_acct = classified.groupBy("vendor_key", "account").agg(
+        F.count("*").alias("cnt"), F.collect_set("uid").alias("uids")
+    )
+    w = W.partitionBy("vendor_key").orderBy(F.col("cnt").desc(), F.col("account").asc())
+    ranked = by_acct.withColumn("_rn", F.row_number().over(w))
+    totals = by_acct.groupBy("vendor_key").agg(
+        F.sum("cnt").alias("total"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("account", "cnt")))
+        ).alias("byAccount"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("uids")))).alias("n_users"),
+    )
+    top = ranked.filter(F.col("_rn") == 1).select(
+        "vendor_key", F.col("account").alias("top_account")
+    )
+    return totals.join(top, "vendor_key")
+
+
+def promotions(agg: DataFrame, min_total: int = 5, min_users: int = 3) -> DataFrame:
+    """Promotion rule: total≥5 AND distinct users≥3 → global memory rows.
+
+    Ref: utils/classify_transaction.py:134-137 (_bump_vendor_aggregate).
+    """
+    return agg.filter(
+        (F.col("total") >= min_total) & (F.col("n_users") >= min_users)
+    ).select("vendor_key", F.col("top_account").alias("account"))

@@ -1,0 +1,99 @@
+"""Normalization stage: sourceType assignment + display-amount (C2 + G10).
+
+The reference computes displayAmount per row with a Firestore range probe per
+transaction (utils/display_amount.py:41-55 — an RPC per row). Here the probe
+becomes ONE banded self-join producing a has_bank_match flag, then G10 is a
+native `when` chain (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import banding
+
+
+def assign_source_type(txns: DataFrame, default: str = "bank") -> DataFrame:
+    """sourceType column; reference default is 'bank' (main.py:230).
+
+    If the upstream pages table carried a source_type_hint it is used
+    (fixtures cycle bank/card/loan per doc — FIXTURES.md F3); else default.
+    """
+    if "source_type_hint" in txns.columns:
+        return txns.withColumn(
+            "sourceType", F.coalesce(F.col("source_type_hint"), F.lit(default))
+        )
+    return txns.withColumn("sourceType", F.lit(default))
+
+
+def with_bank_match(txns: DataFrame) -> DataFrame:
+    """C2 — has_bank_match: a *bank* txn within ±5 days and ±$0.01 exists.
+
+    Ref: utils/display_amount.py:41-55 (_has_bank_match). Batch re-spec
+    (FIXTURES.md): the probe sees the whole dataset except the row itself
+    (the reference saw only previously-persisted rows — arrival-order
+    dependent, not reproducible).
+
+    Plan shape: bank-side build table is aggregated to distinct
+    (cents, bucket, txn ids) keys; probe side fans out 9×; the join is a
+    plain equi-join + residual; output is a boolean joined back by txn_id.
+    Only card-outflow rows need the probe (G10 uses it only there), so the
+    probe side is pre-filtered — at scale this is a small fraction of rows.
+    """
+    need = txns.filter((F.col("sourceType") == "card") & (F.col("amount") < 0))
+    probe = banding.with_probe_keys(
+        need.select("txn_id", "amount", "dateKey")
+    ).select("txn_id", "_cents_p", "_bucket_p", "_cents", "_day")
+
+    bank = banding.with_build_keys(
+        txns.filter(F.col("sourceType") == "bank").select("txn_id", "amount", "dateKey")
+    ).select(
+        F.col("txn_id").alias("b_txn_id"),
+        F.col("_cents").alias("b_cents"),
+        F.col("_day").alias("b_day"),
+        F.col("_bucket").alias("b_bucket"),
+    )
+
+    matched = (
+        probe.join(
+            bank,
+            (probe["_cents_p"] == bank["b_cents"])
+            & (probe["_bucket_p"] == bank["b_bucket"])
+            & (probe["txn_id"] != bank["b_txn_id"]),
+            "inner",
+        )
+        .filter(
+            (F.abs(F.col("_cents") - F.col("b_cents")) <= 1)
+            & (F.abs(F.col("_day") - F.col("b_day")) <= 5)
+        )
+        .select("txn_id")
+        .distinct()
+        .withColumn("has_bank_match", F.lit(True))
+    )
+    return txns.join(matched, "txn_id", "left").withColumn(
+        "has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False))
+    )
+
+
+def with_display_amount(txns: DataFrame) -> DataFrame:
+    """G10 as a native expression (ref: utils/display_amount.py:57-79)."""
+    st = F.lower(F.trim(F.coalesce(F.col("sourceType"), F.lit(""))))
+    amt = F.coalesce(F.col("amount"), F.lit(0.0))
+    abs_amt = F.abs(amt)
+    disp = (
+        F.when(st == "bank", F.when(amt >= 0, abs_amt).otherwise(-abs_amt))
+        .when(
+            st == "card",
+            F.when(amt > 0, abs_amt)
+            .when(F.col("has_bank_match"), abs_amt)
+            .otherwise(-abs_amt),
+        )
+        .otherwise(amt)
+    )
+    return txns.withColumn("displayAmount", disp)
+
+
+def normalize(txns: DataFrame) -> DataFrame:
+    """Full normalization: sourceType → bank-match probe → displayAmount."""
+    return with_display_amount(with_bank_match(assign_source_type(txns)))

@@ -1,0 +1,142 @@
+"""C1 — transfer pairing as a banded self-join with deterministic matching.
+
+Reference semantics (utils/transfer_pairing.py:60-107, invoked per-ingested
+row): a transaction pairs with a counterpart having |Δamount| ≤ 0.01 and
+|Δdate| ≤ 5 days, with role constraints. Normalizing the three ingest-side
+branches into one batch rule, every pair is
+
+    leader  L: sourceType='bank', amount ≥ 0        (the inflow leg)
+    shadow  S: amount < 0, sourceType ∈ {card, loan, bank}
+
+with pairReason = card_payment | loan_payment (S on card/loan) |
+bank_transfer (S on bank), pairId = f"pair:{min(id)}:{max(id)}", leader leg
+eventLeader=True, shadow leg pairReason='shadow' on its own row
+(transfer_pairing.py:83-84,94-95,103-104).
+
+The reference is greedy in arrival order — irreproducible in a distributed
+batch. Canonical re-spec (FIXTURES.md): *mutual-best matching* — each leader
+ranks its candidate shadows by (day distance, cents distance, txn_id), each
+shadow ranks its candidate leaders the same way, and a pair forms iff both
+rank each other first. This is deterministic, order-free, exclusive (each txn
+in ≤ 1 pair), and symmetric; property tests assert those invariants rather
+than arrival-order equivalence (SURVEY.md §7 hard part 2).
+
+Plan shape: pre-filtered leader/shadow sides → 9× banded probe fan-out →
+equi-join on (cents band, date bucket) → residual filter → two row_number
+windows → filter rank1==rank1. No cartesian, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import banding
+
+PAIR_COLS = ["pairId", "eventLeader", "pairedWith", "pairReason"]
+
+
+def candidate_pairs(txns: DataFrame) -> DataFrame:
+    """All (leader, shadow) candidates passing the banded join + residual."""
+    leaders = banding.with_probe_keys(
+        txns.filter((F.col("sourceType") == "bank") & (F.col("amount") >= 0)).select(
+            F.col("txn_id").alias("l_id"),
+            F.col("amount").alias("l_amount"),
+            F.col("dateKey").alias("l_dateKey"),
+        ),
+        amount="l_amount",
+        datekey="l_dateKey",
+    ).select("l_id", "l_amount", "_cents", "_day", "_cents_p", "_bucket_p")
+
+    shadows = banding.with_build_keys(
+        txns.filter(
+            (F.col("amount") < 0)
+            & F.col("sourceType").isin("card", "loan", "bank")
+        ).select(
+            F.col("txn_id").alias("s_id"),
+            F.col("amount").alias("s_amount"),
+            F.col("dateKey").alias("s_dateKey"),
+            F.col("sourceType").alias("s_type"),
+        ),
+        amount="s_amount",
+        datekey="s_dateKey",
+    ).select(
+        "s_id",
+        "s_amount",
+        "s_type",
+        F.col("_cents").alias("s_cents"),
+        F.col("_day").alias("s_day"),
+        F.col("_bucket").alias("s_bucket"),
+    )
+
+    return (
+        leaders.join(
+            shadows,
+            (F.col("_cents_p") == F.col("s_cents"))
+            & (F.col("_bucket_p") == F.col("s_bucket"))
+            & (F.col("l_id") != F.col("s_id")),
+            "inner",
+        )
+        .filter(
+            (F.abs(F.col("_cents") - F.col("s_cents")) <= 1)
+            & (F.abs(F.col("_day") - F.col("s_day")) <= 5)
+        )
+        .select(
+            "l_id",
+            "s_id",
+            "s_type",
+            F.abs(F.col("_day") - F.col("s_day")).alias("day_dist"),
+            F.abs(F.col("_cents") - F.col("s_cents")).alias("cents_dist"),
+        )
+        .dropDuplicates(["l_id", "s_id"])  # 9 bands can hit the same pair thrice
+    )
+
+
+def matched_pairs(txns: DataFrame) -> DataFrame:
+    """Mutual-best selection → one row per formed pair."""
+    cand = candidate_pairs(txns)
+    wl = W.partitionBy("l_id").orderBy("day_dist", "cents_dist", "s_id")
+    ws = W.partitionBy("s_id").orderBy("day_dist", "cents_dist", "l_id")
+    return (
+        cand.withColumn("l_rank", F.row_number().over(wl))
+        .withColumn("s_rank", F.row_number().over(ws))
+        .filter((F.col("l_rank") == 1) & (F.col("s_rank") == 1))
+        .select(
+            "l_id",
+            "s_id",
+            F.concat(
+                F.lit("pair:"),
+                F.least("l_id", "s_id"),
+                F.lit(":"),
+                F.greatest("l_id", "s_id"),
+            ).alias("pairId"),
+            F.when(F.col("s_type") == "card", F.lit("card_payment"))
+            .when(F.col("s_type") == "loan", F.lit("loan_payment"))
+            .otherwise(F.lit("bank_transfer"))
+            .alias("pairReason"),
+        )
+    )
+
+
+def pair_transfers(txns: DataFrame) -> DataFrame:
+    """Decorate transactions with pairId/eventLeader/pairedWith/pairReason.
+
+    Unpaired rows keep NULLs (nullable decoration, FIXTURES.md F3).
+    """
+    pairs = matched_pairs(txns)
+    leader_side = pairs.select(
+        F.col("l_id").alias("txn_id"),
+        "pairId",
+        F.lit(True).alias("eventLeader"),
+        F.col("s_id").alias("pairedWith"),
+        "pairReason",
+    )
+    shadow_side = pairs.select(
+        F.col("s_id").alias("txn_id"),
+        "pairId",
+        F.lit(False).alias("eventLeader"),
+        F.col("l_id").alias("pairedWith"),
+        F.lit("shadow").alias("pairReason"),
+    )
+    decorations = leader_side.unionByName(shadow_side)
+    return txns.join(decorations, "txn_id", "left")

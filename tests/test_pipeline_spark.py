@@ -1,0 +1,207 @@
+"""End-to-end Spark pipeline tests on the tiny fixture corpus.
+
+The per-url byte-identity gate: the Spark extraction output must equal the
+pure-Python oracle (extraction_core over the `text` column) for EVERY url.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import extraction_core as core
+from pdf_parser_spark import fixtures
+from pdf_parser_spark.operators import extract as extract_op
+from pdf_parser_spark.operators import journal as journal_op
+from pdf_parser_spark.operators import pairing as pairing_op
+from pdf_parser_spark.plans import pipeline
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def extracted(pages_tiny):
+    df = extract_op.extract_documents(pages_tiny, keep_text=True).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def txns(pages_tiny):
+    df = pipeline.transactions_pipeline(pages_tiny).cache()
+    df.count()
+    return df
+
+
+def test_extracted_text_byte_identity(extracted):
+    """Spark-extracted text == pages.text for every url (north-rule invariant)."""
+    rows = extracted.select("url", "extracted_text").collect()
+    assert len(rows) == 100
+    mismatches = []
+    for r in rows:
+        doc_id = int(r["url"].rstrip(".pdf").split("/")[-1].split(".")[0])
+        expected = fixtures.statement_text(doc_id)
+        if r["extracted_text"] != expected:
+            mismatches.append(r["url"])
+    assert not mismatches, f"non-identical extraction for {mismatches[:5]}"
+
+
+def test_transactions_match_pure_oracle(extracted):
+    """Per-url txn rows == extraction_core oracle rows, field by field."""
+    got = {
+        r["url"]: r["txns"]
+        for r in extracted.select("url", "txns").collect()
+    }
+    for doc_id in range(100):
+        row = fixtures.page_row(doc_id)
+        oracle_rows, _ = core.extract_transactions_from_text(row["text"])
+        spark_rows = got[row["url"]]
+        assert len(spark_rows) == len(oracle_rows), f"doc {doc_id} count"
+        for s, o in zip(spark_rows, oracle_rows):
+            assert s["date"] == o["date"] and s["memo"] == o["memo"]
+            assert s["amount"] == o["amount"] and s["source"] == o["source"]
+
+
+def test_strategy_dispatch_coverage(extracted):
+    strategies = {r["strategy"] for r in extracted.select("strategy").distinct().collect()}
+    assert {"amex", "tabular", "ocr", ""} <= strategies
+    # non-amex docs yield zero transactions (placeholder parsers, B2/B3)
+    bad = extracted.filter((F.col("strategy") != "amex") & (F.col("n_txns") > 0)).count()
+    assert bad == 0
+
+
+def test_extraction_metrics(extracted):
+    m = extract_op.extraction_metrics(extracted)
+    agg = m.agg(
+        F.sum("docs").alias("docs"), F.sum("parse_failures").alias("fails")
+    ).collect()[0]
+    assert agg["docs"] == 100 and agg["fails"] == 0
+
+
+def test_transactions_schema_and_datekey(txns):
+    cols = set(txns.columns)
+    assert {
+        "txn_id", "url", "date", "dateKey", "memo", "amount", "source",
+        "sourceType", "displayAmount", "account", "classificationSource",
+        "pairId", "eventLeader", "pairedWith", "pairReason", "vendor_key",
+    } <= cols
+    # dateKey is YYYYMMDD or '' (2-digit-year dates are unparseable, G4)
+    bad = txns.filter(~F.col("dateKey").rlike(r"^(\d{8})?$")).count()
+    assert bad == 0
+    some_empty = txns.filter(F.col("dateKey") == "").count()
+    assert some_empty > 0  # fixture includes %m/%d/%y dates
+
+
+def test_display_amount_semantics(txns):
+    rows = txns.select("amount", "sourceType", "displayAmount", "has_bank_match").collect()
+    for r in rows:
+        expect = core.compute_display_amount(r["amount"], r["sourceType"], r["has_bank_match"])
+        assert r["displayAmount"] == expect
+
+
+def test_classification_cascade(txns):
+    src = {r["classificationSource"] for r in txns.select("classificationSource").distinct().collect()}
+    assert src <= {"memory:user", "memory:global", "ai"}
+    # every account lands in the allowed chart (D4 force-map invariant)
+    accounts = {r["account"] for r in txns.select("account").distinct().collect()}
+    assert accounts <= set(core.ALLOWED_ACCOUNTS)
+    # keyword rule fires for payment rows
+    pay = txns.filter(F.lower("memo").contains("payment")).select("account").distinct().collect()
+    assert pay and all(r["account"] == core.force_map_to_allowed(
+        "Credit Card Payment", core.ALLOWED_ACCOUNTS) for r in pay)
+
+
+def test_classification_memory_precedence(spark, txns):
+    from pdf_parser_spark.operators import classify as classify_op
+
+    vk = txns.select("vendor_key").first()["vendor_key"]
+    user_mem = spark.createDataFrame(
+        [("batch", vk, "6310 - Bank Fees")], "uid string, vendor_key string, account string"
+    )
+    global_mem = spark.createDataFrame(
+        [(vk, "6110 - Utilities")], "vendor_key string, account string"
+    )
+    base = txns.drop("account", "classificationSource", "vendor_key")
+    out = classify_op.classify(base, user_mem, global_mem)
+    hit = out.filter(F.col("vendor_key") == vk).select("account", "classificationSource").distinct().collect()
+    assert hit == [("6310 - Bank Fees", "memory:user")] or (
+        len(hit) == 1 and hit[0]["account"] == "6310 - Bank Fees"
+    )
+
+
+def test_pairing_properties(txns):
+    paired = txns.filter(F.col("pairId").isNotNull()).cache()
+    n = paired.count()
+    assert n > 0 and n % 2 == 0
+    # exclusivity: each txn at most one pair row
+    assert paired.select("txn_id").distinct().count() == n
+    # each pairId has exactly one leader and one shadow
+    per_pair = paired.groupBy("pairId").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("eventLeader").cast("int")).alias("leaders"),
+    ).collect()
+    for r in per_pair:
+        assert r["c"] == 2 and r["leaders"] == 1
+    # legs within tolerance and window; leader is the bank inflow
+    joined = (
+        paired.alias("a")
+        .join(paired.alias("b"), F.col("a.pairedWith") == F.col("b.txn_id"))
+        .filter(F.col("a.eventLeader"))
+        .select("a.amount", "a.sourceType", "a.dateKey", "b.amount", "b.dateKey", "b.sourceType", "a.pairReason")
+        .collect()
+    )
+    for r in joined:
+        assert r[1] == "bank" and r[0] >= 0 and r[3] < 0
+        assert abs(abs(r[0]) - abs(r[3])) <= 0.011
+        reason = {"card": "card_payment", "loan": "loan_payment", "bank": "bank_transfer"}[r[5]]
+        assert r[6] == reason
+
+
+def test_pairing_symmetry(txns):
+    paired = txns.filter(F.col("pairId").isNotNull())
+    a = paired.select("txn_id", "pairedWith")
+    b = paired.select(F.col("pairedWith").alias("txn_id"), F.col("txn_id").alias("pairedWith"))
+    assert a.exceptAll(b).count() == 0
+
+
+def test_journal_explode(txns):
+    j = journal_op.journal_entries(txns).cache()
+    base = journal_op.filter_shadows(txns)
+    assert j.count() == 2 * base.count()
+    # books balance per txn: debit amount == credit amount
+    per_txn = j.groupBy("txnId").agg(
+        F.count("*").alias("c"), F.countDistinct("amount").alias("d")
+    ).collect()
+    for r in per_txn:
+        assert r["c"] == 2 and r["d"] == 1
+    # negative txns put account on the credit leg (H1 sign logic)
+    neg = txns.filter((F.col("amount") < 0) & F.col("pairId").isNull()).first()
+    if neg:
+        legs = {r["type"]: r["account"] for r in j.filter(F.col("txnId") == neg["txn_id"]).collect()}
+        assert legs["Credit"] == neg["account"] and legs["Debit"] == neg["source"]
+
+
+def test_journal_matches_pure_oracle(txns):
+    sample = txns.orderBy("txn_id").limit(50).collect()
+    as_dicts = [
+        {
+            "id": r["txn_id"], "date": r["date"], "memo": r["memo"],
+            "amount": r["amount"], "account": r["account"], "source": r["source"],
+            "eventLeader": r["eventLeader"], "pairReason": r["pairReason"],
+        }
+        for r in sample
+    ]
+    oracle = core.journal_entries(as_dicts)
+    spark_j = journal_op.journal_entries(
+        txns.orderBy("txn_id").limit(50)
+    ).orderBy("txnId", "type").collect()
+    oracle_sorted = sorted(oracle, key=lambda x: (x["txnId"], x["type"]))
+    assert len(spark_j) == len(oracle_sorted)
+    for s, o in zip(spark_j, oracle_sorted):
+        assert (s["account"], s["type"], s["amount"]) == (o["account"], o["type"], o["amount"])
+
+
+def test_flagship_summary(txns):
+    s = pipeline.flagship_summary(txns).collect()
+    assert len(s) > 0
+    assert sum(r["n_txns"] for r in s) == txns.count()
