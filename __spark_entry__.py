@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship pipeline on /root/testdata/sf0.001.
+queries()       — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()    — matching DuckDB ANSI SQL for every SQL-expressible query;
+                  parse-UDF / LSH operators are rows-only (documented below).
+
+Column names are aliased identically in both engines; float aggregates are
+rounded in both; integer aggregates cast to BIGINT in the SQL (DuckDB SUM on
+INTEGER yields HUGEINT otherwise).
 """
 
 from __future__ import annotations
@@ -12,27 +15,663 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared derived tables (must match the CTEs inside oracle_sql exactly)
+# ---------------------------------------------------------------------------
+
+
+def _event_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactions-shaped view of `events` (the C1/C2/G10 oracle substrate).
+
+    txn_id zero-padded so string order == numeric order in both engines.
+    """
+    return _t(spark, sf_dir, "events").select(
+        F.format_string("%08d", F.col("event_id")).alias("txn_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("amount"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("bank"))
+        .when(F.col("event_id") % 3 == 1, F.lit("card"))
+        .otherwise(F.lit("loan"))
+        .alias("sourceType"),
+        F.date_format("ts", "yyyyMMdd").alias("dateKey"),
+    )
+
+_EVENT_TXNS_SQL = """
+txns AS (
+  SELECT printf('%08d', event_id) AS txn_id,
+         CASE WHEN event_id % 2 = 0 THEN value ELSE -value END AS amount,
+         CASE event_id % 3 WHEN 0 THEN 'bank' WHEN 1 THEN 'card' ELSE 'loan' END AS sourceType,
+         strftime(ts, '%Y%m%d') AS dateKey
+  FROM events),
+keyed AS (
+  SELECT txn_id, amount, sourceType,
+         CAST(round(abs(amount) * 100) AS BIGINT) AS cents,
+         datediff('day', DATE '1970-01-01', CAST(strptime(dateKey, '%Y%m%d') AS DATE)) AS day
+  FROM txns)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q01_flagship_rollup(spark, sf_dir):
+    """D-family aggregate (TPC-H Q1 shape): partial-agg-friendly rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_pagination(spark, sf_dir):
+    """B12/F2 — order by + offset/limit (ref: main.py:202-213)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q03_topk(spark, sf_dir):
+    """F1 — top-k listing (ref: main.py:167)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .limit(10)
+    )
+
+
+def q04_keep_latest(spark, sf_dir):
+    """D3/E2 — keep-latest-row per key (ref: routes/plaid.py:434-459)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q05_union_dedupe(spark, sf_dir):
+    """D5 — union of two scans deduped by id (ref: routes/plaid.py:356-362)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("event_id")
+    b = e.filter(F.col("value") > 400).select("event_id")
+    return a.unionByName(b).dropDuplicates(["event_id"])
+
+
+def q06_max_date_group(spark, sf_dir):
+    """E3 — max-date within keyword group (ref: (pyc) parse.remove_old_interest_charges)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.groupBy("l_orderkey").agg(
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q07_memory_cascade(spark, sf_dir):
+    """C3 — two-level memory lookup with precedence + source label
+    (ref: utils/classify_transaction.py:91-116)."""
+    d = _t(spark, sf_dir, "documents")
+    user_mem = (
+        d.filter(F.col("lang").isin("en", "de"))
+        .select("lang").distinct()
+        .select(F.col("lang").alias("u_vk"), F.concat(F.lit("user:"), "lang").alias("user_account"))
+    )
+    global_mem = (
+        d.filter(F.col("lang").isin("de", "fr", "es"))
+        .select("lang").distinct()
+        .select(F.col("lang").alias("g_vk"), F.concat(F.lit("global:"), "lang").alias("global_account"))
+    )
+    out = (
+        d.join(F.broadcast(user_mem), d["lang"] == user_mem["u_vk"], "left")
+        .join(F.broadcast(global_mem), d["lang"] == global_mem["g_vk"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("user_account", "global_account", F.lit("7090 - Uncategorized Expense")).alias("account"),
+            F.when(F.col("user_account").isNotNull(), F.lit("memory:user"))
+            .when(F.col("global_account").isNotNull(), F.lit("memory:global"))
+            .otherwise(F.lit("ai"))
+            .alias("classificationSource"),
+        )
+    )
+    return out
+
+
+def q08_learning_aggregate(spark, sf_dir):
+    """D1 — vendor learning aggregate + promotion rule
+    (ref: utils/classify_transaction.py:121-137)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("vendor_key"),
+        F.col("lang").alias("account"),
+        (F.col("doc_id") % 7).alias("uid"),
+    )
+    by_acct = d.groupBy("vendor_key", "account").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("vendor_key").orderBy(F.col("cnt").desc(), F.col("account"))
+    top = (
+        by_acct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vendor_key", F.col("account").alias("top_account"))
+    )
+    totals = d.groupBy("vendor_key").agg(
+        F.count("*").alias("total"), F.countDistinct("uid").alias("n_users")
+    )
+    return totals.join(top, "vendor_key").select(
+        "vendor_key",
+        "total",
+        "n_users",
+        "top_account",
+        ((F.col("total") >= 5) & (F.col("n_users") >= 3)).alias("promoted"),
+    )
+
+
+def q09_journal_explode(spark, sf_dir):
+    """H1 — journal debit/credit explosion (ref: routes/journal.py:29-51)."""
+    from pdf_parser_spark.operators import journal as journal_op
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("txn_id"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("date"),
+        F.col("o_orderpriority").alias("memo"),
+        F.when(F.col("o_orderstatus") == "F", -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("amount"),
+        F.col("o_orderpriority").alias("account"),
+        F.lit("Offset").alias("source"),
+        F.lit(None).cast("boolean").alias("eventLeader"),
+        F.lit(None).cast("string").alias("pairReason"),
+    )
+    j = journal_op.journal_entries(o)
+    return j.select(
+        "id", "txnId", "date", "memo", "account", "type", F.round("amount", 2).alias("amount")
+    )
+
+
+def q10_account_type(spark, sf_dir):
+    """G11 — account-type classification chain (ref: routes/journal_detail.py:21-37)."""
+    from pdf_parser_spark.operators.journal import account_type_col
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(F.col("p_size").cast("string"), F.lit("00 - "), F.col("p_type")).alias("acct_coded"),
+        F.col("p_brand").alias("acct_trailing"),
+        F.col("p_type").alias("acct_none"),
+    )
+    return p.select(
+        "p_partkey",
+        account_type_col(F.col("acct_coded")).alias("type_coded"),
+        account_type_col(F.col("acct_trailing")).alias("type_trailing"),
+        account_type_col(F.col("acct_none")).alias("type_none"),
+    )
+
+
+def q11_datekey(spark, sf_dir):
+    """G4/G5 — date key & US-date formatting (ref: main.py:90-99, plaid.py:108-113)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd").alias("dateKey"),
+        F.date_format("ts", "MM/dd/yyyy").alias("us_date"),
+    )
+
+
+def q12_bank_match_exists(spark, sf_dir):
+    """C2 — bank-match existence probe as a banded semi-join
+    (ref: utils/display_amount.py:41-55)."""
+    from pdf_parser_spark.operators import normalize as normalize_op
+
+    txns = _event_txns(spark, sf_dir)
+    flagged = normalize_op.with_bank_match(txns)
+    return flagged.filter(
+        (F.col("sourceType") == "card") & (F.col("amount") < 0) & F.col("has_bank_match")
+    ).select("txn_id")
+
+
+def q13_transfer_pairing(spark, sf_dir):
+    """C1 — transfer pairing: banded self-join + mutual-best matching
+    (ref: utils/transfer_pairing.py:38-107; canonical re-spec FIXTURES.md)."""
+    from pdf_parser_spark.operators import pairing as pairing_op
+
+    txns = _event_txns(spark, sf_dir)
+    return pairing_op.matched_pairs(txns).select(
+        F.col("l_id").alias("leader_id"),
+        F.col("s_id").alias("shadow_id"),
+        F.col("pairId").alias("pair_id"),
+        F.col("pairReason").alias("pair_reason"),
+    )
+
+
+def q14_dedup_exact(spark, sf_dir):
+    """Exact dedupe by normalized-text fingerprint (training-data op)."""
+    from pdf_parser_spark.operators import dedupe as dedupe_op
+
+    return dedupe_op.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q15_token_stats(spark, sf_dir):
+    """Text quality/statistics + md5 fingerprint (training-data op)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats_op.with_text_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_text",
+        "mean_token_len",
+        "alpha_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "fingerprint",
+    )
+
+
+def q16_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column (ANN baseline)."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_op.cosine_topk(e, query_id=0, k=10)
+
+
+def q17_display_amount(spark, sf_dir):
+    """G10 — display-amount sign logic over the C2 probe result
+    (ref: utils/display_amount.py:57-79)."""
+    from pdf_parser_spark.operators import normalize as normalize_op
+
+    txns = _event_txns(spark, sf_dir)
+    out = normalize_op.with_display_amount(normalize_op.with_bank_match(txns))
+    return out.select("txn_id", F.round("displayAmount", 2).alias("displayAmount"))
+
+
+def q18_keep_latest_interest(spark, sf_dir):
+    """B8 — max-date-within-keyword-group filter
+    (ref: (pyc) parse.remove_old_interest_charges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "A")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+def q19_date_window(spark, sf_dir):
+    """B7 — closing-date window filter (keep rows within 45 days of the max)
+    (ref: (pyc) semantic_extractor.extract_transactions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    return (
+        li.withColumn("_max_ship", F.max("l_shipdate").over(w))
+        .filter(F.col("l_shipdate") >= F.date_sub(F.col("_max_ship"), 45))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+
+
+# -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
+
+
+def r01_pipeline_flagship(spark, sf_dir):
+    """Full statement pipeline on the deterministic synthetic pages corpus."""
+    from pdf_parser_spark.fixtures import pages_spark
+    from pdf_parser_spark.plans import pipeline
+
+    n = 200 if "0.001" in sf_dir else 1000
+    pages = pages_spark(spark, n_docs=n, partitions=8)
+    txns = pipeline.transactions_pipeline(pages)
+    return pipeline.flagship_summary(txns)
+
+
+def r02_extraction_identity(spark, sf_dir):
+    """Per-url byte-identity audit: Spark-extracted text vs the `text` column."""
+    from pdf_parser_spark.fixtures import pages_spark
+    from pdf_parser_spark.operators import extract as extract_op
+
+    n = 200 if "0.001" in sf_dir else 1000
+    pages = pages_spark(spark, n_docs=n, partitions=8)
+    extracted = extract_op.extract_documents(pages, keep_text=True)
+    joined = extracted.join(pages.select("url", "text"), "url")
+    return joined.select(
+        "url", (F.col("extracted_text") == F.col("text")).alias("byte_identical")
+    ).filter(~F.col("byte_identical"))  # MUST be empty
+
+
+def r03_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs over documents."""
+    from pdf_parser_spark.operators import dedupe as dedupe_op
+
+    return dedupe_op.near_duplicates_minhash(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def r04_simhash_neardup(spark, sf_dir):
+    """SimHash hamming-LSH near-duplicate pairs over documents."""
+    from pdf_parser_spark.operators import dedupe as dedupe_op
+
+    return dedupe_op.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+def r05_lang_id(spark, sf_dir):
+    """Heuristic language-ID vs the table's lang label (confusion counts)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textstats_op.with_lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def r06_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours (scale path of q16)."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_op.ann_topk_lsh(e, query_id=0, k=10, dim=64, n_planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_flagship_rollup": q01_flagship_rollup,
+        "q02_pagination": q02_pagination,
+        "q03_topk": q03_topk,
+        "q04_keep_latest": q04_keep_latest,
+        "q05_union_dedupe": q05_union_dedupe,
+        "q06_max_date_group": q06_max_date_group,
+        "q07_memory_cascade": q07_memory_cascade,
+        "q08_learning_aggregate": q08_learning_aggregate,
+        "q09_journal_explode": q09_journal_explode,
+        "q10_account_type": q10_account_type,
+        "q11_datekey": q11_datekey,
+        "q12_bank_match_exists": q12_bank_match_exists,
+        "q13_transfer_pairing": q13_transfer_pairing,
+        "q14_dedup_exact": q14_dedup_exact,
+        "q15_token_stats": q15_token_stats,
+        "q16_similarity_topk": q16_similarity_topk,
+        "q17_display_amount": q17_display_amount,
+        "q18_keep_latest_interest": q18_keep_latest_interest,
+        "q19_date_window": q19_date_window,
+        "r01_pipeline_flagship": r01_pipeline_flagship,
+        "r02_extraction_identity": r02_extraction_identity,
+        "r03_minhash_neardup": r03_minhash_neardup,
+        "r04_simhash_neardup": r04_simhash_neardup,
+        "r05_lang_id": r05_lang_id,
+        "r06_ann_lsh": r06_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "'the','a','of','and','to','in','is','it'"
+    return {
+        "q01_flagship_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_pagination": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "q03_topk": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q04_keep_latest": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events) WHERE rn = 1
+        """,
+        "q05_union_dedupe": """
+            SELECT DISTINCT event_id FROM (
+              SELECT event_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id FROM events WHERE value > 400)
+        """,
+        "q06_max_date_group": """
+            SELECT l_orderkey, strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        """,
+        "q07_memory_cascade": """
+            WITH user_mem AS (
+              SELECT DISTINCT lang AS vk, 'user:' || lang AS user_account
+              FROM documents WHERE lang IN ('en','de')),
+            global_mem AS (
+              SELECT DISTINCT lang AS vk, 'global:' || lang AS global_account
+              FROM documents WHERE lang IN ('de','fr','es'))
+            SELECT d.doc_id,
+                   coalesce(u.user_account, g.global_account, '7090 - Uncategorized Expense') AS account,
+                   CASE WHEN u.user_account IS NOT NULL THEN 'memory:user'
+                        WHEN g.global_account IS NOT NULL THEN 'memory:global'
+                        ELSE 'ai' END AS classificationSource
+            FROM documents d
+            LEFT JOIN user_mem u ON d.lang = u.vk
+            LEFT JOIN global_mem g ON d.lang = g.vk
+        """,
+        "q08_learning_aggregate": """
+            WITH base AS (
+              SELECT source AS vendor_key, lang AS account, doc_id % 7 AS uid FROM documents),
+            by_acct AS (
+              SELECT vendor_key, account, count(*) AS cnt FROM base GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vendor_key ORDER BY cnt DESC, account) rn
+              FROM by_acct),
+            totals AS (
+              SELECT vendor_key, CAST(count(*) AS BIGINT) AS total,
+                     CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+              FROM base GROUP BY 1)
+            SELECT t.vendor_key, t.total, t.n_users, r.account AS top_account,
+                   (t.total >= 5 AND t.n_users >= 3) AS promoted
+            FROM totals t JOIN ranked r ON r.vendor_key = t.vendor_key AND r.rn = 1
+        """,
+        "q09_journal_explode": """
+            WITH t AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS txn_id,
+                     strftime(o_orderdate, '%m/%d/%Y') AS date,
+                     o_orderpriority AS memo,
+                     CASE WHEN o_orderstatus = 'F' THEN -o_totalprice ELSE o_totalprice END AS amount,
+                     o_orderpriority AS account,
+                     'Offset' AS source
+              FROM orders)
+            SELECT txn_id || '-debit' AS id, txn_id AS txnId, date, memo,
+                   CASE WHEN amount >= 0 THEN account ELSE source END AS account,
+                   'Debit' AS type, round(abs(amount), 2) AS amount
+            FROM t
+            UNION ALL
+            SELECT txn_id || '-credit' AS id, txn_id AS txnId, date, memo,
+                   CASE WHEN amount < 0 THEN account ELSE source END AS account,
+                   'Credit' AS type, round(abs(amount), 2) AS amount
+            FROM t
+        """,
+        "q10_account_type": f"""
+            WITH p AS (
+              SELECT p_partkey,
+                     CAST(p_size AS VARCHAR) || '00 - ' || p_type AS acct_coded,
+                     p_brand AS acct_trailing,
+                     p_type AS acct_none
+              FROM part)
+            SELECT p_partkey,
+                   {_ACCOUNT_TYPE_SQL.format(col='acct_coded')} AS type_coded,
+                   {_ACCOUNT_TYPE_SQL.format(col='acct_trailing')} AS type_trailing,
+                   {_ACCOUNT_TYPE_SQL.format(col='acct_none')} AS type_none
+            FROM p
+        """,
+        "q11_datekey": """
+            SELECT event_id, strftime(ts, '%Y%m%d') AS dateKey,
+                   strftime(ts, '%m/%d/%Y') AS us_date
+            FROM events
+        """,
+        "q12_bank_match_exists": f"""
+            WITH {_EVENT_TXNS_SQL}
+            SELECT t.txn_id FROM keyed t
+            WHERE t.sourceType = 'card' AND t.amount < 0
+              AND EXISTS (SELECT 1 FROM keyed b
+                          WHERE b.sourceType = 'bank' AND b.txn_id <> t.txn_id
+                            AND abs(b.cents - t.cents) <= 1 AND abs(b.day - t.day) <= 5)
+        """,
+        "q13_transfer_pairing": f"""
+            WITH {_EVENT_TXNS_SQL},
+            cand AS (
+              SELECT l.txn_id AS l_id, s.txn_id AS s_id, s.sourceType AS s_type,
+                     abs(l.day - s.day) AS day_dist, abs(l.cents - s.cents) AS cents_dist
+              FROM keyed l JOIN keyed s
+                ON l.sourceType = 'bank' AND l.amount >= 0 AND s.amount < 0
+               AND s.sourceType IN ('card','loan','bank')
+               AND abs(l.cents - s.cents) <= 1 AND abs(l.day - s.day) <= 5
+               AND l.txn_id <> s.txn_id),
+            ranked AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY l_id ORDER BY day_dist, cents_dist, s_id) AS l_rank,
+                row_number() OVER (PARTITION BY s_id ORDER BY day_dist, cents_dist, l_id) AS s_rank
+              FROM cand)
+            SELECT l_id AS leader_id, s_id AS shadow_id,
+                   'pair:' || least(l_id, s_id) || ':' || greatest(l_id, s_id) AS pair_id,
+                   CASE s_type WHEN 'card' THEN 'card_payment'
+                               WHEN 'loan' THEN 'loan_payment'
+                               ELSE 'bank_transfer' END AS pair_reason
+            FROM ranked WHERE l_rank = 1 AND s_rank = 1
+        """,
+        "q14_dedup_exact": """
+            SELECT md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM documents
+            GROUP BY 1
+        """,
+        "q15_token_stats": f"""
+            WITH s AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(coalesce(text, '')) AS n_chars_text
+              FROM documents)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(n_chars_text AS INT) AS n_chars_text,
+                   round(CASE WHEN n_tokens > 0
+                         THEN length(regexp_replace(trim(text), '\\s', '', 'g')) * 1.0 / n_tokens
+                         ELSE 0.0 END, 4) AS mean_token_len,
+                   round(CASE WHEN n_chars_text > 0
+                         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars_text
+                         ELSE 0.0 END, 4) AS alpha_ratio,
+                   round(CASE WHEN n_chars_text > 0
+                         THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars_text
+                         ELSE 0.0 END, 4) AS digit_ratio,
+                   round(CASE WHEN n_chars_text > 0
+                         THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / n_chars_text
+                         ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0
+                         THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              x -> x IN ({stop_list}))) * 1.0 / n_tokens
+                         ELSE 0.0 END, 4) AS stopword_ratio,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM s
+        """,
+        "q16_similarity_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q17_display_amount": f"""
+            WITH {_EVENT_TXNS_SQL}
+            SELECT t.txn_id,
+                   round(CASE
+                     WHEN t.sourceType = 'bank' THEN
+                       CASE WHEN t.amount >= 0 THEN abs(t.amount) ELSE -abs(t.amount) END
+                     WHEN t.sourceType = 'card' THEN
+                       CASE WHEN t.amount > 0 THEN abs(t.amount)
+                            WHEN EXISTS (SELECT 1 FROM keyed b
+                                         WHERE b.sourceType = 'bank' AND b.txn_id <> t.txn_id
+                                           AND abs(b.cents - t.cents) <= 1
+                                           AND abs(b.day - t.day) <= 5)
+                            THEN abs(t.amount) ELSE -abs(t.amount) END
+                     ELSE t.amount END, 2) AS displayAmount
+            FROM keyed t
+        """,
+        "q18_keep_latest_interest": """
+            SELECT l_orderkey, l_linenumber FROM (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_shipdate DESC, l_linenumber DESC) rn
+              FROM lineitem WHERE l_returnflag = 'A')
+            WHERE rn = 1
+        """,
+        "q19_date_window": """
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_in_window FROM (
+              SELECT l_orderkey, l_shipdate,
+                     max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+              FROM lineitem)
+            WHERE l_shipdate >= max_ship - INTERVAL 45 DAY
+            GROUP BY l_orderkey
+        """,
+    }
+
+
+# G11 as a DuckDB CASE chain (kept adjacent to q10; {col} substituted)
+_ACCOUNT_TYPE_SQL = """
+    CASE substr(regexp_extract(trim(coalesce({col}, '')), '^([0-9]+)', 1), 1, 1)
+      WHEN '1' THEN 'Asset' WHEN '2' THEN 'Liability' WHEN '3' THEN 'Equity'
+      WHEN '4' THEN 'Income' WHEN '5' THEN 'COGS'
+      WHEN '6' THEN 'Expense' WHEN '7' THEN 'Expense'
+      WHEN '8' THEN 'Expense' WHEN '9' THEN 'Expense'
+      ELSE CASE WHEN regexp_matches(right(trim(coalesce({col}, '')), 6), '[0-9]')
+                THEN 'Liability' ELSE 'Expense' END
+    END
+"""
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: text-analytics + dedup + classification rollup over the
+    sf0.001 documents table (the webtext substrate), per (lang, source)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, SF_DEFAULT, "documents")
+    stats = textstats_op.with_text_stats(d)
+    stats = stats.withColumn("quality", textstats_op.quality_score_col())
+    return (
+        stats.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure native expressions —
+zip_with/aggregate dot products, no Python in the hot path), and a
+random-hyperplane LSH bucketed variant as the scale path (signature via a
+seeded, deterministic projection; candidate generation by bucket equi-join).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def with_cosine_to(embeddings: DataFrame, query_vec: list[float],
+                   vec_col: str = "embedding") -> DataFrame:
+    """cosine(row, query) as a native column (JVM-side, codegen)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = _dot(F.col(vec_col).cast("array<double>"), q) / (
+        _norm(F.col(vec_col).cast("array<double>")) * F.lit(qnorm)
+    )
+    return embeddings.withColumn("cosine", cos)
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to the query row (excluded), deterministic ties."""
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    query_vec = [float(x) for x in qrow[0][0]]
+    return (
+        with_cosine_to(embeddings, query_vec, vec_col)
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — the 10^12-scale path
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)  # fixed seed ⇒ same planes on every executor
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_table(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket) — sign-pattern bucket of each vector."""
+    planes = _planes(dim, n_planes, seed)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ planes.T) > 0  # (n, planes)
+            buckets = signs.dot(1 << np.arange(n_planes)).astype("int64")
+            yield pd.DataFrame({"vec_id": pdf[id_col].values, "bucket": buckets})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="vec_id long, bucket long"
+    )
+
+
+def ann_topk_lsh(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 64,
+                 n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates from the query's bucket, exact cosine
+    re-rank on the candidate set only. At scale the bucket join replaces the
+    full scan; recall is tuned by n_planes (fewer planes → bigger buckets)."""
+    buckets = lsh_bucket_table(embeddings, dim, n_planes, seed, id_col, vec_col)
+    qb = buckets.filter(F.col("vec_id") == query_id).select(
+        F.col("bucket").alias("q_bucket")
+    )
+    cand_ids = buckets.join(F.broadcast(qb), F.col("bucket") == F.col("q_bucket")).select("vec_id")
+    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["vec_id"], "left_semi")
+    return cosine_topk(cands, query_id, k, id_col, vec_col)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+Language-ID, quality scoring, token counting, document fingerprinting — the
+operations a web-scale corpus pipeline runs after extraction. Everything
+except language-ID is pure native expressions (codegen, no Python); lang-ID
+is an Arrow-batched pandas UDF over a constant stopword profile.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# tiny deterministic stopword profiles for the language-ID heuristic
+# (public-knowledge approach: character/function-word profiles à la
+# Cavnar-Trenkle n-gram classification, trimmed to function words)
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the of and to in is it that for on with as are this".split()),
+    "es": frozenset("el la de que y en los se del las un por con una es".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist".split()),
+    "fr": frozenset("le la de et les des en un du une que est pour qui".split()),
+    "zh": frozenset(),  # CJK detected by script, not words
+}
+
+_CJK_RE = re.compile(r"[一-鿿]")
+_TOKEN_RE = re.compile(r"\s+")
+
+
+def token_count_col(text):
+    """Whitespace token count; empty/blank text → 0."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality/statistics columns: tokens, chars, densities, fingerprint.
+
+    All native expressions — DuckDB-oracle-expressible (md5 is identical in
+    both engines, which is what makes the fingerprint checkable).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = token_count_col(F.col(text_col))
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digit_chars = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    tokens = F.split(F.trim(text), r"\s+")
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.expr(f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x in ({stop_list})))")
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_text", n_chars)
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.when(n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s", "")) / n_tokens).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn("alpha_ratio", F.round(F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0)), 4))
+        .withColumn("digit_ratio", F.round(F.when(n_chars > 0, digit_chars / n_chars).otherwise(F.lit(0.0)), 4))
+        .withColumn("punct_ratio", F.round(F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0)), 4))
+        .withColumn("stopword_ratio", F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 4))
+        .withColumn(
+            "fingerprint", F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+        )
+    )
+
+
+def quality_score_col():
+    """Composite [0,1] quality score from the stat columns (heuristic:
+    length band + alpha density + stopword presence — the standard cheap
+    web-text quality gate shape)."""
+    length_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    return F.round(
+        0.4 * length_ok.cast("double")
+        + 0.3 * F.least(F.col("alpha_ratio") * 1.25, F.lit(1.0))
+        + 0.3 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_id(text: str | None) -> str:
+    """Heuristic language ID (pure function; shared by UDF and tests)."""
+    if not text:
+        return "und"
+    if _CJK_RE.search(text):
+        return "zh"
+    tokens = [t.lower() for t in _TOKEN_RE.split(text.strip()) if t][:400]
+    if not tokens:
+        return "und"
+    best, best_score = "und", 0
+    for lang in ("en", "es", "de", "fr"):  # fixed order = deterministic ties
+        score = sum(1 for t in tokens if t in LANG_PROFILES[lang])
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+@F.pandas_udf(StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return text.map(lang_id)
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("lang_pred", lang_id_udf(F.col(text_col)))
