@@ -1,0 +1,180 @@
+"""S1 — resumable, per-partition-committed extraction job.
+
+The reference's Plaid sync persists its cursor only after an item's pages are
+fully applied (routes/plaid.py:345): crash ⇒ cursor not advanced ⇒ re-pull,
+idempotent because doc ids are deterministic (plaid.py:279). This module is
+that commit-last pattern at table scale:
+
+- the input is split into ``bucket(N, url)`` hash buckets (sources/pages.py);
+- buckets are processed in groups; each group's output is written with
+  dynamic-partition-overwrite (idempotent: re-running a bucket replaces its
+  directory, never appends duplicates — the deterministic ``txn_id =
+  url#index`` plays the role of the reference's deterministic doc id);
+- a lineage marker ``_lineage/bucket=K.json`` is committed (tmp + atomic
+  rename) only AFTER the data write succeeds, carrying the extraction
+  metrics the north star requires (docs/sec, parse-failure rate, bytes
+  in/out) per partition;
+- a restarted job lists the markers and processes only uncommitted buckets.
+
+On an Iceberg cluster the marker becomes the snapshot commit itself
+(`writeTo(...).overwritePartitions()`), and `lineage()` reads the snapshot
+metadata table — the driver loop is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import extract as extract_op
+from pdf_parser_spark.plans import pipeline
+from pdf_parser_spark.sources import pages as pages_src
+
+LINEAGE_DIR = "_lineage"
+
+
+class ResumableExtractionJob:
+    """pages → transactions, committed bucket-group by bucket-group."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_buckets: int = 16,
+        buckets_per_commit: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "transactions")
+        self.lineage_dir = os.path.join(out_dir, LINEAGE_DIR)
+        self.n_buckets = n_buckets
+        self.buckets_per_commit = buckets_per_commit
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # -- lineage state ------------------------------------------------------
+
+    def committed(self) -> set[int]:
+        return {
+            int(f[len("bucket=") : -len(".json")])
+            for f in os.listdir(self.lineage_dir)
+            if f.startswith("bucket=") and f.endswith(".json")
+        }
+
+    def _commit_marker(self, bucket: int, metrics: dict) -> None:
+        """Atomic per-bucket commit: write tmp, fsync, rename."""
+        final = os.path.join(self.lineage_dir, f"bucket={bucket}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(metrics, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
+
+    def lineage(self) -> DataFrame:
+        """The committed-partition lineage/metrics table (A8)."""
+        rows = []
+        for b in sorted(self.committed()):
+            with open(os.path.join(self.lineage_dir, f"bucket={b}.json")) as fh:
+                rows.append(json.load(fh))
+        schema = (
+            "bucket int, lineage_id string, docs long, txns long, bytes_in long, "
+            "chars_out long, parse_failures long, wall_s double, docs_per_sec double"
+        )
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    # -- the job ------------------------------------------------------------
+
+    def run(self, get_pages, max_commits: int | None = None) -> dict:
+        """Process every uncommitted bucket group; return a run summary.
+
+        ``get_pages``: () -> DataFrame — re-evaluated per group so a restart
+        never depends on driver-side cached plans. ``max_commits`` caps the
+        number of group commits (the resume test uses it to simulate a kill
+        mid-job).
+        """
+        todo = sorted(set(range(self.n_buckets)) - self.committed())
+        groups = [
+            todo[i : i + self.buckets_per_commit]
+            for i in range(0, len(todo), self.buckets_per_commit)
+        ]
+        done = 0
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for group in groups:
+            if max_commits is not None and done >= max_commits:
+                break
+            t0 = time.perf_counter()
+            pages = pages_src.with_bucket(get_pages(), "url", self.n_buckets)
+            pages = pages.where(F.col("bucket").isin([int(b) for b in group]))
+            extracted = extract_op.extract_documents(pages.drop("bucket"))
+            extracted = pages_src.with_bucket(extracted, "url", self.n_buckets).persist()
+            txns = extract_op.extracted_transactions(extracted.drop("bucket"))
+            txns = pages_src.with_bucket(txns, "url", self.n_buckets)
+            # data first: dynamic overwrite replaces exactly the bucket dirs
+            # in `group`, so a re-run after a crash is duplicate-free
+            (
+                txns.repartition(len(group), "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(self.data_dir)
+            )
+            wall = time.perf_counter() - t0
+            # per-bucket metrics (tiny: one row per bucket) → markers LAST
+            stats = {
+                int(r["bucket"]): r.asDict()
+                for r in extracted.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum("n_txns").alias("txns"),
+                    F.sum("bytes_in").alias("bytes_in"),
+                    F.sum("chars_out").alias("chars_out"),
+                    F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+                )
+                .collect()
+            }
+            extracted.unpersist()
+            for b in group:
+                s = stats.get(
+                    b,
+                    {"docs": 0, "txns": 0, "bytes_in": 0, "chars_out": 0, "parse_failures": 0},
+                )
+                s.pop("bucket", None)
+                docs = int(s["docs"] or 0)
+                self._commit_marker(
+                    b,
+                    {
+                        "bucket": b,
+                        "lineage_id": f"extract:{self.n_buckets}:{b}",
+                        "docs": docs,
+                        "txns": int(s["txns"] or 0),
+                        "bytes_in": int(s["bytes_in"] or 0),
+                        "chars_out": int(s["chars_out"] or 0),
+                        "parse_failures": int(s["parse_failures"] or 0),
+                        "wall_s": round(wall, 3),
+                        "docs_per_sec": round(docs / wall, 2) if wall > 0 else 0.0,
+                    },
+                )
+            done += 1
+        return {
+            "n_buckets": self.n_buckets,
+            "committed": len(self.committed()),
+            "group_commits_this_run": done,
+        }
+
+    def output(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+
+def full_pipeline_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """One-shot (non-resumable) comparison path: same output in one commit."""
+    txns = pipeline.transactions_pipeline(pages)
+    pages_src.write_table(txns, os.path.join(out_dir, "transactions"), n_buckets)
+    return spark.read.parquet(os.path.join(out_dir, "transactions"))
