@@ -334,6 +334,59 @@ def q19_date_window(spark, sf_dir):
     )
 
 
+def q20_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (training-data op; shared Java/RE2 regex)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats_op.bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q21_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline (training-data op)."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_op.cosine_near_duplicates(e, threshold=0.4)
+
+
+def q22_journal_typed(spark, sf_dir):
+    """H2 — double-entry legs by account type (ref: routes/journal_detail.py:100-111)."""
+    from pdf_parser_spark.operators import journal as journal_op
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("txn_id"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("date"),
+        F.col("o_orderpriority").alias("memo"),
+        F.when(F.col("o_orderstatus") == "F", -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("amount"),
+        F.concat((F.col("o_orderkey") % 9 + 1).cast("string"), F.lit("400 - Acct")).alias("account"),
+        F.lit("1000 - Cash").alias("source"),
+    )
+    j = journal_op.journal_entries_typed(o)
+    return j.select("id", "txnId", "account", "type", F.round("amount", 2).alias("amount"))
+
+
+def q23_salted_hoststats(spark, sf_dir):
+    """Skew-salted two-phase aggregate — identical result to a plain GROUP BY
+    (north rule: salting for skewed hosts; physical plan has two balanced
+    exchanges instead of one hot reducer)."""
+    from pdf_parser_spark.operators import skew as skew_op
+
+    d = _t(spark, sf_dir, "documents")
+    return skew_op.salted_aggregate(
+        d,
+        key="source",
+        partial_aggs=[F.count("*").alias("c"), F.sum("n_chars").alias("nc")],
+        final_aggs=[F.sum("c").alias("n_docs"), F.sum("nc").alias("total_chars")],
+        entropy_col="doc_id",
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -400,6 +453,38 @@ def r06_ann_lsh(spark, sf_dir):
     return similarity_op.ann_topk_lsh(e, query_id=0, k=10, dim=64, n_planes=6)
 
 
+def r07_winnowing(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (SWA'03) over documents."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats_op.with_winnowing(d).select("doc_id", "n_fingerprints", "fingerprints")
+
+
+def r08_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary media table → decode(stub) → feature vectors."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    media = mm.media_table(spark, n_rows=96, partitions=8)
+    return mm.extract_features(media, fake=True)
+
+
+def r09_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out (metadata-driven explode before decode)."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    media = mm.media_table(spark, n_rows=96, partitions=8)
+    return mm.sample_frames(media, every_ms=1000, fake=True)
+
+
+def r10_cosine_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (scale path of q21; recall<1 by design)."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_op.cosine_near_duplicates_lsh(e, threshold=0.4, dim=64, n_planes=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -421,12 +506,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_display_amount": q17_display_amount,
         "q18_keep_latest_interest": q18_keep_latest_interest,
         "q19_date_window": q19_date_window,
+        "q20_bpe_tokens": q20_bpe_tokens,
+        "q21_embedding_neardup": q21_embedding_neardup,
+        "q22_journal_typed": q22_journal_typed,
+        "q23_salted_hoststats": q23_salted_hoststats,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
         "r04_simhash_neardup": r04_simhash_neardup,
         "r05_lang_id": r05_lang_id,
         "r06_ann_lsh": r06_ann_lsh,
+        "r07_winnowing": r07_winnowing,
+        "r08_media_features": r08_media_features,
+        "r09_frame_sample": r09_frame_sample,
+        "r10_cosine_neardup_lsh": r10_cosine_neardup_lsh,
     }
 
 
@@ -640,6 +733,50 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem)
             WHERE l_shipdate >= max_ship - INTERVAL 45 DAY
             GROUP BY l_orderkey
+        """,
+        # same pre-tokenizer regex as BPE_TOKEN_PATTERN (Java/RE2-portable
+        # subset; '' doubles the quote for SQL)
+        "q20_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+                        AS INT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "q21_embedding_neardup": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "q22_journal_typed": f"""
+            WITH t AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS txn_id,
+                     CASE WHEN o_orderstatus = 'F' THEN -o_totalprice ELSE o_totalprice END AS amount,
+                     CAST(o_orderkey % 9 + 1 AS VARCHAR) || '400 - Acct' AS account,
+                     '1000 - Cash' AS source
+              FROM orders),
+            typed AS (
+              SELECT *, ({_ACCOUNT_TYPE_SQL.format(col='account')}
+                         IN ('Expense','COGS','Asset')) AS primary_debit
+              FROM t)
+            SELECT txn_id || '-1' AS id, txn_id AS txnId, account,
+                   CASE WHEN primary_debit THEN 'Debit' ELSE 'Credit' END AS type,
+                   round(abs(amount), 2) AS amount
+            FROM typed
+            UNION ALL
+            SELECT txn_id || '-2' AS id, txn_id AS txnId, source AS account,
+                   CASE WHEN primary_debit THEN 'Credit' ELSE 'Debit' END AS type,
+                   round(abs(amount), 2) AS amount
+            FROM typed
+        """,
+        # the salted two-phase plan must equal the naive GROUP BY exactly
+        "q23_salted_hoststats": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
         """,
     }
 

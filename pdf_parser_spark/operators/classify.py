@@ -35,8 +35,14 @@ FALLBACK_ACCOUNT = core.fallback_account(core.ALLOWED_ACCOUNTS)
 
 @F.pandas_udf(StringType())
 def vendor_key_udf(memo: pd.Series) -> pd.Series:
-    """G1 vendor key, vectorized (Python re for byte identity; ref main.py:281)."""
-    return memo.map(core.vendor_key)
+    """G1 vendor key, vectorized (Python re for byte identity; ref main.py:281).
+
+    Memos repeat heavily (merchant names), so the regex chain runs once per
+    DISTINCT memo in the batch and fans out via a dict map — typically a
+    5-20x cut in Python-regex CPU on statement-shaped data.
+    """
+    uniq = {m: core.vendor_key(m) for m in memo.unique()}
+    return memo.map(uniq)
 
 
 def keyword_account_col(memo_col):

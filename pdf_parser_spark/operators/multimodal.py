@@ -1,0 +1,183 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Training-data pipelines carry media payloads through the same tables as text:
+an opaque ``binary`` column plus a typed metadata struct, with
+decode / feature-extract / resize / frame-sample implemented as Arrow-batched
+pandas UDFs over ``mapInPandas``. The actual codec work (PIL/ffmpeg/soundfile)
+is NOT available in this container, so the decode step is STUBBED: by default
+it raises ``NotImplementedError``; with ``fake=True`` it produces a
+deterministic synthetic decode (a pure function of the payload bytes) so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
+real and tested end to end.
+
+Scale notes:
+- media rows are 10^3-10^6× wider than text rows: batches are capped via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py sets 2048;
+  jobs that decode video should drop it to O(16)) and
+  ``maxPartitionBytes`` keeps input splits bounded;
+- all stages are shuffle-free maps — media never needs co-location, so the
+  bucket(url) layout of the text tables applies unchanged;
+- feature vectors come back as ``array<float>`` and flow into the
+  similarity/dedup operators (cosine near-dup over image embeddings is the
+  same code path as text embeddings).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, url string, kind string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:int, sample_rate:int>"
+)
+
+FEATURE_DIM = 16
+
+
+def media_table(spark, n_rows: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table (pure function of media_id)."""
+    ids = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ("image", "audio", "video")[i % 3]
+                payload = (f"media-{i}-" * (i % 7 + 1)).encode()
+                rows.append(
+                    {
+                        "media_id": i,
+                        "url": f"https://host{i % 5}.example/media/{i}",
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                            "width": 64 + (i % 8) * 16 if kind != "audio" else None,
+                            "height": 48 + (i % 8) * 12 if kind != "audio" else None,
+                            "duration_ms": (i % 30 + 1) * 1000 if kind != "image" else None,
+                            "sample_rate": 16000 if kind == "audio" else None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
+    """Decode stub. Real impl: PIL.Image.open / soundfile.read / pyav frames.
+
+    fake=True: deterministic pseudo-pixels from a crc32-seeded generator —
+    same payload ⇒ same array on every executor.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"{kind} decode requires codec libraries not present in this "
+            "container; run with fake=True for plumbing tests"
+        )
+    seed = zlib.crc32(payload or b"")
+    rng = np.random.default_rng(seed)
+    shape = {"image": (8, 8, 3), "audio": (1024,), "video": (4, 8, 8, 3)}[kind]
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """decode → fixed-dim feature vector per media row (mapInPandas).
+
+    The feature is a deterministic moment-profile of the decoded array
+    (a stand-in for a CNN/CLAP embedding): mean/std per channel slice padded
+    to FEATURE_DIM. Output feeds the similarity operators unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ok = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    arr = _decode(bytes(payload), kind, fake).astype(np.float64)
+                    flat = arr.reshape(-1)
+                    chunks = np.array_split(flat, FEATURE_DIM // 2)
+                    v = np.concatenate(
+                        [[c.mean() / 255.0, c.std() / 255.0] for c in chunks]
+                    )[:FEATURE_DIM]
+                    feats.append([round(float(x), 6) for x in v])
+                    ok.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "feature": feats, "decoded": ok}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, feature array<double>, decoded boolean"
+    )
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  fake: bool = True) -> DataFrame:
+    """Image resize stage: decode → nearest-neighbour resample → re-encode.
+
+    Re-encode is raw-bytes (zlib) in the stub; the real path swaps in PIL's
+    encoder. Non-image rows pass through untouched (filter pushdown keeps
+    them out of the UDF entirely).
+    """
+    images = media.filter(F.col("kind") == "image")
+    other = media.filter(F.col("kind") != "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for payload in pdf["payload"]:
+                arr = _decode(bytes(payload), "image", fake)
+                ys = (np.arange(height) * arr.shape[0] // height)
+                xs = (np.arange(width) * arr.shape[1] // width)
+                resized = arr[ys][:, xs]
+                out_payload.append(zlib.compress(resized.tobytes()))
+            pdf = pdf.assign(payload=out_payload)
+            yield pdf
+
+    resized = images.mapInPandas(run, schema=media.schema)
+    return resized.unionByName(other)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (fan-out map).
+
+    Frame count derives from meta.duration_ms — the metadata struct drives
+    the plan (rows explode before decode, so a 2h video decodes once per
+    sampled frame, not whole-file)."""
+    videos = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                frames = _decode(bytes(payload), "video", fake)
+                n = max(1, int(dur or 0) // every_ms)
+                for j in range(min(n, len(frames))):
+                    frame = frames[j % len(frames)]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_index": j,
+                            "ts_ms": j * every_ms,
+                            "frame_bytes": zlib.compress(frame.tobytes()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "ts_ms", "frame_bytes"]
+            )
+
+    return videos.mapInPandas(
+        run, schema="media_id long, frame_index int, ts_ms int, frame_bytes binary"
+    )

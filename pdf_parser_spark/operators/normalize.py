@@ -71,7 +71,11 @@ def with_bank_match(txns: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("has_bank_match", F.lit(True))
     )
-    return txns.join(matched, "txn_id", "left").withColumn(
+    # matched ids are the card-outflow rows with a bank twin — a small
+    # fraction of the table; broadcast spares the full-table shuffle (at
+    # extreme scale the optimizer can be given the non-hinted variant by the
+    # caller filtering earlier — the probe side is already pre-filtered here)
+    return txns.join(F.broadcast(matched), "txn_id", "left").withColumn(
         "has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False))
     )
 

@@ -118,7 +118,7 @@ def matched_pairs(txns: DataFrame) -> DataFrame:
     )
 
 
-def pair_transfers(txns: DataFrame) -> DataFrame:
+def pair_transfers(txns: DataFrame, broadcast_decorations: bool = True) -> DataFrame:
     """Decorate transactions with pairId/eventLeader/pairedWith/pairReason.
 
     Unpaired rows keep NULLs (nullable decoration, FIXTURES.md F3).
@@ -139,4 +139,12 @@ def pair_transfers(txns: DataFrame) -> DataFrame:
         F.lit("shadow").alias("pairReason"),
     )
     decorations = leader_side.unionByName(shadow_side)
+    # pairs are a small fraction of transactions (bounded by the inflow-leg
+    # count; ~3% on the synthetic corpus) — broadcasting the decorations
+    # avoids shuffling the full transactions table a second time. At 10^12
+    # rows the decoration table can exceed broadcast size: pass
+    # broadcast_decorations=False there and the join degrades gracefully to
+    # a shuffle on txn_id (the table's bucket key, so it co-locates).
+    if broadcast_decorations:
+        decorations = F.broadcast(decorations)
     return txns.join(decorations, "txn_id", "left")

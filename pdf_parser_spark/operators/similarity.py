@@ -85,6 +85,61 @@ def lsh_bucket_table(embeddings: DataFrame, dim: int, n_planes: int = 16,
     )
 
 
+def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+
+    Brute-force baseline: self-join on a<b with native zip_with/aggregate
+    cosine — fully oracle-checkable. O(n²); correct at test scale, the
+    LSH-bucketed variant below is the 10^12 path.
+    """
+    norm = _norm(F.col(vec_col).cast("array<double>"))
+    v = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), norm.alias("_n")
+    )
+    a = v.select(F.col(id_col).alias("a_id"), F.col("_v").alias("a_v"), F.col("_n").alias("a_n"))
+    b = v.select(F.col(id_col).alias("b_id"), F.col("_v").alias("b_v"), F.col("_n").alias("b_n"))
+    cos = _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def cosine_near_duplicates_lsh(embeddings: DataFrame, threshold: float = 0.95,
+                               dim: int = 64, n_planes: int = 8, seed: int = 42,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates share a hyperplane bucket.
+
+    Recall < 1 by design (tuned by n_planes: P[same bucket] =
+    (1 - θ/π)^n_planes); every emitted pair is exact-verified. The bucket
+    equi-join shuffles O(n) rows instead of the O(n²) cross product.
+    """
+    buckets = lsh_bucket_table(embeddings, dim, n_planes, seed, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_n"),
+    ).join(buckets, id_col)
+    a = v.select(F.col("bucket"), F.col(id_col).alias("a_id"),
+                 F.col("_v").alias("a_v"), F.col("_n").alias("a_n"))
+    b = v.select(F.col("bucket"), F.col(id_col).alias("b_id"),
+                 F.col("_v").alias("b_v"), F.col("_n").alias("b_n"))
+    cos = _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+        .distinct()
+    )
+
+
 def ann_topk_lsh(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 64,
                  n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -9,6 +9,7 @@ is an Arrow-batched pandas UDF over a constant stopword profile.
 from __future__ import annotations
 
 import re
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -87,6 +88,74 @@ def quality_score_col():
         + 0.3 * F.least(F.col("alpha_ratio") * 1.25, F.lit(1.0))
         + 0.3 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0)),
         4,
+    )
+
+
+# BPE-ish pre-tokenizer (GPT-2-style shape, simplified to a subset that has
+# identical semantics in Java regex and RE2 — no lookahead, no \p classes —
+# so the Spark plan and the DuckDB oracle count the same tokens):
+# contraction suffixes | space?+letters | space?+digits | space?+other-runs
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count_col(text):
+    """Sub-word-ish token count via the shared pre-tokenizer regex (native)."""
+    t = F.coalesce(text, F.lit(""))
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken local document
+# fingerprinting): k-gram rolling hashes, min per sliding window
+# ---------------------------------------------------------------------------
+
+
+def rolling_kgram_hashes(text: str | None, k: int = 8) -> list[int]:
+    """crc32 of each k-char gram of the lowercased, space-collapsed text.
+
+    crc32 (not Python hash()) so every executor produces identical values.
+    """
+    s = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if len(s) < k:
+        return [zlib.crc32(s.encode())] if s else []
+    return [zlib.crc32(s[i : i + k].encode()) for i in range(len(s) - k + 1)]
+
+
+def winnow(hashes: list[int], w: int = 4) -> list[int]:
+    """Winnowing: rightmost-minimum per window of w hashes; each selected
+    position is recorded once (the SWA'03 guarantee: at least one fingerprint
+    per w consecutive grams, ~2/(w+1) density)."""
+    if not hashes:
+        return []
+    if len(hashes) <= w:
+        return [min(hashes)]
+    out: list[int] = []
+    last_pos = -1
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        m = min(window)
+        pos = i + max(j for j, h in enumerate(window) if h == m)
+        if pos != last_pos:
+            out.append(hashes[pos])
+            last_pos = pos
+    return out
+
+
+def winnowing_fingerprint(text: str | None, k: int = 8, w: int = 4) -> list[int]:
+    return winnow(rolling_kgram_hashes(text, k), w)
+
+
+def with_winnowing(docs: DataFrame, text_col: str = "text",
+                   k: int = 8, w: int = 4) -> DataFrame:
+    """(doc_id, fingerprints array<long>, n_fingerprints) via pandas UDF."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: winnowing_fingerprint(t, k, w))
+
+    return docs.withColumn("fingerprints", fp(F.col(text_col))).withColumn(
+        "n_fingerprints", F.size("fingerprints")
     )
 
 

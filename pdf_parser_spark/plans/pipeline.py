@@ -44,14 +44,28 @@ def transactions_pipeline(
     global_memory: DataFrame | None = None,
     repartition: int | None = None,
     keep_text: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
-    """pages → fully-decorated transactions table (FIXTURES.md F3 shape)."""
+    """pages → fully-decorated transactions table (FIXTURES.md F3 shape).
+
+    Two materialization barriers (cache=True): after the explode (the C2/C1
+    self-joins reference the transactions table on BOTH sides — without a
+    barrier Catalyst re-executes the pandas-UDF extraction once per DAG
+    branch, ~6× the Python cost), and after classification (the pairing
+    self-join re-reads its input twice). In the resumable production job the
+    same barriers are per-bucket table commits (plans/checkpoint.py); persist
+    is their in-memory, spill-to-disk analog for single-job runs.
+    """
     if repartition:
         pages = distribute_pages(pages, repartition)
     extracted = extract_op.extract_documents(pages, keep_text=keep_text)
     txns = extract_op.extracted_transactions(extracted)
+    if cache:
+        txns = txns.persist()
     txns = normalize_op.normalize(txns)
     txns = classify_op.classify(txns, user_memory, global_memory)
+    if cache:
+        txns = txns.persist()
     txns = pairing_op.pair_transfers(txns)
     return txns
 

@@ -1,0 +1,177 @@
+"""Training-data operators: BPE tokens, winnowing, cosine near-dup, multimodal."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import multimodal as mm
+from pdf_parser_spark.operators import similarity, textstats
+
+# ---------------------------------------------------------------------------
+# pure functions
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pattern_tokenizes_contractions_and_runs():
+    toks = re.findall(textstats.BPE_TOKEN_PATTERN, "It's 42 well-known cafes!")
+    assert toks == ["It", "'s", " 42", " well", "-", "known", " cafes", "!"]
+
+
+def test_winnowing_properties():
+    h = textstats.rolling_kgram_hashes("the quick brown fox jumps over the lazy dog", k=8)
+    fp = textstats.winnow(h, w=4)
+    assert fp, "non-empty text must fingerprint"
+    assert set(fp) <= set(h)
+    # winnowing guarantee: every window of w grams contributes a selection,
+    # so density is bounded below by 1/w
+    assert len(fp) >= (len(h) - 4 + 1) // 4 / 2
+    # deterministic
+    assert fp == textstats.winnowing_fingerprint("the quick  brown fox jumps over the lazy dog".replace("  ", " "), 8, 4)
+
+
+def test_winnowing_whitespace_insensitive():
+    a = textstats.winnowing_fingerprint("hello   world\n\tfoo", 5, 3)
+    b = textstats.winnowing_fingerprint("hello world foo", 5, 3)
+    assert a == b
+
+
+def test_winnowing_edge_cases():
+    assert textstats.winnowing_fingerprint(None) == []
+    assert textstats.winnowing_fingerprint("") == []
+    assert textstats.winnowing_fingerprint("ab") == [zlib.crc32(b"ab")]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i} " + "the quick brown fox " * (i % 5 + 1)) for i in range(20)],
+        schema="doc_id long, text string",
+    )
+
+
+def test_bpe_token_count_col(spark, docs):
+    rows = docs.select(
+        "doc_id", "text", textstats.bpe_token_count_col(F.col("text")).alias("n")
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(re.findall(textstats.BPE_TOKEN_PATTERN, r["text"]))
+
+
+def test_with_winnowing_matches_pure_function(spark, docs):
+    rows = textstats.with_winnowing(docs).collect()
+    for r in rows:
+        assert list(r["fingerprints"]) == textstats.winnowing_fingerprint(r["text"], 8, 4)
+
+
+def _embeddings(spark, n=40, dim=8):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim))
+    base[1] = base[0] + 0.01  # a genuine near-dup pair
+    base[3] = base[2] * 1.5  # exact-direction pair (cosine 1.0)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_near_duplicates_exact(spark):
+    e = _embeddings(spark)
+    got = {(r["a_id"], r["b_id"]) for r in similarity.cosine_near_duplicates(e, 0.99).collect()}
+    assert (0, 1) in got and (2, 3) in got
+    # brute-force numpy oracle
+    pdf = e.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    expect = {
+        (int(a), int(b))
+        for a in range(len(mat))
+        for b in range(a + 1, len(mat))
+        if round(sims[a, b], 6) >= 0.99
+    }
+    assert got == expect
+
+
+def test_cosine_near_duplicates_lsh_subset_of_exact(spark):
+    e = _embeddings(spark)
+    exact = {(r["a_id"], r["b_id"]) for r in similarity.cosine_near_duplicates(e, 0.9).collect()}
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.cosine_near_duplicates_lsh(e, 0.9, dim=8, n_planes=2).collect()
+    }
+    assert lsh <= exact
+    # near-identical vectors land in the same bucket with very high prob
+    assert (0, 1) in lsh
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_table_schema_and_determinism(spark):
+    m1 = mm.media_table(spark, n_rows=30, partitions=3)
+    assert m1.schema.simpleString().startswith(
+        "struct<media_id:bigint,url:string,kind:string,payload:binary,meta:struct<"
+    )
+    a = sorted((r["media_id"], bytes(r["payload"])) for r in m1.collect())
+    b = sorted(
+        (r["media_id"], bytes(r["payload"]))
+        for r in mm.media_table(spark, n_rows=30, partitions=5).collect()
+    )
+    assert a == b  # partitioning never changes content
+
+
+def test_extract_features_fake_decode(spark):
+    media = mm.media_table(spark, n_rows=24, partitions=4)
+    feats = mm.extract_features(media, fake=True).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert r["decoded"] and len(r["feature"]) == mm.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # determinism across runs
+    again = mm.extract_features(media, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_extract_features_real_decode_is_gated(spark):
+    media = mm.media_table(spark, n_rows=6, partitions=2)
+    rows = mm.extract_features(media, fake=False).collect()
+    assert all(not r["decoded"] and r["feature"] is None for r in rows)
+
+
+def test_resize_images_only_touches_images(spark):
+    media = mm.media_table(spark, n_rows=30, partitions=3)
+    out = mm.resize_images(media, 16, 16, fake=True)
+    assert out.count() == 30
+    imgs = out.filter(F.col("kind") == "image").collect()
+    for r in imgs:
+        raw = zlib.decompress(bytes(r["payload"]))
+        assert len(raw) == 16 * 16 * 3
+    # non-images untouched
+    others = {r["media_id"]: bytes(r["payload"]) for r in out.filter(F.col("kind") != "image").collect()}
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.filter(F.col("kind") != "image").collect()}
+    assert others == orig
+
+
+def test_sample_frames_fanout_driven_by_metadata(spark):
+    media = mm.media_table(spark, n_rows=30, partitions=3)
+    frames = mm.sample_frames(media, every_ms=1000, fake=True)
+    pdf = frames.toPandas()
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", F.col("meta.duration_ms").alias("d")
+    ).collect()
+    expect = {r["media_id"]: min(max(1, r["d"] // 1000), 4) for r in vids}
+    got = pdf.groupby("media_id").size().to_dict()
+    assert got == expect
+    assert (pdf["ts_ms"] == pdf["frame_index"] * 1000).all()
