@@ -96,11 +96,17 @@ def statement_text(doc_id: int) -> str:
             "END OF STATEMENT"
         )
     if mode == 8:
-        return (
-            f"This document is a scanned image of statement {doc_id}.\n"
-            "Optical character recognition required.\n"
-            "No text layer is present."
-        )
+        # a "scanned" doc: the text layer carries only the banner plus the
+        # scan's visible statement lines — pass 1 dispatches to the row-less
+        # OCR strategy (B3), the two-pass fallback recovers the transactions
+        lines = [
+            f"This document is a scanned image of statement {doc_id}.",
+            "Optical character recognition required.",
+        ]
+        for i in range(2 + doc_id % 3):
+            lines.append(_txn_line(doc_id, i))
+        lines.append("No text layer is present.")  # lost by the lossy scan
+        return "\n".join(lines)
     if mode == 9:
         return (
             f"Annual privacy notice for account holder {doc_id}.\n"

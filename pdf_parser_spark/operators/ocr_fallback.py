@@ -67,7 +67,10 @@ def ocr_extract(pages: DataFrame, fake: bool = False) -> DataFrame:
                     )
                     continue
                 text = _fake_ocr(bytes(payload) if payload is not None else b"")
-                parsed, _meta = core.extract_transactions_from_text(text)
+                # (pyc) main.parse_pdf re-runs the STATEMENT parser over the
+                # OCR'd lines — it does not re-dispatch strategies (the 'ocr'
+                # strategy itself emits no rows, ref strategies/ocr_parser.py:11-14)
+                parsed = core.parse_amex_text(text)
                 rows.append(
                     {
                         "url": url,

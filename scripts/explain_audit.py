@@ -50,10 +50,12 @@ def main() -> None:
 
     checks = {
         # D-family rollup: partial agg before the shuffle + codegen + pruned scan
+        # note: under AQE the formatted plan is pre-finalization and shows no
+        # codegen annotations; codegen coverage is asserted on the non-AQE
+        # single-stage plans (q09/q20) where the * / [codegen id] marks appear
         "q01_flagship_rollup": dict(
             require=[
                 r"partial_sum",                     # map-side combine
-                r"WholeStageCodegen",
                 r"ReadSchema: struct<l_quantity",   # column pruning at scan
             ],
         ),
@@ -68,11 +70,11 @@ def main() -> None:
         # bank-match probe: banded equi-join, no cartesian
         "q12_bank_match_exists": dict(require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"]),
         # journal explode: pure generate, single stage, codegen
-        "q09_journal_explode": dict(require=[r"Generate explode", r"WholeStageCodegen"]),
+        "q09_journal_explode": dict(require=[r"Generate", r"codegen id : \d"]),
         # exact dedupe: partial agg on md5 before shuffle
         "q14_dedup_exact": dict(require=[r"partial_min|partial_first|partial_count"]),
         # BPE tokens: native regexp in codegen, no python udf
-        "q20_bpe_tokens": dict(require=[r"WholeStageCodegen"], forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        "q20_bpe_tokens": dict(require=[r"codegen id : \d"], forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     }
 
     for name, spec in checks.items():
