@@ -387,6 +387,59 @@ def q23_salted_hoststats(spark, sf_dir):
     )
 
 
+def q24_fingerprint_join(spark, sf_dir):
+    """C4 — exact (date, amount, memo) fingerprint equi-join for bulk
+    reclassify (ref: main.py:592-609)."""
+    li = _t(spark, sf_dir, "lineitem")
+    txns = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.date_format("l_shipdate", "MM/dd/yyyy").alias("date"),
+        F.round(F.col("l_extendedprice"), 2).alias("amount"),
+        F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("memo"),
+    )
+    # the "reclassify request" side: first line of every 100th order
+    req = txns.filter((F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1)).select(
+        "date", "amount", "memo", F.lit("9999 - Reclassified").alias("new_account")
+    )
+    return (
+        txns.join(req, ["date", "amount", "memo"])
+        .select("l_orderkey", "l_linenumber", "new_account")
+    )
+
+
+def q25_tolerance_lookup(spark, sf_dir):
+    """C5 — dateKey equality + abs-amount tolerance lookup
+    (ref: routes/transactions_detail.py:43-63)."""
+    txns = _event_txns(spark, sf_dir)
+    target_amount, target_datekey = 250.0, "20240115"
+    return txns.filter(
+        (F.col("dateKey") >= target_datekey[:6] + "01")
+        & (F.abs(F.abs(F.col("amount")) - target_amount) <= 25.0)
+    ).select("txn_id", F.round("amount", 2).alias("amount"), "dateKey")
+
+
+def q26_derived_uid_join(spark, sf_dir):
+    """C7/G14 — equi-join on the derived txn uid
+    f"{date}-{memo[:24]}-{amount}" (ref: routes/transactions_detail.py:13-20,
+    65-80 — the reference's O(n) scan becomes a hash join)."""
+    o = _t(spark, sf_dir, "orders")
+    txns = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.split(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), "T").getItem(0),
+            F.substring(F.col("o_orderpriority"), 1, 24),
+            F.round(F.col("o_totalprice"), 2).cast("string"),
+        ).alias("uid"),
+    )
+    wanted = txns.filter(F.col("o_orderkey") % 97 == 0).select(F.col("uid").alias("w_uid"))
+    return (
+        txns.join(F.broadcast(wanted), txns["uid"] == wanted["w_uid"], "left_semi")
+        .select("o_orderkey", "uid")
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -510,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_embedding_neardup": q21_embedding_neardup,
         "q22_journal_typed": q22_journal_typed,
         "q23_salted_hoststats": q23_salted_hoststats,
+        "q24_fingerprint_join": q24_fingerprint_join,
+        "q25_tolerance_lookup": q25_tolerance_lookup,
+        "q26_derived_uid_join": q26_derived_uid_join,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -777,6 +833,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "q24_fingerprint_join": """
+            WITH txns AS (
+              SELECT l_orderkey, l_linenumber,
+                     strftime(l_shipdate, '%m/%d/%Y') AS date,
+                     round(l_extendedprice, 2) AS amount,
+                     l_returnflag || l_linestatus AS memo
+              FROM lineitem),
+            req AS (
+              SELECT date, amount, memo, '9999 - Reclassified' AS new_account
+              FROM txns WHERE l_orderkey % 100 = 0 AND l_linenumber = 1)
+            SELECT t.l_orderkey, t.l_linenumber, r.new_account
+            FROM txns t JOIN req r USING (date, amount, memo)
+        """,
+        "q25_tolerance_lookup": f"""
+            WITH {_EVENT_TXNS_SQL}
+            SELECT txn_id, round(amount, 2) AS amount, dateKey FROM txns
+            WHERE dateKey >= '20240101' AND abs(abs(amount) - 250.0) <= 25.0
+        """,
+        "q26_derived_uid_join": """
+            WITH txns AS (
+              SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d') || '-' ||
+                     substr(o_orderpriority, 1, 24) || '-' ||
+                     CAST(round(o_totalprice, 2) AS VARCHAR) AS uid
+              FROM orders)
+            SELECT t.o_orderkey, t.uid
+            FROM txns t
+            WHERE EXISTS (SELECT 1 FROM txns w
+                          WHERE w.o_orderkey % 97 = 0 AND w.uid = t.uid)
         """,
     }
 

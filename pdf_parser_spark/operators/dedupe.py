@@ -42,14 +42,28 @@ def word_shingles(text: str | None, k: int = 3) -> set[int]:
     }
 
 
+import numpy as _np
+
+# permutation family for the vectorized path: multiply-add over Z/2^64
+# (numpy uint64 wraparound is well-defined and identical on every executor);
+# coefficients are the same deterministic constants, odd multipliers
+_AS_ARR = _np.array([a | 1 for a in _AS], dtype=_np.uint64)
+_BS_ARR = _np.array(_BS, dtype=_np.uint64)
+
+
 def minhash_signature(text: str | None, k: int = 3) -> list[int]:
+    """64 min-hashes of the shingle set, vectorized.
+
+    (shingles, 1) x (64,) uint64 broadcast with wraparound multiply-add —
+    one numpy kernel instead of shingles*64 Python-int modmuls. Signed int64
+    at the end so the values survive a Spark `array<long>` column.
+    """
     sh = word_shingles(text, k)
     if not sh:
         return [0] * N_HASHES
-    sig = []
-    for a, b in zip(_AS, _BS):
-        sig.append(min((a * s + b) % _MERSENNE for s in sh))
-    return sig
+    s = _np.fromiter(sh, dtype=_np.uint32, count=len(sh)).astype(_np.uint64)[:, None]
+    sig = (s * _AS_ARR + _BS_ARR).min(axis=0)
+    return [int(x) for x in sig.astype(_np.int64)]
 
 
 def band_hashes(sig: list[int]) -> list[int]:
