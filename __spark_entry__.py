@@ -440,6 +440,27 @@ def q26_derived_uid_join(spark, sf_dir):
     )
 
 
+def q27_windowed_stats(spark, sf_dir):
+    """Event-time tumbling-window aggregate (streaming/windows.py run in
+    batch mode — Spark's unified API; the stream variant adds the watermark)."""
+    from pdf_parser_spark.streaming.windows import windowed_txn_stats
+
+    txns = _event_txns(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            F.format_string("%08d", F.col("event_id")).alias("txn_id"), "ts"
+        ),
+        "txn_id",
+    )
+    out = windowed_txn_stats(txns, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "sourceType",
+        "n_txns",
+        "total_amount",
+        "total_abs",
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -566,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_fingerprint_join": q24_fingerprint_join,
         "q25_tolerance_lookup": q25_tolerance_lookup,
         "q26_derived_uid_join": q26_derived_uid_join,
+        "q27_windowed_stats": q27_windowed_stats,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -863,6 +885,18 @@ def oracle_sql() -> dict[str, str]:
             FROM txns t
             WHERE EXISTS (SELECT 1 FROM txns w
                           WHERE w.o_orderkey % 97 = 0 AND w.uid = t.uid)
+        """,
+        "q27_windowed_stats": f"""
+            WITH {_EVENT_TXNS_SQL},
+            wt AS (
+              SELECT t.*, e.ts FROM txns t
+              JOIN events e ON t.txn_id = printf('%08d', e.event_id))
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   sourceType,
+                   CAST(count(*) AS BIGINT) AS n_txns,
+                   round(sum(amount), 2) AS total_amount,
+                   round(sum(abs(amount)), 2) AS total_abs
+            FROM wt GROUP BY 1, 2
         """,
     }
 
