@@ -46,7 +46,7 @@ def run_extraction_bench(spark, sf: float) -> dict:
     from pdf_parser_spark.plans import pipeline
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = max(500, int(sf * 100_000))  # sf0.1 → 10,000 docs
+    n_docs = max(500, int(sf * 300_000))  # sf0.1 → 30,000 docs
     partitions = cpus * 2
     pages = pages_spark(spark, n_docs=n_docs, partitions=partitions)
     # Corpus synthesis cost must not be billed to extraction: materialize
@@ -72,6 +72,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
+    # warmup: absorb one-time session costs (JIT, parquet footer reads,
+    # python-worker spawn) so per-query timings measure the queries, not the
+    # first query's cold start
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    from pdf_parser_spark.fixtures import pages_spark
+    from pdf_parser_spark.plans import pipeline as _pl
+
+    _pl.transactions_pipeline(pages_spark(spark, 256, cpus)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -87,7 +99,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (25 queries + extraction pipeline)",
+                "metric": "headline suite wall time (37 queries + extraction pipeline)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,

@@ -90,22 +90,40 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                            vec_col: str = "embedding") -> DataFrame:
     """Exact embedding-cosine near-dup pairs (a < b, cosine >= threshold).
 
-    Brute-force baseline: self-join on a<b with native zip_with/aggregate
-    cosine — fully oracle-checkable. O(n²); correct at test scale, the
-    LSH-bucketed variant below is the 10^12 path.
+    Broadcast nested loop with a vectorized kernel: the full matrix (one
+    broadcast, n x dim float64 — fine up to ~10^6 vectors) ships to every
+    executor; each Arrow batch of the distributed side computes one
+    `A_batch @ B.T` matmul and emits its qualifying pairs. This replaces a
+    2M-row cross join evaluating interpreted array-lambda expressions
+    (~10x faster at sf0.1). O(n²) work by definition — the exact baseline;
+    `cosine_near_duplicates_lsh` is the 10^12-scale path.
     """
-    norm = _norm(F.col(vec_col).cast("array<double>"))
-    v = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), norm.alias("_n")
-    )
-    a = v.select(F.col(id_col).alias("a_id"), F.col("_v").alias("a_v"), F.col("_n").alias("a_n"))
-    b = v.select(F.col(id_col).alias("b_id"), F.col("_v").alias("b_v"), F.col("_n").alias("b_n"))
-    cos = _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("a_id", "b_id", "cosine")
+    import numpy as np
+
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    b_ids = pdf[id_col].to_numpy()
+    b_mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast((b_ids, b_mat))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        for batch in batches:
+            a_ids = batch[id_col].to_numpy()
+            a_mat = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = np.round(a_mat @ mat_b.T, 6)
+            out_a, out_b, out_c = [], [], []
+            for i, aid in enumerate(a_ids):
+                mask = (ids_b > aid) & (sims[i] >= threshold)
+                hits = np.nonzero(mask)[0]
+                out_a.extend([int(aid)] * len(hits))
+                out_b.extend(int(x) for x in ids_b[hits])
+                out_c.extend(float(x) for x in sims[i][hits])
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "cosine": out_c})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="a_id long, b_id long, cosine double"
     )
 
 
