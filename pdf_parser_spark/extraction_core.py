@@ -18,7 +18,7 @@ Naming follows SURVEY.md §2.8's G1..G16 / §2.2 B1..B12 inventory.
 from __future__ import annotations
 
 import re
-from datetime import datetime, timedelta
+from datetime import date, datetime, timedelta
 
 # ---------------------------------------------------------------------------
 # G1 — vendor-name cleaning  (ref: utils/clean_vendor_name.py:3-18)
@@ -85,6 +85,32 @@ def clean_amount(raw_amount: str) -> float | None:
         return None
 
 
+def _fast_datekey(s: str) -> str | None:
+    """Fast path for the two common exact shapes; None → use strptime.
+
+    Only fully-unambiguous ASCII cases (2/2/4-digit m/d/Y or 4/2/2 Y-m-d,
+    year >= 1000) are handled here so every quirk of strptime (2-digit
+    years parsed literally by %Y, unicode digits, whitespace) keeps its
+    exact behavior via the fallback. strptime costs ~25us/call and runs
+    once per extracted line — this path is ~10x cheaper.
+    """
+    if not s.isascii():
+        return None
+    if len(s) == 10 and s[2] == "/" and s[5] == "/":
+        m, d, y = s[0:2], s[3:5], s[6:10]
+    elif len(s) == 10 and s[4] == "-" and s[7] == "-":
+        y, m, d = s[0:4], s[5:7], s[8:10]
+    else:
+        return None
+    if not (m.isdigit() and d.isdigit() and y.isdigit()) or int(y) < 1000:
+        return None
+    try:
+        date(int(y), int(m), int(d))
+    except ValueError:
+        return ""  # shape matched but invalid calendar date → strptime fails too
+    return y + m + d
+
+
 def parse_date_key(s: str | None) -> str:
     """MM/DD/YYYY or YYYY-MM-DD → YYYYMMDD; unparseable → "".
 
@@ -92,6 +118,9 @@ def parse_date_key(s: str | None) -> str:
     """
     if not s:
         return ""
+    fast = _fast_datekey(s)
+    if fast is not None:
+        return fast
     for fmt in ("%m/%d/%Y", "%Y-%m-%d"):
         try:
             return datetime.strptime(s, fmt).strftime("%Y%m%d")
