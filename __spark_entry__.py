@@ -461,6 +461,31 @@ def q27_windowed_stats(spark, sf_dir):
     )
 
 
+def q28_account_map_join(spark, sf_dir):
+    """C6 — broadcast account-map join: txn.account_id → display name
+    "Name ****mask" + sourceType (ref: routes/plaid.py:239-252,271-273)."""
+    e = _t(spark, sf_dir, "events")
+    acct_map = (
+        e.select((F.col("user_id") % 20).alias("account_id")).distinct()
+        .select(
+            "account_id",
+            F.concat(
+                F.lit("Account "), F.col("account_id"),
+                F.lit(" ****"), F.lpad((F.col("account_id") * 37 % 10000).cast("string"), 4, "0"),
+            ).alias("display_name"),
+            F.when(F.col("account_id") % 3 == 0, F.lit("bank"))
+            .when(F.col("account_id") % 3 == 1, F.lit("card"))
+            .otherwise(F.lit("loan"))
+            .alias("sourceType"),
+        )
+    )
+    return (
+        e.select("event_id", (F.col("user_id") % 20).alias("account_id"))
+        .join(F.broadcast(acct_map), "account_id")
+        .select("event_id", "display_name", "sourceType")
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -559,6 +584,15 @@ def r10_cosine_neardup_lsh(spark, sf_dir):
     return similarity_op.cosine_near_duplicates_lsh(e, threshold=0.4, dim=64, n_planes=4)
 
 
+def r11_ann_ivf(spark, sf_dir):
+    """IVF-clustered approximate nearest neighbours (second ANN layout;
+    iterative Lloyd training → rows-only)."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_op.ann_topk_ivf(e, query_id=0, k=10, dim=64, n_centroids=8, n_probe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -588,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_tolerance_lookup": q25_tolerance_lookup,
         "q26_derived_uid_join": q26_derived_uid_join,
         "q27_windowed_stats": q27_windowed_stats,
+        "q28_account_map_join": q28_account_map_join,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -598,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r08_media_features": r08_media_features,
         "r09_frame_sample": r09_frame_sample,
         "r10_cosine_neardup_lsh": r10_cosine_neardup_lsh,
+        "r11_ann_ivf": r11_ann_ivf,
     }
 
 
@@ -897,6 +933,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(amount), 2) AS total_amount,
                    round(sum(abs(amount)), 2) AS total_abs
             FROM wt GROUP BY 1, 2
+        """,
+        "q28_account_map_join": """
+            WITH acct AS (
+              SELECT DISTINCT user_id % 20 AS account_id FROM events),
+            acct_map AS (
+              SELECT account_id,
+                     'Account ' || account_id || ' ****' ||
+                     lpad(CAST(account_id * 37 % 10000 AS VARCHAR), 4, '0') AS display_name,
+                     CASE account_id % 3 WHEN 0 THEN 'bank' WHEN 1 THEN 'card'
+                          ELSE 'loan' END AS sourceType
+              FROM acct)
+            SELECT e.event_id, m.display_name, m.sourceType
+            FROM events e JOIN acct_map m ON e.user_id % 20 = m.account_id
         """,
     }
 

@@ -158,6 +158,93 @@ def cosine_near_duplicates_lsh(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + cluster-probe search
+# ---------------------------------------------------------------------------
+
+
+def _seeded_centroids(dim: int, k: int, seed: int) -> "np.ndarray":
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster): nearest centroid by cosine, one matmul per batch."""
+    bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for batch in batches:
+            mat = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": batch[id_col].values, "cluster": (mat @ cents.T).argmax(axis=1)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="vec_id long, cluster int"
+    )
+
+
+def ivf_train(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64,
+              iters: int = 3, seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic distributed Lloyd iterations (the iterative-algorithm
+    shape SQL can't express — hence the IVF queries are rows-only).
+
+    Each round: assignment is a broadcast matmul map; the update is a native
+    posexplode → groupBy(cluster, dim) → avg (map-side combinable — only
+    k x dim aggregate rows ever reach the driver). Empty clusters keep their
+    previous centroid, so the result is a pure function of (data, seed).
+    """
+    cents = _seeded_centroids(dim, n_centroids, seed)
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        sums = (
+            embeddings.join(assigned, id_col)
+            .select("cluster", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("mean"))
+            .collect()
+        )
+        new = cents.copy()
+        seen = set()
+        for r in sums:
+            new[r["cluster"], r["pos"]] = r["mean"]
+            seen.add(r["cluster"])
+        for c in seen:
+            n = np.linalg.norm(new[c])
+            if n > 0:
+                new[c] = new[c] / n
+        cents = new
+    return cents
+
+
+def ann_topk_ivf(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 64,
+                 n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
+                 seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF search: probe the n_probe nearest clusters, exact re-rank inside.
+
+    At 10^12 scale the cluster table is bucket-partitioned by `cluster`, so a
+    probe reads n_probe/n_centroids of the data (partition pruning), versus
+    LSH's hash-bucket equi-join — the two standard ANN layouts.
+    """
+    cents = ivf_train(embeddings, n_centroids, dim, iters, seed, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    q = np.asarray([float(x) for x in qrow[0][0]], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe = [int(c) for c in (cents @ q).argsort()[::-1][:n_probe]]
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    cand_ids = assigned.filter(F.col("cluster").isin(probe)).select("vec_id")
+    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["vec_id"], "left_semi")
+    return cosine_topk(cands, query_id, k, id_col, vec_col)
+
+
 def ann_topk_lsh(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 64,
                  n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

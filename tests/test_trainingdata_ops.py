@@ -175,3 +175,30 @@ def test_sample_frames_fanout_driven_by_metadata(spark):
     got = pdf.groupby("media_id").size().to_dict()
     assert got == expect
     assert (pdf["ts_ms"] == pdf["frame_index"] * 1000).all()
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_train_is_deterministic(spark):
+    e = _embeddings(spark, n=60, dim=8)
+    c1 = similarity.ivf_train(e, n_centroids=4, dim=8, iters=2)
+    c2 = similarity.ivf_train(e, n_centroids=4, dim=8, iters=2)
+    assert (c1 == c2).all()
+    # centroids are unit vectors (cosine quantizer)
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0)
+
+
+def test_ivf_topk_subset_of_exact_with_high_recall(spark):
+    e = _embeddings(spark, n=60, dim=8)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(e, 0, 10).collect()]
+    ivf = [r["vec_id"] for r in similarity.ann_topk_ivf(
+        e, 0, 10, dim=8, n_centroids=4, n_probe=2, iters=2).collect()]
+    # every IVF hit is a genuine neighbour, and probing half the clusters
+    # recovers the immediate near-dup at minimum
+    assert set(ivf) <= set(r["vec_id"] for r in similarity.cosine_topk(e, 0, 60).collect())
+    assert 1 in ivf  # vec 1 = vec 0 + epsilon
+    assert len(set(ivf) & set(exact)) >= 5
