@@ -99,7 +99,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (37 queries + extraction pipeline)",
+                "metric": f"headline suite wall time ({len(timings)} queries + extraction pipeline)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
