@@ -20,8 +20,48 @@ from pyspark.sql import Window as W
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_REPO = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pdf_parser_spark importable inside Spark python workers.
+
+    The harness may build its own SparkSession without /root/repo on the
+    workers' PYTHONPATH; mapInPandas closures reference package functions by
+    module name, so workers must be able to import the package. addPyFile of
+    a zip works regardless of when the context was created (the local-mode
+    equivalent of `spark-submit --py-files dist/pdf_parser_spark.zip`).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pdf_parser_spark_shipped", False):
+        return
+    import os
+    import zipfile
+
+    zip_path = os.path.join(_REPO, "dist", "pdf_parser_spark.zip")
+    pkg = os.path.join(_REPO, "pdf_parser_spark")
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    ]
+    # rebuild whenever any source is newer than the zip (stale workers
+    # silently running old code would be far worse than a rebuild)
+    stale = not os.path.exists(zip_path) or any(
+        os.path.getmtime(p) > os.path.getmtime(zip_path) for p in sources
+    )
+    if stale:
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zip_path)
+    sc._pdf_parser_spark_shipped = True
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -491,6 +531,7 @@ def q28_account_map_join(spark, sf_dir):
 
 def r01_pipeline_flagship(spark, sf_dir):
     """Full statement pipeline on the deterministic synthetic pages corpus."""
+    _ship_package(spark)
     from pdf_parser_spark.fixtures import pages_spark
     from pdf_parser_spark.plans import pipeline
 
@@ -502,6 +543,7 @@ def r01_pipeline_flagship(spark, sf_dir):
 
 def r02_extraction_identity(spark, sf_dir):
     """Per-url byte-identity audit: Spark-extracted text vs the `text` column."""
+    _ship_package(spark)
     from pdf_parser_spark.fixtures import pages_spark
     from pdf_parser_spark.operators import extract as extract_op
 
@@ -562,6 +604,7 @@ def r07_winnowing(spark, sf_dir):
 
 def r08_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media table → decode(stub) → feature vectors."""
+    _ship_package(spark)
     from pdf_parser_spark.operators import multimodal as mm
 
     media = mm.media_table(spark, n_rows=96, partitions=8)
@@ -570,6 +613,7 @@ def r08_media_features(spark, sf_dir):
 
 def r09_frame_sample(spark, sf_dir):
     """Video frame-sampling fan-out (metadata-driven explode before decode)."""
+    _ship_package(spark)
     from pdf_parser_spark.operators import multimodal as mm
 
     media = mm.media_table(spark, n_rows=96, partitions=8)
