@@ -526,6 +526,144 @@ def q28_account_map_join(spark, sf_dir):
     )
 
 
+# shared literal pools for the scalar-function queries (q29-q33): the same
+# lists feed the Spark plan and the DuckDB oracle, so both engines see
+# identical inputs derived purely from the shared tables.
+
+_Q29_MEMOS = [
+    "Interest charge summary",
+    "Pay Over Time balance",
+    "APR adjustment for period",
+    "regular purchase at neighborhood store number nine",
+    "summary of account activity for the period shown",
+    "Monthly SUMMARY",
+]
+
+_Q31_CHOSEN = [
+    "6220 - Meals & Entertainment",
+    "meals & entertainment",
+    "Legal Fees",
+    "travel lodging expense",
+    "bank fees software",
+    "zzz qqq unmatched tokens",
+    "",
+    "7090 - Uncategorized Expense",
+    "consulting",
+    "shipping supplies packaging",
+]
+
+_Q32_LABELS = [
+    "Accumulated Depreciation (Contra Asset)",
+    "Sales - Contra revenue adjustments",
+    "Refunds and Discounts (Contra-Revenue)",
+    "Plain Operating Account",
+    "Foo - (Contra X) Bar",
+    "Gross Revenue (contra) - net of returns",
+    "A (contra one) (contra two) B",
+    "Allowance  -  doubtful (no strip here)",
+]
+
+_Q33_STRINGS = [
+    "$1,234.56",
+    "(45.00)",
+    "refund",
+    "",
+    "12.3.4",
+    "USD 99",
+    "-0.5",
+    "1-2",
+    "balance due 42.10 now",
+    "($ 1,000.00 )",
+]
+
+
+def _pick(values: list[str], key, modulus: int | None = None):
+    """values[key % len] as a native expression (1-based element_at)."""
+    n = modulus if modulus is not None else len(values)
+    return F.element_at(
+        F.array(*[F.lit(v) for v in values]), (key % n + 1).cast("int")
+    )
+
+
+def q29_summary_interest(spark, sf_dir):
+    """B9 — statement-summary interest heuristic as a native expression
+    (ref: (pyc) parse.looks_like_summary_interest_row)."""
+    from pdf_parser_spark.functions import scalar as fns
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_id",
+        _pick(_Q29_MEMOS, F.col("event_id")).alias("memo"),
+        F.date_format(
+            F.date_sub(F.to_date("ts"), ((F.col("event_id") * 37) % 700).cast("int")),
+            "MM/dd/yyyy",
+        ).alias("date"),
+        F.round(F.col("value") - 150.0, 2).alias("amount"),
+    )
+    return d.select(
+        "event_id",
+        "memo",
+        "date",
+        "amount",
+        fns.summary_interest_col(
+            F.col("memo"), F.col("date"), F.col("amount")
+        ).alias("is_summary"),
+    )
+
+
+def q30_amount_sanity(spark, sf_dir):
+    """B10 — abs(amount) >= 0.01 sanity filter (ref: (pyc) parse.is_valid_amount)."""
+    from pdf_parser_spark.functions import scalar as fns
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_id",
+        F.round((F.col("event_id") % 401 - 200) / 100.0, 2).alias("amount"),
+    )
+    return d.filter(fns.valid_amount_col(F.col("amount"))).select("event_id", "amount")
+
+
+def q31_account_mapping(spark, sf_dir):
+    """D4 — best-token-overlap mapping onto the chart of accounts as a
+    broadcast join + argmax window (ref: utils/classify_transaction.py:15-37)."""
+    from pdf_parser_spark.functions import scalar as fns
+
+    p = _t(spark, sf_dir, "part")
+    d = p.select(
+        "p_partkey", _pick(_Q31_CHOSEN, F.col("p_partkey")).alias("chosen")
+    )
+    return fns.force_map_to_allowed(d, "chosen").select(
+        "p_partkey", "chosen", "mapped_account"
+    )
+
+
+def q32_clean_contra(spark, sf_dir):
+    """G12 — contra-label cleaning as native regexp expressions
+    (ref: routes/coa.py:33-59)."""
+    from pdf_parser_spark.functions import scalar as fns
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select("event_id", _pick(_Q32_LABELS, F.col("event_id")).alias("label"))
+    return d.select(
+        "event_id", "label", fns.clean_contra_col(F.col("label")).alias("cleaned")
+    )
+
+
+def q33_to_number(spark, sf_dir):
+    """G13/G13b — numeric coercion + (..)-negated fragment parsing as native
+    expressions (ref: routes/journal.py:7-18, journal_detail.py:45-58)."""
+    from pdf_parser_spark.functions import scalar as fns
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select("event_id", _pick(_Q33_STRINGS, F.col("event_id")).alias("raw"))
+    return d.select(
+        "event_id",
+        "raw",
+        fns.to_number_col(F.col("raw")).alias("num"),
+        fns.amount_fragment_col(F.col("raw")).alias("fragment"),
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -595,20 +733,40 @@ def r06_ann_lsh(spark, sf_dir):
 
 
 def r07_winnowing(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (SWA'03) over documents."""
+    """Winnowing rolling-hash fingerprints (SWA'03) over documents.
+
+    The array column is scalarized to a CSV string for the contract: the
+    driver's canonicalizer sorts result columns with pandas, which cannot
+    hash array cells. pytest keeps the array-typed variant."""
     from pdf_parser_spark.operators import textstats as textstats_op
 
     d = _t(spark, sf_dir, "documents")
-    return textstats_op.with_winnowing(d).select("doc_id", "n_fingerprints", "fingerprints")
+    return textstats_op.with_winnowing(d).select(
+        "doc_id",
+        "n_fingerprints",
+        F.concat_ws(",", F.col("fingerprints").cast("array<string>")).alias(
+            "fingerprints_csv"
+        ),
+    )
 
 
 def r08_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary media table → decode(stub) → feature vectors."""
+    """Multimodal plumbing: binary media table → decode(stub) → feature vectors.
+
+    The array<double> feature is scalarized (md5 of its CSV form) for the
+    driver canonicalizer; pytest covers the array-typed values."""
     _ship_package(spark)
     from pdf_parser_spark.operators import multimodal as mm
 
     media = mm.media_table(spark, n_rows=96, partitions=8)
-    return mm.extract_features(media, fake=True)
+    out = mm.extract_features(media, fake=True)
+    return out.select(
+        "media_id",
+        "decoded",
+        F.md5(F.concat_ws(",", F.col("feature").cast("array<string>"))).alias(
+            "feature_md5"
+        ),
+    )
 
 
 def r09_frame_sample(spark, sf_dir):
@@ -667,6 +825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_derived_uid_join": q26_derived_uid_join,
         "q27_windowed_stats": q27_windowed_stats,
         "q28_account_map_join": q28_account_map_join,
+        "q29_summary_interest": q29_summary_interest,
+        "q30_amount_sanity": q30_amount_sanity,
+        "q31_account_mapping": q31_account_mapping,
+        "q32_clean_contra": q32_clean_contra,
+        "q33_to_number": q33_to_number,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -681,8 +844,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sql_list(values: list[str]) -> str:
+    """Python string list → DuckDB list literal (quotes doubled)."""
+    inner = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return "[" + inner + "]"
+
+
 def oracle_sql() -> dict[str, str]:
+    from pdf_parser_spark.extraction_core import ALLOWED_ACCOUNTS
+
     stop_list = "'the','a','of','and','to','in','is','it'"
+    allowed_values = ", ".join(
+        f"({i}, '" + a.replace("'", "''") + "')" for i, a in enumerate(ALLOWED_ACCOUNTS)
+    )
+    q33_num = (
+        "coalesce(TRY_CAST(regexp_replace(raw, '[^0-9.-]', '', 'g') AS DOUBLE), 0.0)"
+    )
+    contra_re = r"'\s*-?\s*\([^()]*contra[^()]*\)'"
     return {
         "q01_flagship_rollup": """
             SELECT l_returnflag, l_linestatus,
@@ -990,6 +1168,92 @@ def oracle_sql() -> dict[str, str]:
               FROM acct)
             SELECT e.event_id, m.display_name, m.sourceType
             FROM events e JOIN acct_map m ON e.user_id % 20 = m.account_id
+        """,
+        "q29_summary_interest": f"""
+            WITH d AS (
+              SELECT event_id,
+                     ({_sql_list(_Q29_MEMOS)})[CAST(event_id % 6 + 1 AS INT)] AS memo,
+                     strftime(CAST(ts AS DATE) - to_days(CAST((event_id * 37) % 700 AS INT)),
+                              '%m/%d/%Y') AS date,
+                     round(value - 150.0, 2) AS amount
+              FROM events)
+            SELECT event_id, memo, date, amount,
+                   CASE WHEN (lower(memo) LIKE '%interest%'
+                           OR lower(memo) LIKE '%pay over time%'
+                           OR lower(memo) LIKE '%apr%'
+                           OR lower(memo) LIKE '%summary%')
+                         AND len(string_split_regex(trim(lower(memo)), '\\s+')) <= 6
+                         AND abs(amount) >= 100.0
+                         AND try_strptime(date, '%m/%d/%Y') < TIMESTAMP '2023-10-01'
+                        THEN TRUE ELSE FALSE END AS is_summary
+            FROM d
+        """,
+        "q30_amount_sanity": """
+            WITH d AS (
+              SELECT event_id, round((event_id % 401 - 200) / 100.0, 2) AS amount
+              FROM events)
+            SELECT event_id, amount FROM d WHERE abs(amount) >= 0.01
+        """,
+        "q31_account_mapping": f"""
+            WITH allowed(idx, account) AS (VALUES {allowed_values}),
+            inp AS (
+              SELECT p_partkey,
+                     ({_sql_list(_Q31_CHOSEN)})[CAST(p_partkey % {len(_Q31_CHOSEN)} + 1 AS INT)] AS chosen
+              FROM part),
+            scored AS (
+              SELECT i.p_partkey, i.chosen, a.idx, a.account,
+                     CASE WHEN lower(trim(i.chosen)) = lower(a.account) THEN 0
+                          WHEN contains(lower(a.account), lower(trim(i.chosen)))
+                            OR contains(lower(trim(i.chosen)), lower(a.account)) THEN 1
+                          ELSE 2 END AS tier,
+                     len(list_filter(
+                           list_filter(string_split(lower(trim(i.chosen)), ' '), t -> t <> ''),
+                           t -> list_contains(
+                                  list_filter(string_split(lower(a.account), ' '), x -> x <> ''),
+                                  t))) AS hits
+              FROM inp i CROSS JOIN allowed a),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY p_partkey
+                ORDER BY tier, CASE WHEN tier = 2 THEN -hits ELSE 0 END, idx) AS rn
+              FROM scored)
+            SELECT p_partkey, chosen,
+                   CASE WHEN chosen = '' THEN '7090 - Uncategorized Expense'
+                        ELSE account END AS mapped_account
+            FROM ranked WHERE rn = 1
+        """,
+        "q32_clean_contra": f"""
+            WITH d AS (
+              SELECT event_id,
+                     ({_sql_list(_Q32_LABELS)})[CAST(event_id % 8 + 1 AS INT)] AS label
+              FROM events),
+            pass1 AS (
+              SELECT event_id, label,
+                     regexp_replace(regexp_replace(label, {contra_re}, ' ', 'gi'),
+                                    {contra_re}, ' ', 'gi') AS t
+              FROM d),
+            dashed AS (
+              SELECT event_id, label,
+                     CASE WHEN strpos(t, ' - ') > 0
+                           AND contains(lower(substr(t, strpos(t, ' - ') + 3)), 'contra')
+                          THEN rtrim(substr(t, 1, strpos(t, ' - ') - 1))
+                          ELSE t END AS t
+              FROM pass1)
+            SELECT event_id, label,
+                   trim(regexp_replace(t, ' {{2,}}', ' ', 'g')) AS cleaned
+            FROM dashed
+        """,
+        "q33_to_number": f"""
+            WITH d AS (
+              SELECT event_id,
+                     ({_sql_list(_Q33_STRINGS)})[CAST(event_id % 10 + 1 AS INT)] AS raw
+              FROM events)
+            SELECT event_id, raw,
+                   {q33_num} AS num,
+                   CASE WHEN contains(raw, '(') AND contains(raw, ')')
+                         AND {q33_num} > 0
+                        THEN -{q33_num} ELSE {q33_num} END AS fragment
+            FROM d
         """,
     }
 

@@ -202,6 +202,24 @@ def extract_closing_date(text: str) -> str | None:
     return m.group(1) if m else None
 
 
+def extract_source_account(page_texts: list[str]) -> str:
+    """Statement-level source account: FIRST regex match per page, LAST
+    matching page wins.
+
+    Ref: strategies/amex_multiline.py:33-41 — the reference loops pages,
+    takes `search` (first match) per page text, and overwrites the account on
+    every matching page. A page holding two 'Account Ending' strings thus
+    contributes its FIRST one (a findall[-1] over joined text would take the
+    second — the round-1 byte-identity nit, fixed here).
+    """
+    account = "Unknown Source"
+    for page in page_texts:
+        m = _SOURCE_RE.search(page or "")
+        if m:
+            account = f"AMEX {m.group(1)}"
+    return account
+
+
 # ---------------------------------------------------------------------------
 # B1-B4 — strategy-match predicates & dispatch
 # (ref: strategies/*.py matches(); universal_parser.py:26-37)
@@ -331,20 +349,19 @@ def segment_blocks(lines: list[str]) -> list[list[str]]:
     return blocks
 
 
-def parse_amex_text(text: str) -> list[dict]:
+def parse_amex_text(text: str, page_texts: list[str] | None = None) -> list[dict]:
     """Full AMEX parse of an already-extracted text layer.
 
     Mirrors AmexMultilineParser.parse() (ref: strategies/amex_multiline.py:44-69)
     with extract_text() replaced by the provided text (the rebuild's pages
-    table carries the text layer; PDF byte decode is gated in sources/).
-    Source account: last page-level match wins — here the text is already
-    joined, so the LAST match in the whole text is used, matching the
-    reference's per-page overwrite loop (amex_multiline.py:33-41).
+    table carries the text layer; PDF byte decode is in pdf_codec/pdf_layout).
+    Source account follows the reference's per-page loop exactly via
+    `extract_source_account`; callers without page boundaries (single-page
+    HTML payloads) pass the whole text as one page.
     """
-    account_source = "Unknown Source"
-    matches = _SOURCE_RE.findall(text)
-    if matches:
-        account_source = f"AMEX {matches[-1]}"
+    account_source = extract_source_account(
+        page_texts if page_texts is not None else [text]
+    )
 
     transactions = []
     for block in segment_blocks(text.split("\n")):
@@ -354,7 +371,9 @@ def parse_amex_text(text: str) -> list[dict]:
     return transactions
 
 
-def extract_transactions_from_text(text: str | None) -> tuple[list[dict], dict]:
+def extract_transactions_from_text(
+    text: str | None, page_texts: list[str] | None = None
+) -> tuple[list[dict], dict]:
     """Strategy dispatch + parse: (rows, meta) (ref: universal_parser.py:9-37).
 
     Tabular and OCR strategies are detected but emit no rows, matching the
@@ -365,9 +384,10 @@ def extract_transactions_from_text(text: str | None) -> tuple[list[dict], dict]:
         return [], {"source_account": "", "statement_end_date": ""}
     strategy = dispatch_strategy(text)
     if strategy == "amex":
-        rows = parse_amex_text(text)
-        matches = _SOURCE_RE.findall(text)
-        source = f"AMEX {matches[-1]}" if matches else "Unknown Source"
+        rows = parse_amex_text(text, page_texts)
+        source = extract_source_account(
+            page_texts if page_texts is not None else [text]
+        )
         return rows, {"source_account": source, "statement_end_date": ""}
     if strategy in ("tabular", "ocr"):
         return [], {"source_account": "", "statement_end_date": ""}

@@ -182,43 +182,79 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
 
 
 def simhash_table(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """(doc_id, simhash, 4×16-bit blocks) for hamming-LSH joins."""
+    """(doc_id, simhash) — the signature table; banding happens natively."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [simhash64(t) for t in pdf[text_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
-                    "simhash": sigs,
-                    "b0": [(s >> 0) & 0xFFFF for s in sigs],
-                    "b1": [(s >> 16) & 0xFFFF for s in sigs],
-                    "b2": [(s >> 32) & 0xFFFF for s in sigs],
-                    "b3": [(s >> 48) & 0xFFFF for s in sigs],
+                    "simhash": [simhash64(t) for t in pdf[text_col]],
                 }
             )
 
     return docs.select(id_col, text_col).mapInPandas(
-        run, schema="doc_id long, simhash long, b0 int, b1 int, b2 int, b3 int"
+        run, schema="doc_id long, simhash long"
     )
 
 
+def _block_bounds(n_blocks: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """Split n_bits into n_blocks contiguous (start, width) runs, widths
+    differing by at most 1 (e.g. 9 blocks of 64 → 8,7,7,7,7,7,7,7,7)."""
+    base, extra = divmod(n_bits, n_blocks)
+    bounds, start = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((start, w))
+        start += w
+    return bounds
+
+
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            id_col="doc_id", text_col="text") -> DataFrame:
-    """SimHash near-dups: any pair within hamming ≤ max_hamming shares at
-    least one identical 16-bit block (pigeonhole over 4 blocks) — so the
-    candidate join is 4 equi-joins, then an exact popcount filter."""
-    t = simhash_table(docs, id_col, text_col).cache()
-    pieces = []
-    for blk in ("b0", "b1", "b2", "b3"):
-        a = t.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), F.col(blk).alias("k"))
-        b = t.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), F.col(blk).alias("k"))
-        pieces.append(a.join(b, "k").filter(F.col("a_id") < F.col("b_id")).drop("k"))
-    cands = pieces[0]
-    for p in pieces[1:]:
-        cands = cands.unionByName(p)
+                            id_col="doc_id", text_col="text",
+                            n_blocks: int | None = None) -> DataFrame:
+    """SimHash near-dups with a SOUND pigeonhole: the 64 bits are split into
+    ``max_hamming + 1`` contiguous blocks (by default), so any pair within
+    hamming ≤ max_hamming is guaranteed to agree on at least one whole block
+    — max_hamming flipped bits cannot touch all max_hamming+1 blocks. The
+    candidate generation is ONE equi-join on (block_index, block_value)
+    after a posexplode (O(n·blocks) shuffled rows, never all-pairs), then an
+    exact popcount filter. Recall is exactly 1.0 by construction
+    (brute-force parity asserted in tests/test_trainingdata_ops.py).
+    """
+    nb = n_blocks if n_blocks is not None else max_hamming + 1
+    if nb <= max_hamming:
+        raise ValueError(
+            f"n_blocks={nb} cannot pigeonhole max_hamming={max_hamming}: "
+            f"need n_blocks > max_hamming"
+        )
+    if nb > 64:
+        raise ValueError("n_blocks > 64 leaves empty blocks (64-bit simhash)")
+    t = simhash_table(docs, id_col, text_col)
+    block_cols = [
+        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for start, width in _block_bounds(nb)
+    ]
+    bands = t.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.posexplode(F.array(*block_cols)).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"),
+        "band", "band_val",
+    )
     return (
-        cands.distinct()
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")

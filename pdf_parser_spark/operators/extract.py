@@ -49,9 +49,11 @@ def _extract_one(url: str, html: bytes, keep_text: bool) -> dict:
     bytes_in = len(html) if html is not None else 0
     parse_failed = False
     spans: list[dict] = []
+    page_texts: list[str] | None = None
     if kind == "pdf":
-        # pdfminer-style layout pass; real PDF decode is gated (pdf_layout),
-        # the fixture convention carries raw text bytes for .pdf urls
+        # pdfminer-style layout pass; real `%PDF-` payloads decode through
+        # the engine chain (pdfplumber → PyMuPDF → built-in pdf_codec), the
+        # fixture convention carries raw text bytes for .pdf urls
         try:
             if html is not None and bytes(html[:5]) == b"%PDF-":
                 chars = pdf_layout.decode_pdf_chars(bytes(html))
@@ -59,7 +61,9 @@ def _extract_one(url: str, html: bytes, keep_text: bool) -> dict:
                 chars = pdf_layout.synthesize_char_boxes(
                     (html or b"").decode("utf-8", errors="replace")
                 )
-            text, layout_spans = pdf_layout.extract_layout_text(chars)
+            text, layout_spans, page_texts = pdf_layout.extract_layout_text(
+                chars, return_pages=True
+            )
             spans = [
                 {
                     "block": i,
@@ -77,7 +81,7 @@ def _extract_one(url: str, html: bytes, keep_text: bool) -> dict:
         text, spans = html_extract.extract_main_text(bytes(html) if html is not None else b"")
 
     strategy = core.dispatch_strategy(text) if text else ""
-    rows, meta = core.extract_transactions_from_text(text)
+    rows, meta = core.extract_transactions_from_text(text, page_texts)
     closing = core.extract_closing_date(text) if text else None
     txns = [
         {

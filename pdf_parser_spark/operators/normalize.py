@@ -27,7 +27,7 @@ def assign_source_type(txns: DataFrame, default: str = "bank") -> DataFrame:
     return txns.withColumn("sourceType", F.lit(default))
 
 
-def with_bank_match(txns: DataFrame) -> DataFrame:
+def with_bank_match(txns: DataFrame, broadcast_matches: bool = True) -> DataFrame:
     """C2 — has_bank_match: a *bank* txn within ±5 days and ±$0.01 exists.
 
     Ref: utils/display_amount.py:41-55 (_has_bank_match). Batch re-spec
@@ -71,11 +71,15 @@ def with_bank_match(txns: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("has_bank_match", F.lit(True))
     )
-    # matched ids are the card-outflow rows with a bank twin — a small
-    # fraction of the table; broadcast spares the full-table shuffle (at
-    # extreme scale the optimizer can be given the non-hinted variant by the
-    # caller filtering earlier — the probe side is already pre-filtered here)
-    return txns.join(F.broadcast(matched), "txn_id", "left").withColumn(
+    # matched ids are the card-outflow rows with a bank twin — usually a
+    # small fraction of the table, so broadcast spares the full-table
+    # shuffle. The flag mirrors pairing.broadcast_decorations: at extreme
+    # scale (or with adversarial data where most card rows have twins) pass
+    # broadcast_matches=False and let AQE pick a sort-merge/shuffled-hash
+    # join instead of pinning an unbounded build side into executor memory.
+    if broadcast_matches:
+        matched = F.broadcast(matched)
+    return txns.join(matched, "txn_id", "left").withColumn(
         "has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False))
     )
 

@@ -78,16 +78,17 @@ def lsh_bucket_table(embeddings: DataFrame, dim: int, n_planes: int = 16,
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             signs = (mat @ planes.T) > 0  # (n, planes)
             buckets = signs.dot(1 << np.arange(n_planes)).astype("int64")
-            yield pd.DataFrame({"vec_id": pdf[id_col].values, "bucket": buckets})
+            yield pd.DataFrame({id_col: pdf[id_col].values, "bucket": buckets})
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        run, schema="vec_id long, bucket long"
+        run, schema=f"`{id_col}` long, bucket long"
     )
 
 
 def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           max_rows: int = 1_000_000) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (a < b, cosine >= threshold).
 
     Broadcast nested loop with a vectorized kernel: the full matrix (one
@@ -96,11 +97,19 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     `A_batch @ B.T` matmul and emits its qualifying pairs. This replaces a
     2M-row cross join evaluating interpreted array-lambda expressions
     (~10x faster at sf0.1). O(n²) work by definition — the exact baseline;
-    `cosine_near_duplicates_lsh` is the 10^12-scale path.
+    `cosine_near_duplicates_lsh` is the 10^12-scale path, and the hard
+    `max_rows` guard below refuses to collect an unbounded table to the
+    driver (fail fast instead of OOM-ing a 100 TB job).
     """
     import numpy as np
 
-    pdf = embeddings.select(id_col, vec_col).toPandas()
+    pdf = embeddings.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"cosine_near_duplicates is the exact (driver-collected) baseline, "
+            f"capped at {max_rows} vectors; use cosine_near_duplicates_lsh for "
+            f"larger tables"
+        )
     b_ids = pdf[id_col].to_numpy()
     b_mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
     b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -130,31 +139,54 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
 def cosine_near_duplicates_lsh(embeddings: DataFrame, threshold: float = 0.95,
                                dim: int = 64, n_planes: int = 8, seed: int = 42,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
-    """LSH-bucketed near-dup pairs: candidates share a hyperplane bucket.
+                               vec_col: str = "embedding",
+                               n_tables: int = 3) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates share a hyperplane bucket in
+    at least one of ``n_tables`` independent tables (OR-amplification).
 
-    Recall < 1 by design (tuned by n_planes: P[same bucket] =
-    (1 - θ/π)^n_planes); every emitted pair is exact-verified. The bucket
-    equi-join shuffles O(n) rows instead of the O(n²) cross product.
+    Per table, P[same bucket] = (1 - θ/π)^n_planes; over R tables recall is
+    1 - (1 - p)^R — the same AND/OR construction as MinHash banding, so
+    recall is tuned without coarsening any single table. Every emitted pair
+    is exact-verified, so precision is 1.0 regardless. Candidate generation
+    is an equi-join on (table, bucket): O(n·R) shuffled rows, never the
+    O(n²) cross product.
     """
-    buckets = lsh_bucket_table(embeddings, dim, n_planes, seed, id_col, vec_col)
+    tables = [
+        lsh_bucket_table(embeddings, dim, n_planes, seed + 1009 * t, id_col, vec_col)
+        .withColumn("table", F.lit(t))
+        for t in range(n_tables)
+    ]
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    a = buckets.select(F.col("table"), F.col("bucket"), F.col(id_col).alias("a_id"))
+    b = buckets.select(F.col("table"), F.col("bucket"), F.col(id_col).alias("b_id"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
     v = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
         _norm(F.col(vec_col).cast("array<double>")).alias("_n"),
-    ).join(buckets, id_col)
-    a = v.select(F.col("bucket"), F.col(id_col).alias("a_id"),
-                 F.col("_v").alias("a_v"), F.col("_n").alias("a_n"))
-    b = v.select(F.col("bucket"), F.col(id_col).alias("b_id"),
-                 F.col("_v").alias("b_v"), F.col("_n").alias("b_n"))
+    )
     cos = _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.join(
+            v.select(F.col(id_col).alias("a_id"), F.col("_v").alias("a_v"),
+                     F.col("_n").alias("a_n")),
+            "a_id",
+        )
+        .join(
+            v.select(F.col(id_col).alias("b_id"), F.col("_v").alias("b_v"),
+                     F.col("_n").alias("b_n")),
+            "b_id",
+        )
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
-        .distinct()
     )
 
 
@@ -171,7 +203,10 @@ def _seeded_centroids(dim: int, k: int, seed: int) -> "np.ndarray":
 
 def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, cluster): nearest centroid by cosine, one matmul per batch."""
+    """(id_col, cluster): nearest centroid by cosine, one matmul per batch.
+
+    The id column keeps the caller's name so downstream joins on id_col work
+    for any id column, not just the default 'vec_id'."""
     bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,11 +215,11 @@ def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
             mat = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             yield pd.DataFrame(
-                {"vec_id": batch[id_col].values, "cluster": (mat @ cents.T).argmax(axis=1)}
+                {id_col: batch[id_col].values, "cluster": (mat @ cents.T).argmax(axis=1)}
             )
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        run, schema="vec_id long, cluster int"
+        run, schema=f"`{id_col}` long, cluster int"
     )
 
 
@@ -240,21 +275,47 @@ def ann_topk_ivf(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 6
     q = q / np.linalg.norm(q)
     probe = [int(c) for c in (cents @ q).argsort()[::-1][:n_probe]]
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-    cand_ids = assigned.filter(F.col("cluster").isin(probe)).select("vec_id")
-    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["vec_id"], "left_semi")
+    cand_ids = assigned.filter(F.col("cluster").isin(probe)).select(
+        F.col(id_col).alias("_cand_id")
+    )
+    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["_cand_id"], "left_semi")
     return cosine_topk(cands, query_id, k, id_col, vec_col)
+
+
+def _multiprobe_buckets(q_bucket: int, n_planes: int, multiprobe: int) -> list[int]:
+    """All bucket codes within hamming ≤ multiprobe of the query's bucket."""
+    from itertools import combinations
+
+    probes = [q_bucket]
+    for m in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), m):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(q_bucket ^ mask)
+    return probes
 
 
 def ann_topk_lsh(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 64,
                  n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding", multiprobe: int = 1) -> DataFrame:
     """Approximate top-k: candidates from the query's bucket, exact cosine
     re-rank on the candidate set only. At scale the bucket join replaces the
-    full scan; recall is tuned by n_planes (fewer planes → bigger buckets)."""
+    full scan; recall is tuned by n_planes (fewer planes → bigger buckets)
+    and by `multiprobe` (also probe buckets whose sign pattern differs from
+    the query's in ≤ multiprobe planes — the standard multi-probe LSH trick:
+    a true neighbour near a hyperplane lands one sign flip away, so probing
+    the 1-flip shell recovers most of the recall a single bucket loses,
+    without coarsening the whole table). Probed bucket count is
+    sum_{m<=multiprobe} C(n_planes, m) — tiny; candidates stay
+    O(n/2^n_planes) per probe."""
     buckets = lsh_bucket_table(embeddings, dim, n_planes, seed, id_col, vec_col)
-    qb = buckets.filter(F.col("vec_id") == query_id).select(
-        F.col("bucket").alias("q_bucket")
+    qrow = buckets.filter(F.col(id_col) == query_id).select("bucket").collect()
+    if not qrow:
+        return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    probes = _multiprobe_buckets(int(qrow[0][0]), n_planes, multiprobe)
+    cand_ids = buckets.filter(F.col("bucket").isin(probes)).select(
+        F.col(id_col).alias("_cand_id")
     )
-    cand_ids = buckets.join(F.broadcast(qb), F.col("bucket") == F.col("q_bucket")).select("vec_id")
-    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["vec_id"], "left_semi")
+    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["_cand_id"], "left_semi")
     return cosine_topk(cands, query_id, k, id_col, vec_col)

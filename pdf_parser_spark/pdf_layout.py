@@ -263,15 +263,24 @@ def _detect_region(lines: list[Line]) -> str:
 # ---------------------------------------------------------------------------
 
 
-def extract_layout_text(chars: list[tuple]) -> tuple[str, list[dict]]:
+def extract_layout_text(
+    chars: list[tuple], return_pages: bool = False
+) -> tuple[str, list[dict]] | tuple[str, list[dict], list[str]]:
     """Full layout pass: chars → reading-ordered text + block span records.
 
     Blank source lines are reconstructed from vertical gaps (gap of k line
     heights → k-1 empty lines), so synthesize→extract round-trips
     byte-identically, including blank lines.
+
+    With ``return_pages=True`` also returns the per-page texts (reading
+    order within each page), which downstream per-page semantics need —
+    the reference's source-account loop runs `page.extract_text()` per page
+    (strategies/amex_multiline.py:33-41). ``"\\n".join(page_texts) == text``
+    because pages are contiguous in reading order and blank-line
+    reconstruction never crosses a page boundary.
     """
     if not chars:
-        return "", []
+        return ("", [], []) if return_pages else ("", [])
     lines = reading_order(group_chars_to_lines(chars))
     splits = detect_columns(lines)
 
@@ -287,13 +296,16 @@ def extract_layout_text(chars: list[tuple]) -> tuple[str, list[dict]]:
         origins[key] = min(origins.get(key, ln.x0), ln.x0)
 
     out: list[str] = []
+    page_of_line: list[int] = []
     prev: Line | None = None
     for ln in lines:
         if prev is not None and ln.page == prev.page and col_of(ln) == col_of(prev):
             n_blank = max(0, round((prev.y - ln.y) / LINE_H) - 1)
             out.extend([""] * n_blank)
+            page_of_line.extend([ln.page] * n_blank)
         indent = max(0, round((ln.x0 - origins[(ln.page, col_of(ln))]) / ln.char_w))
         out.append(" " * indent + ln.text)
+        page_of_line.append(ln.page)
         prev = ln
     text = "\n".join(out)
 
@@ -311,7 +323,20 @@ def extract_layout_text(chars: list[tuple]) -> tuple[str, list[dict]]:
         }
         for b in blocks
     ]
-    return text, spans
+    if not return_pages:
+        return text, spans
+    page_texts: list[str] = []
+    cur_page: int | None = None
+    cur_lines: list[str] = []
+    for line_text, page in zip(out, page_of_line):
+        if cur_page is not None and page != cur_page:
+            page_texts.append("\n".join(cur_lines))
+            cur_lines = []
+        cur_page = page
+        cur_lines.append(line_text)
+    if cur_lines:
+        page_texts.append("\n".join(cur_lines))
+    return text, spans, page_texts
 
 
 # ---------------------------------------------------------------------------

@@ -82,7 +82,8 @@ class ResumableExtractionJob:
                 rows.append(json.load(fh))
         schema = (
             "bucket int, lineage_id string, docs long, txns long, bytes_in long, "
-            "chars_out long, parse_failures long, wall_s double, docs_per_sec double"
+            "chars_out long, parse_failures long, group_wall_s double, "
+            "group_docs_per_sec double"
         )
         return self.spark.createDataFrame(rows, schema=schema)
 
@@ -136,6 +137,13 @@ class ResumableExtractionJob:
                 .collect()
             }
             extracted.unpersist()
+            # The wall clock covers the whole bucket *group* (one commit), so
+            # the throughput metric is group-level: group docs / group wall,
+            # shared identically across the group's markers. Labeling it
+            # per-bucket would understate every bucket whenever
+            # buckets_per_commit > 1.
+            group_docs = sum(int(stats.get(b, {}).get("docs") or 0) for b in group)
+            group_rate = round(group_docs / wall, 2) if wall > 0 else 0.0
             for b in group:
                 s = stats.get(
                     b,
@@ -153,8 +161,8 @@ class ResumableExtractionJob:
                         "bytes_in": int(s["bytes_in"] or 0),
                         "chars_out": int(s["chars_out"] or 0),
                         "parse_failures": int(s["parse_failures"] or 0),
-                        "wall_s": round(wall, 3),
-                        "docs_per_sec": round(docs / wall, 2) if wall > 0 else 0.0,
+                        "group_wall_s": round(wall, 3),
+                        "group_docs_per_sec": group_rate,
                     },
                 )
             done += 1

@@ -97,6 +97,13 @@ class IncrementalSync:
 
     def _read_target(self) -> DataFrame | None:
         data = os.path.join(self.target_dir, "data")
+        old = data + ".old"
+        # crash recovery: a crash between `replace(data, data.old)` and
+        # `replace(tmp, data)` in sync() leaves only data.old — restore it so
+        # the accumulated table is never silently lost (the cursor was not
+        # advanced, so the pending files simply re-apply on top: idempotent).
+        if not os.path.isdir(data) and os.path.isdir(old):
+            os.replace(old, data)
         if os.path.isdir(data) and os.listdir(data):
             return self.spark.read.parquet(data)
         return None
@@ -117,8 +124,14 @@ class IncrementalSync:
         data = os.path.join(self.target_dir, "data")
         tmp = data + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        # atomic swap (Iceberg snapshot-commit analog for plain parquet)
+        # atomic swap (Iceberg snapshot-commit analog for plain parquet).
+        # A stale .old from a crash after the tmp→data rename must be cleared
+        # first: renaming onto a non-empty directory raises ENOTEMPTY.
         old = data + ".old"
+        if os.path.isdir(old) and os.path.isdir(data):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(data):
             os.replace(data, old)
         os.replace(tmp, data)
@@ -154,11 +167,21 @@ def stream_sync(
         data = os.path.join(target_dir, "data")
         tmp = data + f".b{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(data):
+        # rename-then-delete (never delete-then-rename): a crash here leaves
+        # data.old, which _read_target restores on the next start — the
+        # window where no table version exists on disk is a single rename.
+        old = data + ".old"
+        if os.path.isdir(old) and os.path.isdir(data):
             import shutil
 
-            shutil.rmtree(data, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)  # stale .old from a crash
+        if os.path.isdir(data):
+            os.replace(data, old)
         os.replace(tmp, data)
+        if os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
 
     (
         spark.readStream.schema(schema)

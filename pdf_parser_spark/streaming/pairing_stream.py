@@ -116,9 +116,14 @@ def pair_state_func(
 
     pairs, pool = _pair_key_group(new_rows, unpaired)
 
-    # evict state older than the pairing horizon relative to the newest event
+    # Evict state that can no longer pair. The watermark admits events up to
+    # WINDOW_DAYS behind the max event time, and an admissible late event can
+    # pair with anything within WINDOW_DAYS of *itself* — so a row stays
+    # pairable until it is 2*WINDOW_DAYS behind the pool max. Evicting at
+    # max-WINDOW_DAYS (the old horizon) silently dropped pairs whose partner
+    # arrived late but inside the watermark.
     if pool and max_ts_ms:
-        horizon_day = max(d for _, _, _, d in pool) - WINDOW_DAYS
+        horizon_day = max(d for _, _, _, d in pool) - 2 * WINDOW_DAYS
         pool = [p for p in pool if p[3] >= horizon_day]
     if pool:
         state.update((
@@ -128,8 +133,9 @@ def pair_state_func(
             [p[3] for p in pool],
         ))
         if max_ts_ms:
-            # wake up after the watermark passes the horizon to clear state
-            state.setTimeoutTimestamp(max_ts_ms + WINDOW_DAYS * 86_400_000)
+            # wake up after the watermark passes the pairing horizon
+            # (2*WINDOW_DAYS, matching the eviction rule above) to clear state
+            state.setTimeoutTimestamp(max_ts_ms + 2 * WINDOW_DAYS * 86_400_000)
     elif state.exists:
         state.remove()
 

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.operators import dedupe
 from pdf_parser_spark.operators import multimodal as mm
 from pdf_parser_spark.operators import similarity, textstats
 
@@ -115,6 +116,57 @@ def test_cosine_near_duplicates_lsh_subset_of_exact(spark):
 
 
 # ---------------------------------------------------------------------------
+# SimHash LSH: exact-recall guarantee (pigeonhole soundness)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_docs(spark, n=50):
+    """Families of near-identical docs: doc i flips i%4 words of a shared base."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "every morning while birds sing softly in the old oak trees"
+    ).split()
+    rows = []
+    for i in range(n):
+        words = list(base)
+        for j in range(i % 4):
+            words[(i * 3 + j * 5) % len(words)] = f"tok{i}_{j}"
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@pytest.mark.parametrize("max_hamming", [3, 8])
+def test_simhash_near_duplicates_brute_force_parity(spark, max_hamming):
+    """The LSH pair set must EQUAL the all-pairs brute-force set: the
+    max_hamming+1-block pigeonhole guarantees recall 1.0 (the round-1 bug
+    was 4 fixed blocks with max_hamming=8 — silently lossy)."""
+    docs_df = _neardup_docs(spark, 50)
+    sigs = {r["doc_id"]: dedupe.simhash64(r["text"]) for r in docs_df.collect()}
+    expect = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and _hamming(sigs[a], sigs[b]) <= max_hamming
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dedupe.simhash_near_duplicates(docs_df, max_hamming=max_hamming).collect()
+    }
+    assert got == expect
+    assert expect, "corpus must actually contain near-dup pairs for the test to bite"
+
+
+def test_simhash_rejects_lossy_block_count(spark):
+    docs_df = _neardup_docs(spark, 4)
+    with pytest.raises(ValueError):
+        dedupe.simhash_near_duplicates(docs_df, max_hamming=8, n_blocks=4)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -190,6 +242,42 @@ def test_ivf_train_is_deterministic(spark):
     # centroids are unit vectors (cosine quantizer)
     norms = np.linalg.norm(c1, axis=1)
     assert np.allclose(norms[norms > 0], 1.0)
+
+
+def test_ann_lsh_recall_quantified(spark):
+    """Hyperplane-LSH ANN: results ⊆ exact ranking and recall@10 ≥ bound.
+
+    Deterministic corpus + seeded planes ⇒ the recall number is stable; it
+    is printed so SURVEY §8 can cite it."""
+    e = _embeddings(spark, n=120, dim=8)
+    exact10 = [r["vec_id"] for r in similarity.cosine_topk(e, 0, 10).collect()]
+    lsh10 = [
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh(e, 0, 10, dim=8, n_planes=3).collect()
+    ]
+    all_ranked = [r["vec_id"] for r in similarity.cosine_topk(e, 0, 119).collect()]
+    assert set(lsh10) <= set(all_ranked)
+    recall = len(set(lsh10) & set(exact10)) / 10
+    print(f"\nANN LSH recall@10 (n=120, dim=8, 3 planes): {recall}")
+    assert recall >= 0.5
+    assert 1 in lsh10  # the engineered near-dup of the query never escapes
+
+
+def test_cosine_neardup_lsh_recall_quantified(spark):
+    """Banded embedding near-dup: pair recall vs the exact kernel, printed."""
+    e = _embeddings(spark, n=120, dim=8)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.cosine_near_duplicates(e, 0.9).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.cosine_near_duplicates_lsh(e, 0.9, dim=8, n_planes=2).collect()
+    }
+    assert lsh <= exact
+    recall = len(lsh & exact) / max(1, len(exact))
+    print(f"\ncosine near-dup LSH pair recall (θ=0.9, 2 planes): {recall} of {len(exact)}")
+    assert recall >= 0.6
 
 
 def test_ivf_topk_subset_of_exact_with_high_recall(spark):
