@@ -106,19 +106,44 @@ def bpe_token_count_col(text):
 
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (Schleimer/Wilkerson/Aiken local document
-# fingerprinting): k-gram rolling hashes, min per sliding window
+# fingerprinting): k-gram rolling hashes, rightmost-min per sliding window.
+#
+# The gram hash is a degree-k polynomial over Unicode codepoints in Z/2^64
+# (numpy uint64 wraparound — well-defined and identical on every executor),
+# emitted as signed int64 for the Spark `array<long>` column. Chosen over
+# crc32 because it vectorizes: the whole gram-hash array is k fused
+# multiply-adds over the codepoint array, and the winnow pass is one
+# sliding_window_view argmin — no per-character Python loop (the round-1
+# hotspot: r07 was the slowest contract query). The scalar functions below
+# are the golden reference; the numpy kernels are parity-tested against
+# them in tests/test_trainingdata_ops.py.
 # ---------------------------------------------------------------------------
+
+import numpy as np
+
+_POLY_B = 1000003  # odd multiplier (same family as minhash's constants)
+_U64_MASK = (1 << 64) - 1
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _poly_hash(codepoints) -> int:
+    h = 0
+    for c in codepoints:
+        h = (h * _POLY_B + c) & _U64_MASK
+    return _signed64(h)
 
 
 def rolling_kgram_hashes(text: str | None, k: int = 8) -> list[int]:
-    """crc32 of each k-char gram of the lowercased, space-collapsed text.
-
-    crc32 (not Python hash()) so every executor produces identical values.
-    """
+    """Polynomial hash of each k-char gram of the lowercased,
+    space-collapsed text; a shorter-than-k text hashes whole."""
     s = re.sub(r"\s+", " ", (text or "").lower()).strip()
     if len(s) < k:
-        return [zlib.crc32(s.encode())] if s else []
-    return [zlib.crc32(s[i : i + k].encode()) for i in range(len(s) - k + 1)]
+        return [_poly_hash(map(ord, s))] if s else []
+    cps = [ord(c) for c in s]
+    return [_poly_hash(cps[i : i + k]) for i in range(len(s) - k + 1)]
 
 
 def winnow(hashes: list[int], w: int = 4) -> list[int]:
@@ -145,14 +170,55 @@ def winnowing_fingerprint(text: str | None, k: int = 8, w: int = 4) -> list[int]
     return winnow(rolling_kgram_hashes(text, k), w)
 
 
+def _kgram_hashes_np(text: str | None, k: int) -> "np.ndarray":
+    """Vectorized twin of rolling_kgram_hashes: k uint64 multiply-adds."""
+    s = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if not s:
+        return np.empty(0, dtype=np.int64)
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    b = np.uint64(_POLY_B)
+    if len(cps) < k:
+        h = np.uint64(0)
+        for c in cps:
+            h = h * b + c
+        return np.array([h], dtype=np.uint64).view(np.int64)
+    n = len(cps) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * b + cps[j : j + n]
+    return h.view(np.int64)
+
+
+def _winnow_np(hashes: "np.ndarray", w: int) -> "np.ndarray":
+    """Vectorized twin of winnow: sliding-window rightmost argmin + dedupe."""
+    n = len(hashes)
+    if n == 0:
+        return hashes
+    if n <= w:
+        return hashes.min(keepdims=True)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # argmin on the reversed window = FIRST min in reverse = RIGHTMOST min
+    idx_rev = win[:, ::-1].argmin(axis=1)
+    pos = np.arange(win.shape[0]) + (w - 1 - idx_rev)
+    keep = np.empty(len(pos), dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]
+    return hashes[pos[keep]]
+
+
+def winnowing_fingerprint_np(text: str | None, k: int = 8, w: int = 4) -> "np.ndarray":
+    return _winnow_np(_kgram_hashes_np(text, k), w)
+
+
 def with_winnowing(docs: DataFrame, text_col: str = "text",
                    k: int = 8, w: int = 4) -> DataFrame:
-    """(doc_id, fingerprints array<long>, n_fingerprints) via pandas UDF."""
+    """(doc_id, fingerprints array<long>, n_fingerprints) via pandas UDF
+    running the vectorized numpy kernels (scalar-parity-tested)."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
     def fp(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: winnowing_fingerprint(t, k, w))
+        return text.map(lambda t: winnowing_fingerprint_np(t, k, w))
 
     return docs.withColumn("fingerprints", fp(F.col(text_col))).withColumn(
         "n_fingerprints", F.size("fingerprints")

@@ -44,7 +44,31 @@ def test_winnowing_whitespace_insensitive():
 def test_winnowing_edge_cases():
     assert textstats.winnowing_fingerprint(None) == []
     assert textstats.winnowing_fingerprint("") == []
-    assert textstats.winnowing_fingerprint("ab") == [zlib.crc32(b"ab")]
+    # shorter-than-k text hashes whole (one fingerprint)
+    assert len(textstats.winnowing_fingerprint("ab")) == 1
+
+
+def test_winnowing_numpy_kernel_matches_scalar_golden():
+    cases = [
+        None,
+        "",
+        "ab",
+        "exactly8",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaa",  # constant hashes: rightmost-min tie rule
+        "abab" * 30,
+        "statement 统计 mixed 中文 text with unicode ¥ and emoji",
+        "  collapse\t\twhitespace\n\nplease  ",
+    ]
+    for t in cases:
+        scalar = textstats.winnowing_fingerprint(t, 8, 4)
+        vec = list(textstats.winnowing_fingerprint_np(t, 8, 4))
+        assert vec == scalar, t
+    # and at other (k, w) shapes
+    for t in cases:
+        assert list(textstats.winnowing_fingerprint_np(t, 5, 3)) == (
+            textstats.winnowing_fingerprint(t, 5, 3)
+        ), t
 
 
 # ---------------------------------------------------------------------------
