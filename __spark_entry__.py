@@ -795,6 +795,22 @@ def r11_ann_ivf(spark, sf_dir):
     return similarity_op.ann_topk_ivf(e, query_id=0, k=10, dim=64, n_centroids=8, n_probe=3)
 
 
+def r12_embedding_source(spark, sf_dir):
+    """A9/U2 — embedding source: batched client plumbing in deterministic
+    stub mode (the real HTTP path is pytest-exercised against a localhost
+    server), feeding the similarity operator. Rows-only: the pseudo-embedding
+    is an rng construction DuckDB cannot reproduce."""
+    _ship_package(spark)
+    from pdf_parser_spark.operators import similarity as similarity_op
+    from pdf_parser_spark.sources import embedding_http as emb
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = emb.embed_documents(d, dim=32, batch_size=128).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return similarity_op.cosine_topk(e, query_id=0, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -841,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r09_frame_sample": r09_frame_sample,
         "r10_cosine_neardup_lsh": r10_cosine_neardup_lsh,
         "r11_ann_ivf": r11_ann_ivf,
+        "r12_embedding_source": r12_embedding_source,
     }
 
 

@@ -180,15 +180,31 @@ def _escape(s: str) -> str:
 
 
 def page_row(doc_id: int, n_hosts: int = 50) -> dict:
-    """One row of the F1 `pages` table, a pure function of doc_id."""
+    """One row of the F1 `pages` table, a pure function of doc_id.
+
+    PDF-path subset: doc_id%10==5 carries raw text bytes (the synthesized
+    char-box path), doc_id%10==6 carries REAL `%PDF-` bytes written by the
+    from-scratch pdf_codec writer — so the full byte→object→FlateDecode→
+    text-operator→char-box decode chain runs inside the extraction UDF and
+    is held to the same byte-identity invariant as everything else.
+    """
     host = 0 if doc_id % 10 < 3 else (doc_id % n_hosts)  # host0 ≈ 30% (skew)
-    is_pdf = doc_id % 10 in (5, 6)  # PDF-path subset
+    mode = doc_id % 10
+    is_pdf = mode in (5, 6)
     text = statement_text(doc_id)
     url = f"https://host{host}.example/stmt/{doc_id}" + (".pdf" if is_pdf else "")
+    if mode == 6:
+        from pdf_parser_spark.pdf_codec import write_pdf
+
+        payload = write_pdf(text)
+    elif mode == 5:
+        payload = text.encode("utf-8")
+    else:
+        payload = wrap_html(text, doc_id)
     return {
         "url": url,
         "warc_ts": BASE_DATE + timedelta(minutes=doc_id),
-        "html": text.encode("utf-8") if is_pdf else wrap_html(text, doc_id),
+        "html": payload,
         "text": text,
         "lang": _LANGS[doc_id % 4],
         "source_type_hint": _SOURCE_TYPES[doc_id % 3],

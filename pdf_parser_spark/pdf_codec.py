@@ -1,0 +1,668 @@
+"""Minimal from-scratch PDF text codec (pure stdlib, deterministic).
+
+The reference's core loop opens real PDF bytes and extracts per-char boxes
+through pdfplumber/PyMuPDF (/root/reference/universal_parser.py:19-23,
+strategies/base_parser.py:7-12). Neither library ships in this container, so
+this module implements the public-knowledge subset needed to make the
+`%PDF-` path REAL instead of environment-gated:
+
+- ``write_pdf(text)`` — a tiny PDF writer (xref table, catalog/pages tree,
+  Courier text objects, FlateDecode content streams) that lays text on the
+  same deterministic grid as ``pdf_layout.synthesize_char_boxes`` (6pt
+  advance, 12pt leading, 60 lines/page), so written→decoded→layout
+  round-trips byte-identically.
+- ``decode_pdf_chars(pdf_bytes)`` — a real mini PDF parser: scans indirect
+  objects, resolves the page tree from the trailer, FlateDecodes content
+  streams with stdlib zlib, and interprets the text operators
+  (BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ, ', ") with per-glyph advances
+  from standard-font metrics (or an embedded /Widths array), emitting the
+  ``(page, ch, x0, y0, x1, y1)`` char boxes the layout pass consumes.
+
+Everything here follows the published PDF 1.x format (ISO 32000 subset):
+object syntax, name/string/array/dict lexing, stream extents via /Length,
+text-state matrices. No reference code is involved — the reference delegates
+this entirely to third-party libraries.
+
+Scope (documented, asserted by tests): simple fonts with 1-byte codes
+(Latin-1 text), FlateDecode or raw streams, uncompressed xref (the decoder
+does not even need the xref — it scans objects directly, which also survives
+mildly corrupt files). CID/Type0 fonts and encrypted files are out of scope
+and raise ValueError so the extract stage records parse_failed honestly.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# Writer grid — identical to pdf_layout's synthesis constants.
+FONT_SIZE = 10.0
+CHAR_W = 6.0          # Courier: 600/1000 em * 10pt
+LINE_H = 12.0
+PAGE_TOP = 780.0
+LINES_PER_PAGE = 60
+PAGE_W, PAGE_H = 800, 792
+
+# Standard-14 metric subset: Courier is fixed-pitch 600; the fallback for
+# other base fonts without /Widths is 500 (the common average — only used
+# for foreign PDFs, never by our writer/decoder round trip).
+_FIXED_WIDTHS = {"Courier": 600, "Courier-Bold": 600, "Courier-Oblique": 600,
+                 "Courier-BoldOblique": 600}
+_DEFAULT_WIDTH = 500
+
+
+# ===========================================================================
+# writer
+# ===========================================================================
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        o = ord(ch)
+        if ch in "()\\":
+            out += b"\\" + ch.encode("latin-1")
+        elif 32 <= o <= 126:
+            out += ch.encode("latin-1")
+        elif o <= 255:
+            out += b"\\%03o" % o
+        else:
+            out += b"?"  # non-Latin-1: simple fonts cannot encode it
+    return bytes(out)
+
+
+def write_pdf(text: str, compress: bool = True) -> bytes:
+    """text → real PDF bytes, one Tj per line on the deterministic grid."""
+    src_lines = text.split("\n")
+    pages = [
+        src_lines[i : i + LINES_PER_PAGE]
+        for i in range(0, len(src_lines), LINES_PER_PAGE)
+    ] or [[]]
+
+    objects: dict[int, bytes] = {}
+    font_num = 3
+    objects[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+    )
+    page_nums: list[int] = []
+    next_num = 4
+    for page_lines in pages:
+        ops = [b"BT", b"/F1 %.1f Tf" % FONT_SIZE]
+        for row, line in enumerate(page_lines):
+            if not line:
+                continue  # blank lines carry no glyphs; layout re-infers them
+            y = PAGE_TOP - row * LINE_H
+            ops.append(b"1 0 0 1 0 %.1f Tm" % y)
+            ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        content_num = next_num
+        objects[content_num] = (
+            b"<< /Length %d%s >>\nstream\n" % (len(content), filt)
+            + content
+            + b"\nendstream"
+        )
+        page_num = next_num + 1
+        objects[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, font_num, content_num)
+        )
+        page_nums.append(page_num)
+        next_num += 2
+
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_pos = len(buf)
+    max_num = max(objects)
+    buf += b"xref\n0 %d\n" % (max_num + 1)
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        buf += b"%010d 00000 n \n" % offsets.get(num, 0)
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, xref_pos)
+    )
+    return bytes(buf)
+
+
+# ===========================================================================
+# object / token parsing
+# ===========================================================================
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _Lexer:
+    """Token stream over PDF syntax (shared by object and content parsing)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def next_token(self):
+        """→ ('num', float) | ('name', str) | ('str', bytes) | ('op', str)
+        | ('dict_open'/'dict_close'/'arr_open'/'arr_close', None) | None."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            self.pos += 1
+            start = self.pos
+            while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+                self.pos += 1
+            raw = d[start : self.pos]
+            name = re.sub(
+                rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
+            )
+            return ("name", name.decode("latin-1"))
+        if c == 0x28:  # ( literal string
+            return ("str", self._read_literal_string())
+        if d.startswith(b"<<", self.pos):
+            self.pos += 2
+            return ("dict_open", None)
+        if c == 0x3C:  # < hex string
+            return ("str", self._read_hex_string())
+        if d.startswith(b">>", self.pos):
+            self.pos += 2
+            return ("dict_close", None)
+        if c == 0x5B:
+            self.pos += 1
+            return ("arr_open", None)
+        if c == 0x5D:
+            self.pos += 1
+            return ("arr_close", None)
+        if c in b"+-.0123456789":
+            start = self.pos
+            self.pos += 1
+            while self.pos < n and d[self.pos] in b"+-.0123456789":
+                self.pos += 1
+            try:
+                return ("num", float(d[start : self.pos]))
+            except ValueError:
+                return ("num", 0.0)
+        # operator / keyword
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:  # stray delimiter ({ } etc.) — consume it
+            self.pos += 1
+            return ("op", chr(c))
+        return ("op", d[start : self.pos].decode("latin-1"))
+
+    def _read_literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        assert d[self.pos] == 0x28
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                            0x62: b"\b", 0x66: b"\f"}[e]
+                    self.pos += 1
+                elif e in b"01234567":  # up to 3 octal digits
+                    oct_digits = bytearray()
+                    while self.pos < n and len(oct_digits) < 3 and d[self.pos] in b"01234567":
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _read_hex_string(self) -> bytes:
+        d = self.data
+        end = d.find(b">", self.pos)
+        if end == -1:
+            end = len(d)
+        hex_digits = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos + 1 : end])
+        if len(hex_digits) % 2:
+            hex_digits += b"0"
+        self.pos = end + 1
+        return bytes.fromhex(hex_digits.decode("ascii"))
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+def _parse_value(lex: _Lexer, tok=None):
+    """One PDF value (dict/array/name/number/string/ref/bool/null)."""
+    if tok is None:
+        tok = lex.next_token()
+    if tok is None:
+        return None
+    kind, val = tok
+    if kind == "dict_open":
+        d = {}
+        while True:
+            k = lex.next_token()
+            if k is None or k[0] == "dict_close":
+                return d
+            if k[0] != "name":
+                continue  # malformed key: skip
+            d[k[1]] = _parse_value(lex)
+    if kind == "arr_open":
+        arr = []
+        while True:
+            t = lex.next_token()
+            if t is None or t[0] == "arr_close":
+                return arr
+            arr.append(_parse_value(lex, t))
+    if kind == "num":
+        # look ahead for "<gen> R" (indirect reference)
+        save = lex.pos
+        t2 = lex.next_token()
+        if t2 and t2[0] == "num":
+            t3 = lex.next_token()
+            if t3 == ("op", "R"):
+                return _Ref(int(val))
+        lex.pos = save
+        return val
+    if kind == "op":
+        if val == "true":
+            return True
+        if val == "false":
+            return False
+        if val == "null":
+            return None
+        return ("__op__", val)
+    return val  # name / str
+
+
+class _Document:
+    """Object store + reference resolution for one PDF file."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF: missing %PDF- header")
+        if b"/Encrypt" in data:
+            raise ValueError("encrypted PDFs are out of scope")
+        self.data = data
+        self.objects: dict[int, tuple] = {}  # num -> (value, stream|None)
+        self._scan_objects()
+
+    def _scan_objects(self) -> None:
+        data = self.data
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            lex = _Lexer(data, m.end())
+            value = _parse_value(lex)
+            stream = None
+            lex._skip_ws()
+            if data.startswith(b"stream", lex.pos):
+                start = lex.pos + len(b"stream")
+                if data.startswith(b"\r\n", start):
+                    start += 2
+                elif data.startswith(b"\n", start) or data.startswith(b"\r", start):
+                    start += 1
+                length = None
+                if isinstance(value, dict):
+                    length = value.get("Length")
+                exact = False
+                if isinstance(length, (int, float)):
+                    end = start + int(length)
+                    exact = data[end : end + 20].lstrip(bytes(_WS)).startswith(
+                        b"endstream"
+                    )
+                if not exact:  # indirect/missing/wrong /Length: locate marker
+                    end = data.find(b"endstream", start)
+                    if end == -1:
+                        end = len(data)
+                stream = data[start:end]
+                if not exact:
+                    # only trim the EOL that precedes the marker — never
+                    # trim an exact-/Length extent (binary streams may END
+                    # in 0x0a/0x0d bytes that belong to the data)
+                    stream = stream.rstrip(b"\r\n")
+            self.objects[num] = (value, stream)
+
+    def resolve(self, v):
+        seen = set()
+        while isinstance(v, _Ref):
+            if v.num in seen or v.num not in self.objects:
+                return None
+            seen.add(v.num)
+            v = self.objects[v.num][0]
+        return v
+
+    def stream_of(self, ref) -> bytes | None:
+        v = ref
+        while isinstance(v, _Ref):
+            if v.num not in self.objects:
+                return None
+            value, stream = self.objects[v.num]
+            if stream is not None:
+                filt = self.resolve(value.get("Filter")) if isinstance(value, dict) else None
+                return _apply_filters(stream, filt)
+            v = value
+        return None
+
+    def root(self) -> dict | None:
+        m = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", self.data):
+            pass
+        if m:
+            return self.resolve(_Ref(int(m.group(1))))
+        # fallback: any /Type /Catalog object
+        for num, (value, _s) in self.objects.items():
+            if isinstance(value, dict) and value.get("Type") == "Catalog":
+                return value
+        return None
+
+    def pages(self) -> list[dict]:
+        """Page dicts in document order (walk the /Kids tree)."""
+        root = self.root()
+        out: list[dict] = []
+        if root:
+            node = self.resolve(root.get("Pages"))
+            self._walk_pages(node, out, depth=0)
+        if not out:  # damaged tree: fall back to object-order /Type /Page
+            for num in sorted(self.objects):
+                value = self.objects[num][0]
+                if isinstance(value, dict) and value.get("Type") == "Page":
+                    out.append(value)
+        return out
+
+    def _walk_pages(self, node, out: list[dict], depth: int) -> None:
+        if not isinstance(node, dict) or depth > 64:
+            return
+        if node.get("Type") == "Page":
+            out.append(node)
+            return
+        for kid in self.resolve(node.get("Kids")) or []:
+            self._walk_pages(self.resolve(kid), out, depth + 1)
+
+
+def _apply_filters(stream: bytes, filt) -> bytes:
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    out = stream
+    for f in filters:
+        name = f if isinstance(f, str) else None
+        if name == "FlateDecode":
+            out = zlib.decompress(out)
+        elif name is None:
+            continue
+        else:
+            raise ValueError(f"unsupported stream filter {name}")
+    return out
+
+
+# ===========================================================================
+# content-stream text interpreter
+# ===========================================================================
+
+
+class _Font:
+    def __init__(self, doc: _Document, font_dict: dict | None):
+        self.widths: list[float] | None = None
+        self.first_char = 0
+        self.fixed = _DEFAULT_WIDTH
+        if isinstance(font_dict, dict):
+            if font_dict.get("Subtype") == "Type0":
+                raise ValueError("CID/Type0 fonts are out of scope")
+            base = font_dict.get("BaseFont")
+            if isinstance(base, str):
+                base = base.split("+")[-1]  # strip subset tag
+                self.fixed = _FIXED_WIDTHS.get(base, _DEFAULT_WIDTH)
+            w = doc.resolve(font_dict.get("Widths"))
+            fc = doc.resolve(font_dict.get("FirstChar"))
+            if isinstance(w, list) and isinstance(fc, (int, float)):
+                self.widths = [float(doc.resolve(x) or 0) for x in w]
+                self.first_char = int(fc)
+
+    def width(self, code: int) -> float:
+        """Glyph width in 1/1000 em."""
+        if self.widths is not None:
+            i = code - self.first_char
+            if 0 <= i < len(self.widths) and self.widths[i] > 0:
+                return self.widths[i]
+        return float(self.fixed)
+
+
+def _mat_mul(a, b):
+    """3x3 affine (stored as 6-tuple a b c d e f) product: a then b."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _page_chars(doc: _Document, page: dict, page_no: int) -> list[tuple]:
+    contents = page.get("Contents")
+    streams: list[bytes] = []
+    resolved = doc.resolve(contents) if isinstance(contents, _Ref) else contents
+    if isinstance(contents, _Ref) and doc.stream_of(contents) is not None:
+        streams.append(doc.stream_of(contents))
+    elif isinstance(resolved, list):
+        for ref in resolved:
+            s = doc.stream_of(ref)
+            if s is not None:
+                streams.append(s)
+    if not streams:
+        return []
+    content = b"\n".join(streams)
+
+    # resources → fonts
+    res = doc.resolve(page.get("Resources")) or {}
+    font_res = doc.resolve(res.get("Font")) or {}
+    fonts = {name: _Font(doc, doc.resolve(fd)) for name, fd in font_res.items()}
+
+    boxes: list[tuple] = []
+    lex = _Lexer(content)
+    stack: list = []
+    ctm = _ID
+    ctm_stack: list = []
+    tm = _ID          # text matrix
+    tlm = _ID         # text line matrix
+    font: _Font | None = None
+    size = 0.0
+    leading = 0.0
+    char_spacing = 0.0
+    word_spacing = 0.0
+
+    def show(raw: bytes) -> None:
+        nonlocal tm
+        if font is None:
+            return
+        for byte in raw:
+            ch = chr(byte)
+            w_em = font.width(byte) / 1000.0
+            advance = w_em * size + char_spacing + (word_spacing if byte == 0x20 else 0.0)
+            m = _mat_mul(tm, ctm)
+            x0, y0 = m[4], m[5]
+            if ch != " ":
+                boxes.append(
+                    (page_no, ch, x0, y0, x0 + w_em * size, y0 + size * 0.75)
+                )
+            tm = _mat_mul((1, 0, 0, 1, advance, 0), tm)
+
+    def pop_nums(n: int) -> list[float]:
+        if len(stack) >= n:
+            vals = [t[1] if t[0] == "num" else 0.0 for t in stack[-n:]]
+            del stack[-n:]
+            return vals
+        stack.clear()
+        return [0.0] * n
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind in ("num", "name", "str"):
+            stack.append((kind, val))
+            continue
+        if kind == "arr_open":
+            arr = []
+            while True:
+                t = lex.next_token()
+                if t is None or t[0] == "arr_close":
+                    break
+                arr.append(t)
+            stack.append(("arr", arr))
+            continue
+        if kind in ("dict_open",):
+            # inline dicts (e.g. BDC properties): parse and discard
+            _parse_value(lex, tok)
+            stack.append(("dict", None))
+            continue
+        if kind != "op":
+            continue
+        op = val
+        if op == "BT":
+            tm = tlm = _ID
+        elif op == "ET":
+            pass
+        elif op == "Tf":
+            if len(stack) >= 2:
+                fname = stack[-2][1] if stack[-2][0] == "name" else None
+                size = stack[-1][1] if stack[-1][0] == "num" else 0.0
+                font = fonts.get(fname) or (next(iter(fonts.values())) if fonts else None)
+                del stack[-2:]
+        elif op == "Td":
+            tx, ty = pop_nums(2)
+            tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
+            tm = tlm
+        elif op == "TD":
+            tx, ty = pop_nums(2)
+            leading = -ty
+            tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
+            tm = tlm
+        elif op == "Tm":
+            a, b, c, d, e, f = pop_nums(6)
+            tlm = (a, b, c, d, e, f)
+            tm = tlm
+        elif op == "T*":
+            tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+            tm = tlm
+        elif op == "TL":
+            (leading,) = pop_nums(1)
+        elif op == "Tc":
+            (char_spacing,) = pop_nums(1)
+        elif op == "Tw":
+            (word_spacing,) = pop_nums(1)
+        elif op == "Tj":
+            if stack and stack[-1][0] == "str":
+                show(stack.pop()[1])
+        elif op == "'":
+            tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+            tm = tlm
+            if stack and stack[-1][0] == "str":
+                show(stack.pop()[1])
+        elif op == '"':
+            if len(stack) >= 3:
+                word_spacing = stack[-3][1] if stack[-3][0] == "num" else word_spacing
+                char_spacing = stack[-2][1] if stack[-2][0] == "num" else char_spacing
+                raw = stack[-1][1] if stack[-1][0] == "str" else b""
+                del stack[-3:]
+                tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                tm = tlm
+                show(raw)
+        elif op == "TJ":
+            if stack and stack[-1][0] == "arr":
+                for t in stack.pop()[1]:
+                    if t[0] == "str":
+                        show(t[1])
+                    elif t[0] == "num" and font is not None:
+                        # kerning adjustment: -val/1000 * size text-space units
+                        tm = _mat_mul((1, 0, 0, 1, -t[1] / 1000.0 * size, 0), tm)
+        elif op == "cm":
+            a, b, c, d, e, f = pop_nums(6)
+            ctm = _mat_mul((a, b, c, d, e, f), ctm)
+        elif op == "q":
+            ctm_stack.append(ctm)
+        elif op == "Q":
+            if ctm_stack:
+                ctm = ctm_stack.pop()
+        else:
+            stack.clear()  # unknown operator consumes its operands
+    return boxes
+
+
+def decode_pdf_chars(pdf_bytes: bytes) -> list[tuple]:
+    """Real PDF bytes → ``(page, ch, x0, y0, x1, y1)`` char boxes.
+
+    A structurally-empty file (no page objects) raises — that is a decode
+    failure. A valid PDF whose pages carry no text operators returns ``[]``:
+    that is the image-only case the OCR fallback (A4) routes on.
+    """
+    doc = _Document(pdf_bytes)
+    pages = doc.pages()
+    if not pages:
+        raise ValueError("no page objects found")
+    boxes: list[tuple] = []
+    for page_no, page in enumerate(pages):
+        boxes.extend(_page_chars(doc, page, page_no))
+    return boxes
+
+
+def extract_text(pdf_bytes: bytes) -> str:
+    """Convenience: full decode + layout pass → extracted text."""
+    from pdf_parser_spark import pdf_layout
+
+    return pdf_layout.extract_layout_text(decode_pdf_chars(pdf_bytes))[0]

@@ -378,39 +378,72 @@ def synthesize_char_boxes(
     return boxes
 
 
-_PDF_BACKEND = None
-for _mod in ("pdfplumber", "fitz"):
-    try:
-        _PDF_BACKEND = __import__(_mod)
-        break
-    except ImportError:
-        continue
+def _decode_pdfplumber(pdf_bytes: bytes) -> list[tuple]:
+    import io
+
+    import pdfplumber
+
+    boxes: list[tuple] = []
+    with pdfplumber.open(io.BytesIO(pdf_bytes)) as pdf:
+        for pno, page in enumerate(pdf.pages):
+            for ch in page.chars:
+                boxes.append(
+                    (pno, ch["text"], ch["x0"], page.height - ch["bottom"],
+                     ch["x1"], page.height - ch["top"])
+                )
+    return boxes
+
+
+def _decode_pymupdf(pdf_bytes: bytes) -> list[tuple]:
+    import fitz
+
+    boxes: list[tuple] = []
+    with fitz.open(stream=pdf_bytes, filetype="pdf") as doc:
+        for pno, page in enumerate(doc):
+            h = page.rect.height
+            raw = page.get_text("rawdict")
+            for block in raw.get("blocks", []):
+                for line in block.get("lines", []):
+                    for span in line.get("spans", []):
+                        for ch in span.get("chars", []):
+                            x0, y0, x1, y1 = ch["bbox"]
+                            boxes.append(
+                                (pno, ch["c"], x0, h - y1, x1, h - y0)
+                            )
+    return boxes
+
+
+def _decode_builtin(pdf_bytes: bytes) -> list[tuple]:
+    from pdf_parser_spark import pdf_codec
+
+    return pdf_codec.decode_pdf_chars(pdf_bytes)
+
+
+# Engine chain, per document (A3 alt-engine dispatch): pdfplumber first and
+# PyMuPDF as the alternate — the reference's exact preference order
+# (/root/reference/universal_parser.py:19-23, strategies/base_parser.py:7-12)
+# — then the from-scratch stdlib codec (pdf_codec.py), which always exists,
+# so the `%PDF-` path is REAL in this container, not environment-gated.
+_ENGINES = [
+    ("pdfplumber", _decode_pdfplumber),
+    ("pymupdf", _decode_pymupdf),
+    ("builtin", _decode_builtin),
+]
 
 
 def decode_pdf_chars(pdf_bytes: bytes) -> list[tuple]:
-    """Real PDF bytes → char boxes. GATED STUB in this container.
+    """Real PDF bytes → char boxes via the first engine that succeeds.
 
-    Mirrors the reference's engine choice (pdfplumber first,
-    /root/reference/universal_parser.py:19-23; PyMuPDF alternate,
-    strategies/base_parser.py:7-12). Neither library ships in this sandbox,
-    so fixtures use `synthesize_char_boxes`; on a real cluster install
-    pdfplumber and this function lights up unchanged.
+    A per-document try-chain, like the reference's per-document engine
+    choice: an ImportError (library absent in this container) or a decode
+    error falls through to the next engine; only if every engine fails does
+    the document surface as a parse failure upstream (operators/extract.py
+    records parse_failed=True).
     """
-    if _PDF_BACKEND is None:
-        raise NotImplementedError(
-            "No PDF backend (pdfplumber/PyMuPDF) available in this environment; "
-            "use synthesize_char_boxes for fixtures"
-        )
-    if _PDF_BACKEND.__name__ == "pdfplumber":
-        import io
-
-        boxes: list[tuple] = []
-        with _PDF_BACKEND.open(io.BytesIO(pdf_bytes)) as pdf:
-            for pno, page in enumerate(pdf.pages):
-                for ch in page.chars:
-                    boxes.append(
-                        (pno, ch["text"], ch["x0"], page.height - ch["bottom"],
-                         ch["x1"], page.height - ch["top"])
-                    )
-        return boxes
-    raise NotImplementedError("PyMuPDF char-box decode not wired yet")
+    last_err: Exception | None = None
+    for _name, engine in _ENGINES:
+        try:
+            return engine(pdf_bytes)
+        except Exception as e:  # noqa: BLE001 — library absent or decode
+            last_err = e        # error: fall through to the next engine
+    raise NotImplementedError(f"all PDF engines failed: {last_err}")

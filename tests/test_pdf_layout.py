@@ -89,9 +89,17 @@ def test_block_spans_metadata():
     assert all(s["n_lines"] >= 1 for s in spans)
 
 
-def test_decode_pdf_chars_gated():
+def test_decode_pdf_chars_engine_chain():
+    # undecodable input exhausts the engine chain (pdfplumber → PyMuPDF →
+    # builtin codec) and surfaces as NotImplementedError for the extract
+    # stage's parse_failed accounting
     with pytest.raises(NotImplementedError):
-        decode_pdf_chars(b"%PDF-1.4 fake")
+        decode_pdf_chars(b"%PDF-1.4 no objects at all")
+    # real bytes decode through the builtin engine
+    from pdf_parser_spark.pdf_codec import write_pdf
+
+    boxes = decode_pdf_chars(write_pdf("hello real pdf"))
+    assert boxes and extract_layout_text(boxes)[0] == "hello real pdf"
 
 
 def test_empty_chars():
