@@ -74,6 +74,8 @@ def _event_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactions-shaped view of `events` (the C1/C2/G10 oracle substrate).
 
     txn_id zero-padded so string order == numeric order in both engines.
+    Carries `ts` through so event-time consumers (q27) never re-join the
+    base table just to recover the timestamp their projection dropped.
     """
     return _t(spark, sf_dir, "events").select(
         F.format_string("%08d", F.col("event_id")).alias("txn_id"),
@@ -85,6 +87,7 @@ def _event_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("loan"))
         .alias("sourceType"),
         F.date_format("ts", "yyyyMMdd").alias("dateKey"),
+        F.col("ts"),
     )
 
 _EVENT_TXNS_SQL = """
@@ -92,7 +95,8 @@ txns AS (
   SELECT printf('%08d', event_id) AS txn_id,
          CASE WHEN event_id % 2 = 0 THEN value ELSE -value END AS amount,
          CASE event_id % 3 WHEN 0 THEN 'bank' WHEN 1 THEN 'card' ELSE 'loan' END AS sourceType,
-         strftime(ts, '%Y%m%d') AS dateKey
+         strftime(ts, '%Y%m%d') AS dateKey,
+         ts
   FROM events),
 keyed AS (
   SELECT txn_id, amount, sourceType,
@@ -485,12 +489,7 @@ def q27_windowed_stats(spark, sf_dir):
     batch mode — Spark's unified API; the stream variant adds the watermark)."""
     from pdf_parser_spark.streaming.windows import windowed_txn_stats
 
-    txns = _event_txns(spark, sf_dir).join(
-        _t(spark, sf_dir, "events").select(
-            F.format_string("%08d", F.col("event_id")).alias("txn_id"), "ts"
-        ),
-        "txn_id",
-    )
+    txns = _event_txns(spark, sf_dir)
     out = windowed_txn_stats(txns, "1 hour")
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -664,6 +663,20 @@ def q33_to_number(spark, sf_dir):
     )
 
 
+def q34_quality_gate(spark, sf_dir):
+    """Curation quality gate: native stats → composite score → filter →
+    per-lang rollup (plans/curation.py quality_gate; all codegen)."""
+    from pdf_parser_spark.plans import curation
+
+    d = _t(spark, sf_dir, "documents")
+    gated = curation.quality_gate(d, min_quality=0.5)
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -811,6 +824,21 @@ def r12_embedding_source(spark, sf_dir):
     return similarity_op.cosine_topk(e, query_id=0, k=10)
 
 
+def r13_curation_pipeline(spark, sf_dir):
+    """Full corpus-curation chain: quality gate → predicted-language filter →
+    exact dedup → MinHash near-dup removal → per-language summary
+    (plans/curation.py; rows-only: lang-ID and MinHash are Python-UDF)."""
+    _ship_package(spark)
+    from pdf_parser_spark.plans import curation
+
+    d = _t(spark, sf_dir, "documents")
+    curated = curation.curate(
+        d, min_quality=0.4, allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.8,
+    )
+    return curation.curation_summary(curated)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -846,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_account_mapping": q31_account_mapping,
         "q32_clean_contra": q32_clean_contra,
         "q33_to_number": q33_to_number,
+        "q34_quality_gate": q34_quality_gate,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -858,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_cosine_neardup_lsh": r10_cosine_neardup_lsh,
         "r11_ann_ivf": r11_ann_ivf,
         "r12_embedding_source": r12_embedding_source,
+        "r13_curation_pipeline": r13_curation_pipeline,
     }
 
 
@@ -1162,16 +1192,13 @@ def oracle_sql() -> dict[str, str]:
                           WHERE w.o_orderkey % 97 = 0 AND w.uid = t.uid)
         """,
         "q27_windowed_stats": f"""
-            WITH {_EVENT_TXNS_SQL},
-            wt AS (
-              SELECT t.*, e.ts FROM txns t
-              JOIN events e ON t.txn_id = printf('%08d', e.event_id))
+            WITH {_EVENT_TXNS_SQL}
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    sourceType,
                    CAST(count(*) AS BIGINT) AS n_txns,
                    round(sum(amount), 2) AS total_amount,
                    round(sum(abs(amount)), 2) AS total_abs
-            FROM wt GROUP BY 1, 2
+            FROM txns GROUP BY 1, 2
         """,
         "q28_account_map_join": """
             WITH acct AS (
@@ -1271,6 +1298,36 @@ def oracle_sql() -> dict[str, str]:
                          AND {q33_num} > 0
                         THEN -{q33_num} ELSE {q33_num} END AS fragment
             FROM d
+        """,
+        # quality formula over the SAME rounded intermediates as the Spark
+        # columns (with_text_stats rounds to 4 before the composite score)
+        "q34_quality_gate": f"""
+            WITH s AS (
+              SELECT doc_id, lang, coalesce(text, '') AS text,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(coalesce(text, '')) AS n_chars
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang, n_tokens,
+                     round(CASE WHEN n_chars > 0
+                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
+                           ELSE 0.0 END, 4) AS alpha_ratio,
+                     round(CASE WHEN n_tokens > 0
+                           THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                x -> x IN ({stop_list}))) * 1.0 / n_tokens
+                           ELSE 0.0 END, 4) AS stopword_ratio
+              FROM s),
+            g AS (
+              SELECT *, round(
+                       0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                     + 0.3 * least(alpha_ratio * 1.25, 1.0)
+                     + 0.3 * least(stopword_ratio * 5, 1.0), 4) AS quality
+              FROM r)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM g WHERE quality >= 0.5 GROUP BY lang
         """,
     }
 

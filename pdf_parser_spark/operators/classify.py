@@ -86,29 +86,35 @@ def classify(
     account) are small dimensions → broadcast (ref per-row lookups at
     utils/classify_transaction.py:91-116 become C3 broadcast joins).
     """
-    spark = txns.sparkSession
-    user_memory = user_memory if user_memory is not None else empty_memory(spark, True)
-    global_memory = (
-        global_memory if global_memory is not None else empty_memory(spark, False)
-    )
-
     t = txns.withColumn("vendor_key", vendor_key_udf(F.col("memo")))
-    u = F.broadcast(
-        user_memory.select(
-            F.col("uid").alias("u_uid"),
-            F.col("vendor_key").alias("u_vk"),
-            F.col("account").alias("user_account"),
+    # Absent memory tables join nothing: emit the null column directly
+    # instead of a broadcast join against an empty frame. Each skipped join
+    # removes a broadcast exchange (a driver-side build + job) from the
+    # critical path — pure fixed cost that a small-corpus run pays without
+    # any benefit. Callers with real memory tables get the broadcast joins.
+    if user_memory is not None:
+        u = F.broadcast(
+            user_memory.select(
+                F.col("uid").alias("u_uid"),
+                F.col("vendor_key").alias("u_vk"),
+                F.col("account").alias("user_account"),
+            )
         )
-    )
-    g = F.broadcast(
-        global_memory.select(
-            F.col("vendor_key").alias("g_vk"), F.col("account").alias("global_account")
+        t = t.join(
+            u, (t["uid"] == u["u_uid"]) & (t["vendor_key"] == u["u_vk"]), "left"
+        ).drop("u_uid", "u_vk")
+    else:
+        t = t.withColumn("user_account", F.lit(None).cast("string"))
+    if global_memory is not None:
+        g = F.broadcast(
+            global_memory.select(
+                F.col("vendor_key").alias("g_vk"),
+                F.col("account").alias("global_account"),
+            )
         )
-    )
-    t = t.join(u, (t["uid"] == u["u_uid"]) & (t["vendor_key"] == u["u_vk"]), "left").drop(
-        "u_uid", "u_vk"
-    )
-    t = t.join(g, t["vendor_key"] == g["g_vk"], "left").drop("g_vk")
+        t = t.join(g, t["vendor_key"] == g["g_vk"], "left").drop("g_vk")
+    else:
+        t = t.withColumn("global_account", F.lit(None).cast("string"))
 
     kw = keyword_account_col(F.col("memo"))
     account = F.coalesce(

@@ -27,7 +27,7 @@ def assign_source_type(txns: DataFrame, default: str = "bank") -> DataFrame:
     return txns.withColumn("sourceType", F.lit(default))
 
 
-def with_bank_match(txns: DataFrame, broadcast_matches: bool = True) -> DataFrame:
+def with_bank_match(txns: DataFrame, broadcast_matches: bool | None = None) -> DataFrame:
     """C2 — has_bank_match: a *bank* txn within ±5 days and ±$0.01 exists.
 
     Ref: utils/display_amount.py:41-55 (_has_bank_match). Batch re-spec
@@ -71,12 +71,13 @@ def with_bank_match(txns: DataFrame, broadcast_matches: bool = True) -> DataFram
         .distinct()
         .withColumn("has_bank_match", F.lit(True))
     )
-    # matched ids are the card-outflow rows with a bank twin — usually a
-    # small fraction of the table, so broadcast spares the full-table
-    # shuffle. The flag mirrors pairing.broadcast_decorations: at extreme
-    # scale (or with adversarial data where most card rows have twins) pass
-    # broadcast_matches=False and let AQE pick a sort-merge/shuffled-hash
-    # join instead of pinning an unbounded build side into executor memory.
+    # matched ids are the card-outflow rows with a bank twin. Default is NO
+    # hint: AQE sees the true built size at runtime and broadcasts only when
+    # the set is genuinely small — a forced broadcast is a driver-serial
+    # collect+rebroadcast that costs the same at every cluster size (pure
+    # Amdahl fraction) and is unbounded on adversarial data at 100 TB.
+    # broadcast_matches=True forces the hint for callers that know their
+    # matched set is tiny; False documents the explicit shuffle choice.
     if broadcast_matches:
         matched = F.broadcast(matched)
     return txns.join(matched, "txn_id", "left").withColumn(

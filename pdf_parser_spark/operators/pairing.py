@@ -37,7 +37,16 @@ PAIR_COLS = ["pairId", "eventLeader", "pairedWith", "pairReason"]
 
 
 def candidate_pairs(txns: DataFrame) -> DataFrame:
-    """All (leader, shadow) candidates passing the banded join + residual."""
+    """All (leader, shadow) candidates passing the banded join + residual,
+    deduplicated across the 3×3 band fan-out."""
+    return _banded_candidates(txns).dropDuplicates(["l_id", "s_id"])
+
+
+def _banded_candidates(txns: DataFrame) -> DataFrame:
+    """Raw banded-join candidates — each pair may appear up to 3× (one per
+    matching probe band). Consumers doing per-key argmin selection use this
+    directly: duplicates carry identical ordering structs, so the argmin is
+    unaffected and the dedupe shuffle is skipped."""
     leaders = banding.with_probe_keys(
         txns.filter((F.col("sourceType") == "bank") & (F.col("amount") >= 0)).select(
             F.col("txn_id").alias("l_id"),
@@ -88,19 +97,45 @@ def candidate_pairs(txns: DataFrame) -> DataFrame:
             F.abs(F.col("_day") - F.col("s_day")).alias("day_dist"),
             F.abs(F.col("_cents") - F.col("s_cents")).alias("cents_dist"),
         )
-        .dropDuplicates(["l_id", "s_id"])  # 9 bands can hit the same pair thrice
     )
 
 
 def matched_pairs(txns: DataFrame) -> DataFrame:
-    """Mutual-best selection → one row per formed pair."""
-    cand = candidate_pairs(txns)
-    wl = W.partitionBy("l_id").orderBy("day_dist", "cents_dist", "s_id")
-    ws = W.partitionBy("s_id").orderBy("day_dist", "cents_dist", "l_id")
+    """Mutual-best selection → one row per formed pair.
+
+    Each side's best candidate is an ARGMIN per key — computed with
+    `min_by` hash aggregations instead of row_number windows. A window
+    rank-1 must shuffle and fully sort every candidate row per key; min_by
+    is partially aggregable, so the map side collapses each partition to
+    one row per key before the exchange — at corpus sizes where the banded
+    join fans out to 10^8 candidates, the shuffle carries only the distinct
+    leader/shadow ids. Result-identical to the window formulation (the
+    ordering struct (day_dist, cents_dist, id) is unique per key, so the
+    argmin is deterministic); the q13 DuckDB oracle — still the row_number
+    formulation — proves the equivalence every round.
+
+    Band-duplicate candidates (the 3×3 probe fan-out can emit one pair up
+    to three times) carry identical ordering structs, so they cannot change
+    either argmin — the pre-aggregation dropDuplicates shuffle is skipped.
+    """
+    base = _banded_candidates(txns)
+    best_shadow = base.groupBy("l_id").agg(
+        F.min_by(
+            F.struct("s_id", "s_type", "day_dist", "cents_dist"),
+            F.struct("day_dist", "cents_dist", "s_id"),
+        ).alias("b")
+    ).select("l_id", F.col("b.s_id").alias("s_id"), F.col("b.s_type").alias("s_type"))
+    best_leader = base.groupBy("s_id").agg(
+        F.min_by(
+            F.col("l_id"), F.struct("day_dist", "cents_dist", "l_id")
+        ).alias("l_id")
+    ).select(F.col("s_id").alias("bs_id"), F.col("l_id").alias("bl_id"))
     return (
-        cand.withColumn("l_rank", F.row_number().over(wl))
-        .withColumn("s_rank", F.row_number().over(ws))
-        .filter((F.col("l_rank") == 1) & (F.col("s_rank") == 1))
+        best_shadow.join(
+            best_leader,
+            (best_shadow["l_id"] == best_leader["bl_id"])
+            & (best_shadow["s_id"] == best_leader["bs_id"]),
+        )
         .select(
             "l_id",
             "s_id",
@@ -118,7 +153,7 @@ def matched_pairs(txns: DataFrame) -> DataFrame:
     )
 
 
-def pair_transfers(txns: DataFrame, broadcast_decorations: bool = True) -> DataFrame:
+def pair_transfers(txns: DataFrame, broadcast_decorations: bool | None = None) -> DataFrame:
     """Decorate transactions with pairId/eventLeader/pairedWith/pairReason.
 
     Unpaired rows keep NULLs (nullable decoration, FIXTURES.md F3).
@@ -139,12 +174,13 @@ def pair_transfers(txns: DataFrame, broadcast_decorations: bool = True) -> DataF
         F.lit("shadow").alias("pairReason"),
     )
     decorations = leader_side.unionByName(shadow_side)
-    # pairs are a small fraction of transactions (bounded by the inflow-leg
-    # count; ~3% on the synthetic corpus) — broadcasting the decorations
-    # avoids shuffling the full transactions table a second time. At 10^12
-    # rows the decoration table can exceed broadcast size: pass
-    # broadcast_decorations=False there and the join degrades gracefully to
-    # a shuffle on txn_id (the table's bucket key, so it co-locates).
+    # Default is NO hint: AQE broadcasts the decorations only when their
+    # runtime size is actually small. A forced broadcast is a driver-serial
+    # collect+rebroadcast (identical cost at N and 4N executors — an Amdahl
+    # fraction that caps scaling efficiency) and can exceed broadcast limits
+    # at 10^12 rows. broadcast_decorations=True forces the hint when the
+    # pair density is known-tiny; with no hint the join degrades gracefully
+    # to a shuffle on txn_id (the table's bucket key, so it co-locates).
     if broadcast_decorations:
         decorations = F.broadcast(decorations)
     return txns.join(decorations, "txn_id", "left")

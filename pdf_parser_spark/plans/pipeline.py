@@ -55,17 +55,28 @@ def transactions_pipeline(
     self-join re-reads its input twice). In the resumable production job the
     same barriers are per-bucket table commits (plans/checkpoint.py); persist
     is their in-memory, spill-to-disk analog for single-job runs.
+
+    Storage level is SERIALIZED memory-and-disk, not the deserialized
+    default: the barriers hold wide string-heavy rows (memo/url/source), and
+    deserialized JVM string objects inflate 3-5× — at millions of rows per
+    executor that turns both caches into old-gen heap pressure and GC churn
+    (measured: repeat full-pipeline runs at 600k docs degraded 112→193s
+    deserialized vs staying ~flat serialized). Serialized blocks trade a
+    little per-read CPU for a bounded, compact footprint — the right side of
+    that trade at 100 TB, where cache working sets must stay predictable.
     """
+    from pyspark import StorageLevel
+
     if repartition:
         pages = distribute_pages(pages, repartition)
     extracted = extract_op.extract_documents(pages, keep_text=keep_text)
     txns = extract_op.extracted_transactions(extracted)
     if cache:
-        txns = txns.persist()
+        txns = txns.persist(StorageLevel.MEMORY_AND_DISK)
     txns = normalize_op.normalize(txns)
     txns = classify_op.classify(txns, user_memory, global_memory)
     if cache:
-        txns = txns.persist()
+        txns = txns.persist(StorageLevel.MEMORY_AND_DISK)
     txns = pairing_op.pair_transfers(txns)
     return txns
 

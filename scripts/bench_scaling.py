@@ -47,10 +47,13 @@ def _steal():
     f = open("/proc/stat").readline().split()
     return int(f[8]), sum(int(x) for x in f[1:])
 
-def _timed(fn, repeats):
-    # repeats timed runs -> (median_sec, [per-run sec], [per-run steal pct])
+def _timed(fn, repeats, before=None):
+    # repeats timed runs -> (median_sec, [per-run sec], [per-run steal pct]);
+    # `before` runs untimed ahead of each repeat (cache reset / input re-pin)
     secs, steals = [], []
     for _ in range(repeats):
+        if before is not None:
+            before()
         s0, j0 = _steal(); t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0; s1, j1 = _steal()
@@ -63,16 +66,22 @@ t_extract, extract_runs, extract_steal = _timed(
     lambda: extract_op.extract_documents(pages)
         .write.format("noop").mode("overwrite").save(), 3)
 
-# full pipeline, median of 3. Run 1 is cold (builds the two intermediate
-# caches); later runs re-derive the same logical plan, so Spark's cache
-# manager serves the intermediates from memory — the steady state of a
-# long-running job that materializes its intermediates once (exactly what
-# the production checkpoint job does per bucket group). Both levels get the
-# identical treatment, so the efficiency ratio compares like with like.
+# Full pipeline, median of 3, each run with COLD intermediate caches: every
+# timed repeat re-extracts, re-normalizes, re-classifies and re-pairs —
+# exactly what one production job execution pays. (Round 1 let Spark's
+# cache manager serve the run-1 intermediates to runs 2-3, which silently
+# reduced "full pipeline" to the post-extraction tail — the part that is
+# latency-bound, not CPU-bound, at sandbox corpus sizes.) The input `pages`
+# table is re-pinned untimed before each run — on a cluster the input is a
+# table on disk, not part of the job's work.
 n_txns = [0]
+def _reset_caches():
+    spark.catalog.clearCache()
+    pages.persist()
+    pages.count()
 def _full():
     n_txns[0] = pipeline.transactions_pipeline(pages).count()
-t_full, full_runs, full_steal = _timed(_full, 3)
+t_full, full_runs, full_steal = _timed(_full, 3, before=_reset_caches)
 n_txns = n_txns[0]
 
 fails = extract_op.extraction_metrics(extract_op.extract_documents(pages))
@@ -140,9 +149,13 @@ def main() -> None:
 
 Same job, same deterministic input ({n_docs} synthetic pages, 128 input
 partitions, seed-free pure-function corpus), two parallelism levels in
-separate JVMs. Per level: median of 3 steady-state timed runs after warmup,
-level order interleaved (N, 4N, N, 4N) with the better child kept per level.
-Efficiency = (docs/sec @ {four_n}) / (docs/sec @ {n}) / 4.
+separate JVMs. Per level: median of 3 timed runs after warmup, level order
+interleaved (N, 4N, N, 4N) with the better child kept per level. Full-
+pipeline runs clear the intermediate caches before every repeat, so each
+run pays the whole extract→normalize→classify→pair chain (the round-1
+protocol let runs 2-3 reuse run 1's cached intermediates, which measured
+only the latency-bound post-extraction tail). Efficiency =
+(docs/sec @ {four_n}) / (docs/sec @ {n}) / 4.
 
 Levels are {n} and {four_n} JVM threads: each pandas-UDF task also runs a
 Python worker process, so local[32] on this 32-core box would oversubscribe
@@ -170,10 +183,24 @@ parse-failure rate {hi['parse_failure_rate']}.
 
 Why extraction scales: the stage is a single mapInPandas over
 xxhash64(url)-distributed partitions — no shuffle, no driver round-trip, no
-skew (host-hot keys are spread by url hash, never host). The full pipeline
-adds the C1/C2 banded self-joins whose shuffles are AQE-coalesced; their
-fixed stage overheads amortize with corpus size, so full-pipeline efficiency
-at this small sandbox scale is a lower bound on cluster behavior.
+skew (host-hot keys are spread by url hash, never host).
+
+Full-pipeline accounting (round 2): three scalability fixes landed —
+serialized persist barriers (deserialized string caches thrashed the heap:
+repeat runs degraded 112→193s at local[16] before, flat after), mutual-best
+pairing as map-side-combinable min_by argmin aggregations instead of two
+row_number window sorts over the banded join's ~10^8 candidate rows, and
+hint-free decoration joins (AQE broadcasts small sides at runtime; a forced
+broadcast is a driver-serial collect+rebroadcast — a pure Amdahl fraction).
+Together they cut the full job ~35% at local[4] and ~20% at local[16] at
+600k docs. The residual efficiency gap decomposes (t = s + W/cores fit to
+the two levels) to a ~45-50s driver-serial component — AQE stage
+finalization, scheduling of ~10^4 tasks, and Python-worker stage launches —
+which is CONSTANT in executor count: on a real cluster it does not grow
+with data, so at 10^12 rows the parallel work dwarfs it and full-pipeline
+efficiency converges toward extraction's. Local mode also shares one
+machine's memory bandwidth and spill disk across both "cluster sizes",
+which a real 4x resize would not.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(md)

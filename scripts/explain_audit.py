@@ -75,11 +75,43 @@ def main() -> None:
         "q14_dedup_exact": dict(require=[r"partial_min|partial_first|partial_count"]),
         # BPE tokens: native regexp in codegen, no python udf
         "q20_bpe_tokens": dict(require=[r"codegen id : \d"], forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # scalar-function queries: fully native, zero Python in the plan
+        "q29_summary_interest": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        "q30_amount_sanity": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        "q32_clean_contra": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        "q33_to_number": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # D4 mapping: the ~60-row chart joins via broadcast nested loop (an
+        # intended bounded cross join), never a full cartesian
+        "q31_account_mapping": dict(
+            require=[r"BroadcastNestedLoopJoin"],
+            forbid=[r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
     }
 
     for name, spec in checks.items():
         df = qs[name](spark, SF)
         plan, problems = audit(name, df, **spec)
+        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        print(f"{status:60s} {name}")
+        if problems:
+            failures += 1
+        head = "\n".join(plan.splitlines()[:40])
+        sections.append(f"## {name} — {status}\n\n```\n{head}\n```\n")
+
+    # ad-hoc: the bank-match probe's broadcast is parameterized — with the
+    # flag on, the decoration join is a BroadcastHashJoin; with it off, the
+    # plan degrades to a shuffle join (the 100 TB escape hatch), never a
+    # cartesian. Mirrors pairing's broadcast_decorations knob.
+    from pdf_parser_spark.operators import normalize as normalize_op
+
+    txns = entrymod._event_txns(spark, SF)
+    for flag, require in (
+        (True, [r"BroadcastHashJoin"]),
+        (False, [r"SortMergeJoin|ShuffledHashJoin"]),
+    ):
+        name = f"bank_match_broadcast_{str(flag).lower()}"
+        df = normalize_op.with_bank_match(txns, broadcast_matches=flag)
+        plan, problems = audit(name, df, require=require)
         status = "OK" if not problems else "FAIL " + "; ".join(problems)
         print(f"{status:60s} {name}")
         if problems:

@@ -1,0 +1,82 @@
+"""Corpus-curation pipeline: gate, language filter, exact + near dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.plans import curation
+
+_EN = (
+    "the quick brown fox jumps over the lazy dog and it is a fine day "
+    "to walk in the park with a friend of the family"
+)
+_DE = (
+    "der schnelle braune fuchs springt und die katze sitzt auf dem dach "
+    "mit der familie in der sonne und das ist auf den punkt"
+)
+
+
+def _doc_text(i: int) -> str:
+    # ~40% shared prefix + 60% doc-unique tokens: docs are related but fall
+    # well under the 0.8 near-dup threshold against each other
+    unique = " ".join(f"w{i}x{j} text{i * 7 + j}" for j in range(12))
+    return f"{_EN} unique section {i}: {unique}"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, _doc_text(i), "en"))
+    rows.append((20, _doc_text(0), "en"))        # exact dup of 0
+    rows.append((21, _doc_text(1) + " x", "en"))  # near dup of 1
+    rows.append((30, "short", "en"))              # fails gate: too short
+    rows.append((31, _DE, "de"))                  # german doc
+    # digits-only "text": length passes but alpha=0, stopwords=0 → 0.4 < 0.5
+    rows.append((32, " ".join(str(100 + k) for k in range(15)), "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_quality_gate_drops_junk(spark, corpus):
+    gated = curation.quality_gate(corpus, 0.5)
+    ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert 30 not in ids          # too short
+    assert 32 not in ids          # digits-only rows score 0.4 < 0.5
+    assert set(range(10)) <= ids  # real text passes
+
+
+def test_language_filter_uses_prediction_not_label(spark, corpus):
+    # mislabel the German doc as 'en': the PREDICTED language must win
+    mislabeled = corpus.withColumn("lang", F.lit("en"))
+    kept = curation.language_filter(mislabeled, ("en",))
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 31 not in ids
+    assert 0 in ids
+
+
+def test_exact_dedup_keeps_min_id(spark, corpus):
+    out = curation.drop_exact_duplicates(corpus)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 0 in ids and 20 not in ids
+    assert 1 in ids and 21 in ids  # near-dup but not exact: both survive
+
+
+def test_near_dedup_drops_larger_id(spark, corpus):
+    out = curation.drop_near_duplicates(corpus, threshold=0.8)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 1 in ids and 21 not in ids  # 21 ≈ 1, larger id loses
+    assert 0 in ids and 20 not in ids  # exact dups are near-dups too
+
+
+def test_full_curation_and_summary(spark, corpus):
+    curated = curation.curate(
+        corpus, min_quality=0.5, allowed_langs=("en",), neardup_threshold=0.8
+    )
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert ids == set(range(10))  # dups, near-dups, junk, and German all gone
+    summary = curation.curation_summary(curated).collect()
+    assert len(summary) == 1
+    row = summary[0]
+    assert row["lang_pred"] == "en" and row["n_docs"] == 10
+    assert row["total_tokens"] > 0 and 0.0 < row["avg_quality"] <= 1.0
