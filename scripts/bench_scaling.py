@@ -105,7 +105,7 @@ def run_level(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_N_DOCS=str(n_docs))
     out = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO}],
-        env=env, capture_output=True, text=True, timeout=1800,
+        env=env, capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
@@ -130,8 +130,11 @@ def main() -> None:
 
     lo = run_level(n, n_docs)
     hi = run_level(four_n, n_docs)
-    lo = best(lo, run_level(n, n_docs))
-    hi = best(hi, run_level(four_n, n_docs))
+    # BENCH_SINGLE_PASS=1 skips the second interleaved pass (one child per
+    # level, still median-of-3 within the child) — for time-boxed runs
+    if not os.environ.get("BENCH_SINGLE_PASS"):
+        lo = best(lo, run_level(n, n_docs))
+        hi = best(hi, run_level(four_n, n_docs))
     eff_extract = round(hi["extract_docs_per_sec"] / lo["extract_docs_per_sec"] / 4, 3)
     eff_full = round(hi["full_docs_per_sec"] / lo["full_docs_per_sec"] / 4, 3)
     result = {
