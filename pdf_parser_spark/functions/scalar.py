@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from pdf_parser_spark.extraction_core import ALLOWED_ACCOUNTS, fallback_account
 
@@ -125,8 +124,10 @@ def force_map_to_allowed(
     match, else FIRST (list-order) mutual-substring match, else max
     shared-token count with first-in-list tie-break; empty/NULL input →
     uncategorized fallback. One broadcast cross join against the ~60-row
-    chart + a per-row argmax window — no Python, no shuffle of the big side
-    beyond the window's hash partition on the row id.
+    chart, then a `min_by` argmin aggregation per row id — partially
+    aggregable, so the map side collapses the 60× fan-out to one row per
+    input before the exchange (a row_number window would shuffle and sort
+    all 60 candidates per row). No Python anywhere in the plan.
     """
     accounts = accounts if accounts is not None else ALLOWED_ACCOUNTS
     allowed = allowed_accounts_df(df.sparkSession, accounts)
@@ -146,15 +147,18 @@ def force_map_to_allowed(
         F.filter(c_tokens, lambda t: F.array_contains(F.col("a_tokens"), t))
     )
     tier = F.when(exact, 0).when(sub, 1).otherwise(2)
-    scored = j.withColumn("_tier", tier).withColumn("_hits", hits)
-    w = W.partitionBy("_rid").orderBy(
-        F.col("_tier").asc(),
-        F.when(F.col("_tier") == 2, -F.col("_hits")).otherwise(F.lit(0)).asc(),
-        F.col("idx").asc(),
+    # ordering struct (tier, hits_key, idx) is unique per _rid (idx is
+    # unique), so the argmin is deterministic
+    order = F.struct(
+        tier.alias("t"),
+        F.when(tier == 2, -hits).otherwise(F.lit(0)).alias("h"),
+        F.col("idx").alias("i"),
     )
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+    best = j.groupBy("_rid").agg(
+        F.min_by(F.col("account"), order).alias("_best_account")
+    )
+    out = (
+        row.join(best, "_rid")
         .withColumn(
             out_col,
             # the scalar falls back only on a falsy *raw* input ('' / None);
@@ -163,8 +167,8 @@ def force_map_to_allowed(
             F.when(
                 F.col(chosen_col).isNull() | (F.col(chosen_col) == ""),
                 F.lit(fb),
-            ).otherwise(F.col("account")),
+            ).otherwise(F.col("_best_account")),
         )
-        .drop("_c", "_rid", "_rn", "_tier", "_hits", "idx", "account", "account_lc", "a_tokens")
+        .drop("_c", "_rid", "_best_account")
     )
-    return best
+    return out
