@@ -8,6 +8,7 @@ from pdf_parser_spark.functions.scalar import (  # noqa: F401
     amount_fragment_col,
     clean_contra_col,
     force_map_to_allowed,
+    mapped_account_col,
     summary_interest_col,
     to_number_col,
     valid_amount_col,

@@ -32,6 +32,16 @@ def valid_amount_col(amount):
 
 _B9_CUTOFF = "2023-10-01"
 
+# Python str.strip()/str.split() treat ANY whitespace (tabs, newlines, NBSP)
+# as separators, while Spark's F.trim strips ASCII spaces only — so the
+# column twins normalize with a (?U)\s regex instead of trim (parity with
+# the golden scalars on '\t'/'\n'-padded inputs is tested).
+_WS_TRIM = r"(?U)^\s+|\s+$"
+
+
+def _ws_strip(col):
+    return F.regexp_replace(col, _WS_TRIM, "")
+
 
 def summary_interest_col(memo, date_str, amount):
     """B9 — statement-summary interest heuristic as one boolean expression.
@@ -46,15 +56,25 @@ def summary_interest_col(memo, date_str, amount):
         | lo.contains("apr")
         | lo.contains("summary")
     )
-    n_words = F.size(F.split(F.trim(lo), r"\s+"))
+    # len(lo.split()) in the scalar: split on any whitespace, drop empties
+    n_words = F.size(F.filter(F.split(lo, r"(?U)\s+"), lambda t: t != ""))
     big = F.coalesce(F.abs(amount) >= 100.0, F.lit(False))
     parsed = F.try_to_timestamp(date_str, F.lit("M/d/yyyy"))
     old = F.coalesce(parsed < F.lit(_B9_CUTOFF).cast("timestamp"), F.lit(False))
     return kw & (n_words <= 6) & big & old
 
 
-def to_number_col(x):
-    """G13 — keep chars [0-9.-], cast double, failure → 0.0."""
+def to_number_col(x, numeric_input: bool = False):
+    """G13 — keep chars [0-9.-], cast double, failure → 0.0.
+
+    The scalar `to_number` short-circuits numeric inputs (`float(x)` before
+    any character stripping). A bare Column carries no dtype, so callers
+    with a numeric source column pass ``numeric_input=True`` to mirror that
+    branch — otherwise a double rendered by Spark in scientific notation
+    ('2.0E-5') would have its 'E' stripped and collapse to 0.0.
+    """
+    if numeric_input:
+        return F.coalesce(x.cast("double"), F.lit(0.0))
     s = F.regexp_replace(F.coalesce(x.cast("string"), F.lit("")), r"[^0-9.\-]", "")
     return F.coalesce(s.try_cast("double"), F.lit(0.0))
 
@@ -93,23 +113,77 @@ def clean_contra_col(label):
 
 
 # ---------------------------------------------------------------------------
-# D4 — best-token-overlap mapping as a broadcast-join + window argmax
+# D4 — best-token-overlap mapping as a shuffle-free literal-array argmin
 # ---------------------------------------------------------------------------
 
 
-def allowed_accounts_df(spark, accounts: list[str] | None = None) -> DataFrame:
-    """(idx, account, account_lc, a_tokens) — the tiny broadcast dimension."""
+def _chart_literal(accounts: list[str]):
+    """The allowed chart as ONE array<struct> literal — compile-time constant.
+
+    Each entry carries (i, account, account_lc, a_tokens). Because the chart
+    is a literal, the whole D4 cascade becomes a pure projection: no join,
+    no aggregate, no exchange anywhere in the plan.
+    """
+    entries = []
+    for i, a in enumerate(accounts):
+        al = a.lower()
+        toks = [t for t in al.split(" ") if t]
+        entries.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).alias("account"),
+                F.lit(al).alias("account_lc"),
+                F.array(*[F.lit(t) for t in toks]).cast("array<string>").alias(
+                    "a_tokens"
+                ),
+            )
+        )
+    return F.array(*entries)
+
+
+def mapped_account_col(chosen, accounts: list[str] | None = None):
+    """D4 as a single column expression (the scalar cascade, JVM-side).
+
+    Cascade identical to the scalar `force_map_to_allowed`
+    (utils/classify_transaction.py:15-37): exact lowercase match, else
+    FIRST (list-order) mutual-substring match, else max shared-token count
+    with first-in-list tie-break; empty/NULL raw input → uncategorized
+    fallback. Implemented as `array_min` over a `transform` of the literal
+    chart with ordering key (tier, -hits, list index) — structs compare
+    lexicographically, so the argmin reproduces every tie-break of the
+    Python loops. Zero joins, zero shuffles, whole-stage codegen.
+    """
     accounts = accounts if accounts is not None else ALLOWED_ACCOUNTS
-    rows = [(i, a) for i, a in enumerate(accounts)]
-    df = spark.createDataFrame(rows, "idx int, account string")
-    return df.select(
-        "idx",
-        "account",
-        F.lower(F.col("account")).alias("account_lc"),
-        F.filter(
-            F.split(F.lower(F.col("account")), " "), lambda x: x != ""
-        ).alias("a_tokens"),
-    )
+    if not accounts:
+        # scalar: empty chart → return the input unchanged (falsy → fallback)
+        fb = fallback_account(accounts)
+        return F.when(chosen.isNull() | (chosen == ""), F.lit(fb)).otherwise(chosen)
+    fb = fallback_account(accounts)
+    chart = _chart_literal(accounts)
+    # Python str.strip() strips any whitespace; see _WS_TRIM note above
+    c = F.lower(_ws_strip(F.coalesce(chosen, F.lit(""))))
+    # scalar tokenization: c.split(" ") then drop empties (single-space split)
+    c_tokens = F.filter(F.split(c, " "), lambda x: x != "")
+
+    def score(e):
+        exact = c == e["account_lc"]
+        sub = e["account_lc"].contains(c) | c.contains(e["account_lc"])
+        hits = F.size(
+            F.filter(c_tokens, lambda t: F.array_contains(e["a_tokens"], t))
+        )
+        tier = F.when(exact, F.lit(0)).when(sub, F.lit(1)).otherwise(F.lit(2))
+        return F.struct(
+            tier.alias("t"),
+            F.when(tier == 2, -hits).otherwise(F.lit(0)).alias("h"),
+            e["i"].alias("i"),
+            e["account"].alias("account"),
+        )
+
+    best = F.array_min(F.transform(chart, score))["account"]
+    # the scalar falls back only on a falsy *raw* input ('' / None);
+    # whitespace-only input strips to '' and then matches the FIRST
+    # account via the substring rule ('' is a substring of anything)
+    return F.when(chosen.isNull() | (chosen == ""), F.lit(fb)).otherwise(best)
 
 
 def force_map_to_allowed(
@@ -120,55 +194,10 @@ def force_map_to_allowed(
 ) -> DataFrame:
     """D4 distributed: map every `chosen_col` onto the allowed chart.
 
-    Cascade identical to the scalar `force_map_to_allowed`: exact lowercase
-    match, else FIRST (list-order) mutual-substring match, else max
-    shared-token count with first-in-list tie-break; empty/NULL input →
-    uncategorized fallback. One broadcast cross join against the ~60-row
-    chart, then a `min_by` argmin aggregation per row id — partially
-    aggregable, so the map side collapses the 60× fan-out to one row per
-    input before the exchange (a row_number window would shuffle and sort
-    all 60 candidates per row). No Python anywhere in the plan.
+    Thin DataFrame wrapper over `mapped_account_col`. The round-2 form was a
+    broadcast crossJoin + min_by argmin keyed on monotonically_increasing_id
+    + join-back — two N-row exchanges and a nondeterministic synthetic key
+    for what is a pure scalar function of one column against a
+    compile-time-constant list. Now a single projection.
     """
-    accounts = accounts if accounts is not None else ALLOWED_ACCOUNTS
-    allowed = allowed_accounts_df(df.sparkSession, accounts)
-    fb = fallback_account(accounts)
-
-    c = F.lower(F.trim(F.coalesce(F.col(chosen_col), F.lit(""))))
-    row = df.withColumn("_c", c).withColumn(
-        "_rid", F.monotonically_increasing_id()
-    )
-    j = row.crossJoin(F.broadcast(allowed))
-    exact = F.col("_c") == F.col("account_lc")
-    sub = F.col("account_lc").contains(F.col("_c")) | F.col("_c").contains(
-        F.col("account_lc")
-    )
-    c_tokens = F.filter(F.split(F.col("_c"), " "), lambda x: x != "")
-    hits = F.size(
-        F.filter(c_tokens, lambda t: F.array_contains(F.col("a_tokens"), t))
-    )
-    tier = F.when(exact, 0).when(sub, 1).otherwise(2)
-    # ordering struct (tier, hits_key, idx) is unique per _rid (idx is
-    # unique), so the argmin is deterministic
-    order = F.struct(
-        tier.alias("t"),
-        F.when(tier == 2, -hits).otherwise(F.lit(0)).alias("h"),
-        F.col("idx").alias("i"),
-    )
-    best = j.groupBy("_rid").agg(
-        F.min_by(F.col("account"), order).alias("_best_account")
-    )
-    out = (
-        row.join(best, "_rid")
-        .withColumn(
-            out_col,
-            # the scalar falls back only on a falsy *raw* input ('' / None);
-            # whitespace-only input strips to '' and then matches the FIRST
-            # account via the substring rule ('' is a substring of anything)
-            F.when(
-                F.col(chosen_col).isNull() | (F.col(chosen_col) == ""),
-                F.lit(fb),
-            ).otherwise(F.col("_best_account")),
-        )
-        .drop("_c", "_rid", "_best_account")
-    )
-    return out
+    return df.withColumn(out_col, mapped_account_col(F.col(chosen_col), accounts))

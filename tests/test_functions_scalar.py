@@ -41,6 +41,11 @@ _B9_CASES = [
     ("Monthly SUMMARY", "09/30/2023", None),
     (None, "01/01/2020", 500.0),
     ("interest", "1/5/2023", 100.0),  # non-padded date, both parsers accept
+    # whitespace parity: python .split() semantics — a leading tab must NOT
+    # create a phantom token that flips the <=6-word gate at the boundary
+    ("\tinterest one two three four five", "01/05/2023", 150.0),
+    ("interest\n charge  with\ttabs and newline", "01/05/2023", 150.0),
+    ("  apr  ", "01/05/2023", 200.0),
 ]
 
 
@@ -126,6 +131,13 @@ _D4_CASES = [
     "shipping supplies packaging",
     "SUBSCRIPTION revenue",
     "checking",
+    # whitespace parity: python .strip() strips tabs/newlines, so '\tRent'
+    # must still hit the exact/substring tiers
+    "\tRent",
+    "Legal Fees\n",
+    " 6220 - Meals & Entertainment \t",
+    "\t \n",  # whitespace-only: truthy raw → strips to '' → FIRST account
+    "meals\t&\tentertainment",  # tabs are NOT token separators (split(' '))
 ]
 
 
