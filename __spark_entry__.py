@@ -717,11 +717,17 @@ def r03_minhash_neardup(spark, sf_dir):
 
 
 def r04_simhash_neardup(spark, sf_dir):
-    """SimHash hamming-LSH near-duplicate pairs over documents."""
+    """SimHash hamming-LSH near-duplicate pairs over documents.
+
+    Ships the at-scale banding: 10 blocks → C(10,2)=45 AND-combination keys
+    of 12-14 bits, not the 9-block single-block split whose ~7-bit keys
+    hash the whole corpus into ~2^7 buckets (near-quadratic candidates at
+    web scale). Recall is 1.0 either way (pigeonhole, brute-force-parity
+    tested); the result set is identical."""
     from pdf_parser_spark.operators import dedupe as dedupe_op
 
     return dedupe_op.simhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), max_hamming=8
+        _t(spark, sf_dir, "documents"), max_hamming=8, n_blocks=10
     )
 
 

@@ -132,33 +132,44 @@ def classify(
     )
 
 
-def learning_aggregate(classified: DataFrame) -> DataFrame:
+def learning_aggregate(
+    classified: DataFrame, include_users: bool = False
+) -> DataFrame:
     """D1 — per-vendor learning aggregate (ref: utils/classify_transaction.py:121-137).
 
     total, byAccount counts, distinct-user count; top_account via a
     deterministic argmax (count desc, account asc — canonical tie-break
     re-spec; the reference's dict-insertion-order argmax is arrival-order
-    dependent). Two-phase: the (vendor_key, account) pre-aggregate is
-    map-side combinable, so the wide rows never shuffle raw.
-    """
-    from pyspark.sql import Window as W
+    dependent).
 
-    by_acct = classified.groupBy("vendor_key", "account").agg(
-        F.count("*").alias("cnt"), F.collect_set("uid").alias("uids")
+    Scale shape: the promotion rule only needs `countDistinct(uid)`, which
+    Spark executes as a two-phase aggregate (per-partition partial distinct,
+    then merge) — a hot vendor key with 10^7 distinct users never
+    materializes a 10^7-element array in one aggregation buffer, which the
+    round-2 `collect_set(uid)` + flatten form did. The reference's `users`
+    array (utils/classify_transaction.py:131-133) is available behind
+    ``include_users=True`` for callers that truly need it; the default path
+    has no unbounded per-key state. top_account is a map-side-combinable
+    `min_by` over the tiny (vendor_key, account) pre-aggregate — no window
+    sort.
+    """
+    per_acct = classified.groupBy("vendor_key", "account").agg(
+        F.count("*").alias("cnt")
     )
-    w = W.partitionBy("vendor_key").orderBy(F.col("cnt").desc(), F.col("account").asc())
-    ranked = by_acct.withColumn("_rn", F.row_number().over(w))
-    totals = by_acct.groupBy("vendor_key").agg(
+    # min over (-cnt, account) == argmax cnt with account-asc tie-break
+    order = F.struct((-F.col("cnt")).alias("nc"), F.col("account").alias("a"))
+    agg = per_acct.groupBy("vendor_key").agg(
         F.sum("cnt").alias("total"),
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("account", "cnt")))
         ).alias("byAccount"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("uids")))).alias("n_users"),
+        F.min_by(F.col("account"), order).alias("top_account"),
     )
-    top = ranked.filter(F.col("_rn") == 1).select(
-        "vendor_key", F.col("account").alias("top_account")
-    )
-    return totals.join(top, "vendor_key")
+    user_aggs = [F.countDistinct("uid").alias("n_users")]
+    if include_users:
+        user_aggs.append(F.sort_array(F.collect_set("uid")).alias("users"))
+    users = classified.groupBy("vendor_key").agg(*user_aggs)
+    return agg.join(users, "vendor_key")
 
 
 def promotions(agg: DataFrame, min_total: int = 5, min_users: int = 3) -> DataFrame:

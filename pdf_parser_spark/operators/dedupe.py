@@ -210,18 +210,29 @@ def _block_bounds(n_blocks: int, n_bits: int = 64) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            id_col="doc_id", text_col="text",
-                            n_blocks: int | None = None) -> DataFrame:
-    """SimHash near-dups with a SOUND pigeonhole: the 64 bits are split into
-    ``max_hamming + 1`` contiguous blocks (by default), so any pair within
-    hamming ≤ max_hamming is guaranteed to agree on at least one whole block
-    — max_hamming flipped bits cannot touch all max_hamming+1 blocks. The
-    candidate generation is ONE equi-join on (block_index, block_value)
-    after a posexplode (O(n·blocks) shuffled rows, never all-pairs), then an
-    exact popcount filter. Recall is exactly 1.0 by construction
-    (brute-force parity asserted in tests/test_trainingdata_ops.py).
+def _simhash_band_keys(sig_table: DataFrame, max_hamming: int,
+                       n_blocks: int | None = None) -> DataFrame:
+    """(doc_id, simhash, band, band_val) — AND-of-block-combinations keys.
+
+    The 64 bits are split into ``n_blocks`` (default max_hamming+1)
+    contiguous blocks and every combination of ``n_blocks - max_hamming``
+    blocks is packed into one 64-bit band key. Pigeonhole: max_hamming
+    flipped bits touch at most max_hamming blocks, so at least
+    n_blocks - max_hamming blocks agree — and those agreeing blocks contain
+    at least one full combination, whose packed key both docs share.
+    Recall is therefore exactly 1.0 for ANY n_blocks > max_hamming.
+
+    n_blocks trades key width against keys-per-doc: the default (k=1 block
+    per key, max_hamming+1 keys/doc) is cheapest but at max_hamming=8 its
+    ~7-bit keys hash the whole corpus into ~2^7 buckets — near-quadratic
+    candidates at web scale. Raising n_blocks to max_hamming+2 doubles the
+    key width (2-block ~13-bit keys, C(10,2)=45 keys/doc at h=8): ~64x
+    fewer collisions per bucket for 5x more band rows, the right trade
+    at 10^12 docs (candidate sub-quadraticity asserted in
+    tests/test_trainingdata_ops.py).
     """
+    from itertools import combinations
+
     nb = n_blocks if n_blocks is not None else max_hamming + 1
     if nb <= max_hamming:
         raise ValueError(
@@ -230,18 +241,34 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         )
     if nb > 64:
         raise ValueError("n_blocks > 64 leaves empty blocks (64-bit simhash)")
-    t = simhash_table(docs, id_col, text_col)
+    k = nb - max_hamming
+    bounds = _block_bounds(nb)
     block_cols = [
         F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        for start, width in _block_bounds(nb)
+        for start, width in bounds
     ]
-    bands = t.select(
+    # pack each k-combination into one long: blocks partition 64 bits, so
+    # any subset fits; shift-accumulate in combination order
+    combo_cols = []
+    for combo in combinations(range(nb), k):
+        key, shift = F.lit(0).cast("long"), 0
+        for bi in combo:
+            key = key.bitwiseOR(F.shiftleft(block_cols[bi], shift))
+            shift += bounds[bi][1]
+        combo_cols.append(key)
+    return sig_table.select(
         F.col("doc_id"),
         F.col("simhash"),
-        F.posexplode(F.array(*block_cols)).alias("band", "band_val"),
+        F.posexplode(F.array(*combo_cols)).alias("band", "band_val"),
     )
+
+
+def simhash_candidates(sig_table: DataFrame, max_hamming: int,
+                       n_blocks: int | None = None) -> DataFrame:
+    """Distinct candidate pairs (a_id, b_id, a_sig, b_sig) from the band join."""
+    bands = _simhash_band_keys(sig_table, max_hamming, n_blocks)
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"),
         "band", "band_val",
@@ -255,6 +282,23 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_sig", "b_sig")
         .distinct()
+    )
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col="doc_id", text_col="text",
+                            n_blocks: int | None = None) -> DataFrame:
+    """SimHash near-dups with a SOUND pigeonhole (see _simhash_band_keys):
+    candidate generation is ONE equi-join on packed (band, band_val) keys
+    after a posexplode (O(n·keys) shuffled rows, never all-pairs), then an
+    exact popcount filter. Recall is exactly 1.0 by construction
+    (brute-force parity asserted in tests/test_trainingdata_ops.py). For
+    max_hamming ≥ 4 pass n_blocks ≥ max_hamming+2 so the join keys stay
+    wide enough for web-scale corpora.
+    """
+    t = simhash_table(docs, id_col, text_col)
+    return (
+        simhash_candidates(t, max_hamming, n_blocks)
         .withColumn("hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")

@@ -129,6 +129,48 @@ def test_classification_memory_precedence(spark, txns):
     )
 
 
+def test_learning_aggregate_skewed_uids(spark):
+    """D1 scale-safety: promotion result is identical with and without the
+    materialized users array, on a hot vendor key with 10^4 distinct uids
+    (the default path must carry NO collect_set in its plan)."""
+    from pdf_parser_spark.operators import classify as classify_op
+
+    hot = spark.range(10_000).select(
+        F.lit("hot vendor").alias("vendor_key"),
+        F.when(F.col("id") % 3 == 0, "6310 - Bank Fees")
+        .otherwise("6110 - Utilities")
+        .alias("account"),
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),  # every row a new uid
+    )
+    cold = spark.range(4).select(
+        F.lit("cold vendor").alias("vendor_key"),
+        F.lit("6110 - Utilities").alias("account"),
+        F.lit("u0").alias("uid"),  # one uid → never promotable
+    )
+    classified = hot.unionByName(cold)
+
+    agg = classify_op.learning_aggregate(classified)
+    assert "collect_set" not in agg._jdf.queryExecution().optimizedPlan().toString()
+    rows = {r["vendor_key"]: r for r in agg.collect()}
+    assert rows["hot vendor"]["total"] == 10_000
+    assert rows["hot vendor"]["n_users"] == 10_000
+    assert rows["hot vendor"]["top_account"] == "6110 - Utilities"
+    assert rows["hot vendor"]["byAccount"]["6310 - Bank Fees"] == 3334
+    assert rows["cold vendor"]["n_users"] == 1
+
+    promoted = {r["vendor_key"]: r["account"]
+                for r in classify_op.promotions(agg).collect()}
+    assert promoted == {"hot vendor": "6110 - Utilities"}
+
+    # opt-in users array agrees with the distinct count
+    with_users = classify_op.learning_aggregate(classified, include_users=True)
+    r = with_users.filter(F.col("vendor_key") == "cold vendor").first()
+    assert r["users"] == ["u0"] and r["n_users"] == 1
+    promoted2 = {r["vendor_key"]: r["account"]
+                 for r in classify_op.promotions(with_users).collect()}
+    assert promoted2 == promoted
+
+
 def test_pairing_properties(txns):
     paired = txns.filter(F.col("pairId").isNotNull()).cache()
     n = paired.count()

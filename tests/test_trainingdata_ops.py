@@ -163,11 +163,16 @@ def _hamming(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-@pytest.mark.parametrize("max_hamming", [3, 8])
-def test_simhash_near_duplicates_brute_force_parity(spark, max_hamming):
-    """The LSH pair set must EQUAL the all-pairs brute-force set: the
-    max_hamming+1-block pigeonhole guarantees recall 1.0 (the round-1 bug
-    was 4 fixed blocks with max_hamming=8 — silently lossy)."""
+@pytest.mark.parametrize(
+    "max_hamming,n_blocks",
+    [(3, None), (8, None), (3, 5), (8, 10), (8, 11)],
+)
+def test_simhash_near_duplicates_brute_force_parity(spark, max_hamming, n_blocks):
+    """The LSH pair set must EQUAL the all-pairs brute-force set for both
+    the single-block pigeonhole (n_blocks=None → max_hamming+1 blocks, the
+    round-1 bug was 4 fixed blocks with max_hamming=8 — silently lossy) AND
+    the AND-of-block-combinations scheme (n_blocks > max_hamming+1, the
+    wide-key web-scale configuration)."""
     docs_df = _neardup_docs(spark, 50)
     sigs = {r["doc_id"]: dedupe.simhash64(r["text"]) for r in docs_df.collect()}
     expect = {
@@ -178,7 +183,9 @@ def test_simhash_near_duplicates_brute_force_parity(spark, max_hamming):
     }
     got = {
         (r["a_id"], r["b_id"])
-        for r in dedupe.simhash_near_duplicates(docs_df, max_hamming=max_hamming).collect()
+        for r in dedupe.simhash_near_duplicates(
+            docs_df, max_hamming=max_hamming, n_blocks=n_blocks
+        ).collect()
     }
     assert got == expect
     assert expect, "corpus must actually contain near-dup pairs for the test to bite"
@@ -188,6 +195,22 @@ def test_simhash_rejects_lossy_block_count(spark):
     docs_df = _neardup_docs(spark, 4)
     with pytest.raises(ValueError):
         dedupe.simhash_near_duplicates(docs_df, max_hamming=8, n_blocks=4)
+
+
+def test_simhash_combination_banding_is_subquadratic(spark):
+    """At max_hamming=8 the default 9-block split joins on ~7-bit keys —
+    ~n^2/2^7 candidates. The 10-block combination scheme packs 2-block
+    (12-14 bit) keys; on 10^4 random signatures it must generate an order
+    of magnitude fewer candidate pairs while keeping recall 1.0 (parity
+    test above). This is the at-scale configuration r04 ships."""
+    rng = np.random.RandomState(42)
+    sigs = rng.randint(-(1 << 63), 1 << 63, size=10_000, dtype=np.int64)
+    t = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    narrow = dedupe.simhash_candidates(t, max_hamming=8).count()
+    wide = dedupe.simhash_candidates(t, max_hamming=8, n_blocks=10).count()
+    assert wide * 8 < narrow, (narrow, wide)
 
 
 # ---------------------------------------------------------------------------
