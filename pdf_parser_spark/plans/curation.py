@@ -15,15 +15,19 @@ equi-join-shaped shuffle. The near-dup stage shuffles O(n·bands) band keys
 the loser-id set, so the big table is shuffled exactly once per dedup stage
 on its key.
 
-Near-dup drop rule (documented approximation): for every verified pair
-(a < b), the LARGER doc_id is dropped. This is one pass of union-by-min —
-duplicates of a cluster all lose to the cluster's minimum unless chained
-pairs escape the LSH bands (rare at the thresholds used; exact transitive
-clustering would need iterative connected components, which the batch
-re-run converges toward). Deterministic and order-free either way.
+Near-dup drop rule: transitive by default — iterative min-label connected
+components over the verified pair graph (one survivor per duplicate
+CLUSTER, even for chained duplicates A~B, B~C with A≁C), falling back to
+the cheap one-pass union-by-min (`transitive=False`) where a single
+band-join pass is preferred. The component iteration runs only over the
+pair graph (docs that appear in at least one verified pair — a small
+fraction of the corpus), converges in O(cluster diameter) joins, and is
+lineage-truncated per iteration. Deterministic and order-free either way.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,12 +63,87 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def neardup_components(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Connected components over a (a_id, b_id) pair graph → (doc_id, component).
+
+    Iterative min-label propagation: every vertex starts labeled with its
+    own id; each round every vertex takes the minimum label among itself
+    and its neighbors; fixpoint when no label changes. The component label
+    is therefore the MINIMUM doc_id in the component — a deterministic
+    canonical representative. Converges in O(diameter) rounds (near-dup
+    clusters are shallow; chains of length d need ~log/d rounds), bounded
+    by ``max_iters`` with a warning if the bound is hit.
+
+    Scale shape: operates only on vertices that appear in a pair (a small
+    fraction of the corpus); each round is one equi-join + one
+    map-side-combinable min aggregate; `localCheckpoint` truncates lineage
+    so the plan does not grow with rounds.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"neardup_components: not converged after {max_iters} rounds; "
+            "labels are a refinement (over-segmented components)",
+            stacklevel=2,
+        )
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def drop_near_duplicates(docs: DataFrame, threshold: float = 0.85,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """Drop the larger id of every verified near-dup pair (union-by-min pass)."""
+                         text_col: str = "text",
+                         transitive: bool = True) -> DataFrame:
+    """Remove near-duplicates, keeping one survivor per duplicate cluster.
+
+    transitive=True (default): connected components over the verified pair
+    graph; the survivor is the minimum id of each component, so chained
+    duplicates (A~B, B~C, A≁C) keep exactly ONE of {A,B,C}. transitive=False
+    is the cheap one-pass union-by-min (drop the larger id of every pair) —
+    identical result on clusters whose every member pairs with the minimum,
+    but a chain fragment can survive it.
+    """
     pairs = dedupe_op.near_duplicates_minhash(docs, threshold, id_col, text_col)
-    losers = pairs.select(F.col("b_id").alias("_lose_id")).distinct()
+    if transitive:
+        comp = neardup_components(pairs)
+        losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+            F.col("doc_id").alias("_lose_id")
+        )
+    else:
+        losers = pairs.select(F.col("b_id").alias("_lose_id")).distinct()
     return docs.join(losers, docs[id_col] == losers["_lose_id"], "left_anti")
 
 

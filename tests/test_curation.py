@@ -69,6 +69,57 @@ def test_near_dedup_drops_larger_id(spark, corpus):
     assert 0 in ids and 20 not in ids  # exact dups are near-dups too
 
 
+def test_neardup_components_min_label(spark):
+    """CC over an explicit pair graph: chains collapse to min-id components."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (no 1~4 edge) + pair 7-8 + isolated-by-absence 9
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "a_id long, b_id long"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in curation.neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_near_dedup_transitive_chain_one_survivor(spark):
+    """A~B, B~C with A≁C: exactly one survivor per chain (the min id).
+
+    The chain's MIDDLE doc carries the largest id (A=1, B=3, C=2), so the
+    one-pass union-by-min rule — which drops the larger id of each verified
+    pair — only drops B, leaving TWO local-minimum survivors {A, C} of one
+    duplicate cluster. The CC default must keep exactly the component
+    minimum."""
+    # 60 tokens; each single-token edit kills ~3 of the 58 3-gram shingles.
+    # B edits 3 tokens (J(A,B)=49/67≈0.73); C edits 3 OTHER tokens relative
+    # to B (J(B,C)≈0.73, J(A,C)=40/76≈0.53) — so at threshold 0.6 the chain
+    # verifies A~B and B~C but not A~C.
+    base = [f"tok{j}" for j in range(60)]
+    mid = list(base)
+    for j, pos in enumerate((5, 25, 45)):
+        mid[pos] = f"mid{j}"
+    far = list(mid)
+    for j, pos in enumerate((10, 30, 50)):
+        far[pos] = f"far{j}"
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (3, " ".join(mid)), (2, " ".join(far)),
+         (50, "completely different text about other things entirely " * 3)],
+        "doc_id long, text string",
+    )
+    from pdf_parser_spark.operators import dedupe as dedupe_op
+
+    # threshold chosen so A~B (1,3) and B~C (2,3) verify but A~C (1,2) not
+    pairs = {(r["a_id"], r["b_id"])
+             for r in dedupe_op.near_duplicates_minhash(docs, 0.6).collect()}
+    assert (1, 3) in pairs and (2, 3) in pairs and (1, 2) not in pairs
+
+    transitive = {r["doc_id"] for r in
+                  curation.drop_near_duplicates(docs, 0.6).select("doc_id").collect()}
+    assert transitive == {1, 50}
+    one_pass = {r["doc_id"] for r in
+                curation.drop_near_duplicates(docs, 0.6, transitive=False)
+                .select("doc_id").collect()}
+    assert one_pass == {1, 2, 50}  # two local minima of ONE cluster survive
+
+
 def test_full_curation_and_summary(spark, corpus):
     curated = curation.curate(
         corpus, min_quality=0.5, allowed_langs=("en",), neardup_threshold=0.8
