@@ -194,9 +194,13 @@ def page_row(doc_id: int, n_hosts: int = 50) -> dict:
     text = statement_text(doc_id)
     url = f"https://host{host}.example/stmt/{doc_id}" + (".pdf" if is_pdf else "")
     if mode == 6:
-        from pdf_parser_spark.pdf_codec import write_pdf
+        from pdf_parser_spark.pdf_codec import write_pdf, write_pdf_type0
 
-        payload = write_pdf(text)
+        # alternate simple/Type0 fonts so the extraction-identity contract
+        # exercises BOTH decode paths (2-byte Identity-H CIDs + ToUnicode
+        # CMap on the odd tens)
+        writer = write_pdf_type0 if (doc_id // 10) % 2 else write_pdf
+        payload = writer(text)
     elif mode == 5:
         payload = text.encode("utf-8")
     else:

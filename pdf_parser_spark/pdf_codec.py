@@ -24,10 +24,15 @@ text-state matrices. No reference code is involved — the reference delegates
 this entirely to third-party libraries.
 
 Scope (documented, asserted by tests): simple fonts with 1-byte codes
-(Latin-1 text), FlateDecode or raw streams, uncompressed xref (the decoder
-does not even need the xref — it scans objects directly, which also survives
-mildly corrupt files). CID/Type0 fonts and encrypted files are out of scope
-and raise ValueError so the extract stage records parse_failed honestly.
+(Latin-1 text) AND Type0 composite fonts with Identity-H/V encodings —
+2-byte CIDs, CIDFontType2 descendants with /DW + /W widths, ToUnicode CMap
+decode (bfchar + both bfrange forms) — which covers the common shape real
+statement generators emit (``write_pdf_type0`` produces it for tests).
+FlateDecode or raw streams, uncompressed xref (the decoder does not even
+need the xref — it scans objects directly, which also survives mildly
+corrupt files). Type0 fonts with embedded-CMap encodings and encrypted
+files remain out of scope and raise ValueError so the extract stage
+records parse_failed honestly.
 """
 
 from __future__ import annotations
@@ -118,7 +123,11 @@ def write_pdf(text: str, compress: bool = True) -> bytes:
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+    return _assemble_pdf(objects)
 
+
+def _assemble_pdf(objects: dict[int, bytes]) -> bytes:
+    """Serialize numbered object bodies into a full file (header, xref, trailer)."""
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -135,6 +144,110 @@ def write_pdf(text: str, compress: bool = True) -> bytes:
         % (max_num + 1, xref_pos)
     )
     return bytes(buf)
+
+
+def write_pdf_type0(text: str, compress: bool = True) -> bytes:
+    """text → PDF bytes using a Type0 (composite) font with Identity-H codes.
+
+    Covers the composite-font shape real statement generators emit, which
+    the simple-font writer cannot: a /Type0 font whose /Encoding is
+    Identity-H, a CIDFontType2 descendant with /CIDToGIDMap /Identity and a
+    /W width array, 2-byte character codes in the content streams, and a
+    /ToUnicode CMap mapping CIDs back to text. CIDs are assigned by first
+    appearance in the document (NOT Unicode code points), so decoding
+    genuinely exercises the CMap — an identity shortcut would scramble the
+    text. Geometry matches the simple writer's grid (every CID width 600 →
+    6pt advance at 10pt), so layout round-trips identically.
+    """
+    src_lines = text.split("\n")
+    pages = [
+        src_lines[i : i + LINES_PER_PAGE]
+        for i in range(0, len(src_lines), LINES_PER_PAGE)
+    ] or [[]]
+
+    # glyph table: CID = order of first appearance (0 = notdef, unused)
+    cid_of: dict[str, int] = {}
+    for line in src_lines:
+        for ch in line:
+            if ch not in cid_of:
+                cid_of[ch] = len(cid_of) + 1
+
+    # ToUnicode CMap (public CMap syntax: bfchar blocks of <=100 entries)
+    bf_entries = [
+        b"<%04x> <%s>" % (cid, ch.encode("utf-16-be").hex().encode("ascii"))
+        for ch, cid in sorted(cid_of.items(), key=lambda kv: kv[1])
+    ]
+    blocks = []
+    for i in range(0, len(bf_entries), 100):
+        chunk = bf_entries[i : i + 100]
+        blocks.append(
+            b"%d beginbfchar\n" % len(chunk)
+            + b"\n".join(chunk)
+            + b"\nendbfchar"
+        )
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        + b"\n".join(blocks)
+        + b"\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+
+    objects: dict[int, bytes] = {}
+    font_num, desc_num, tounicode_num = 3, 4, 5
+    objects[tounicode_num] = (
+        b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    )
+    n_cids = len(cid_of) + 1
+    objects[desc_num] = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftMono "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /W [1 %d 600] /CIDToGIDMap /Identity >>"
+        % max(n_cids - 1, 1)
+    )
+    objects[font_num] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /GraftMono "
+        b"/Encoding /Identity-H /DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
+        % (desc_num, tounicode_num)
+    )
+
+    page_nums: list[int] = []
+    next_num = 6
+    for page_lines in pages:
+        ops = [b"BT", b"/F1 %.1f Tf" % FONT_SIZE]
+        for row, line in enumerate(page_lines):
+            if not line:
+                continue
+            y = PAGE_TOP - row * LINE_H
+            ops.append(b"1 0 0 1 0 %.1f Tm" % y)
+            codes = b"".join(b"%04x" % cid_of[ch] for ch in line)
+            ops.append(b"<" + codes + b"> Tj")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        content_num = next_num
+        objects[content_num] = (
+            b"<< /Length %d%s >>\nstream\n" % (len(content), filt)
+            + content
+            + b"\nendstream"
+        )
+        page_num = next_num + 1
+        objects[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, font_num, content_num)
+        )
+        page_nums.append(page_num)
+        next_num += 2
+
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+    return _assemble_pdf(objects)
 
 
 # ===========================================================================
@@ -339,7 +452,14 @@ class _Document:
 
     def _scan_objects(self) -> None:
         data = self.data
+        # an `N 0 obj` byte pattern occurring INSIDE a stream body is data,
+        # not an object header — matches falling inside the extent of a
+        # previously parsed stream are skipped so they can't clobber a real
+        # object with the same number
+        skip_until = 0
         for m in _OBJ_RE.finditer(data):
+            if m.start() < skip_until:
+                continue
             num = int(m.group(1))
             lex = _Lexer(data, m.end())
             value = _parse_value(lex)
@@ -370,6 +490,7 @@ class _Document:
                     # trim an exact-/Length extent (binary streams may END
                     # in 0x0a/0x0d bytes that belong to the data)
                     stream = stream.rstrip(b"\r\n")
+                skip_until = end
             self.objects[num] = (value, stream)
 
     def resolve(self, v):
@@ -448,14 +569,92 @@ def _apply_filters(stream: bytes, filt) -> bytes:
 # ===========================================================================
 
 
+def _utf16be_hex_to_str(hexdigits: bytes) -> str:
+    raw = bytes.fromhex(hexdigits.decode("ascii"))
+    if len(raw) % 2:
+        raw = raw[:-1]
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """ToUnicode CMap → {cid: text} (bfchar + both bfrange forms).
+
+    Public CMap syntax (ISO 32000 §9.10.3): `bfchar` pairs <src> <dst>;
+    `bfrange` rows either <lo> <hi> <dstBase> (consecutive UTF-16 values,
+    last code unit incremented) or <lo> <hi> [<dst0> <dst1> ...]."""
+    out: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            out[int(src, 16)] = _utf16be_hex_to_str(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<[0-9A-Fa-f]+>|\[[^\]]*\])",
+            m.group(1),
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 0xFFFF:  # malformed: refuse absurd expansion
+                continue
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for k, dhex in enumerate(dsts[: hi_i - lo_i + 1]):
+                    out[lo_i + k] = _utf16be_hex_to_str(dhex)
+            else:
+                base_raw = bytearray.fromhex(dst[1:-1].decode("ascii"))
+                if len(base_raw) % 2:
+                    continue
+                base_last = int.from_bytes(base_raw[-2:], "big")
+                prefix = bytes(base_raw[:-2])
+                for k in range(hi_i - lo_i + 1):
+                    unit = (base_last + k).to_bytes(2, "big")
+                    out[lo_i + k] = (prefix + unit).decode(
+                        "utf-16-be", errors="replace"
+                    )
+    return out
+
+
+def _parse_cid_widths(doc: _Document, w: list) -> dict[int, float]:
+    """CIDFont /W array → {cid: width}; rows are `c [w...]` or `c1 c2 w`."""
+    out: dict[int, float] = {}
+    i = 0
+    while i < len(w):
+        first = doc.resolve(w[i])
+        if not isinstance(first, (int, float)):
+            break
+        nxt = doc.resolve(w[i + 1]) if i + 1 < len(w) else None
+        if isinstance(nxt, list):
+            for k, x in enumerate(nxt):
+                x = doc.resolve(x)
+                if isinstance(x, (int, float)):
+                    out[int(first) + k] = float(x)
+            i += 2
+        elif i + 2 < len(w):
+            last, width = nxt, doc.resolve(w[i + 2])
+            if isinstance(last, (int, float)) and isinstance(width, (int, float)):
+                span = min(int(last), int(first) + 0xFFFF)  # bound malformed rows
+                for c in range(int(first), span + 1):
+                    out[c] = float(width)
+            i += 3
+        else:
+            break
+    return out
+
+
 class _Font:
     def __init__(self, doc: _Document, font_dict: dict | None):
         self.widths: list[float] | None = None
         self.first_char = 0
         self.fixed = _DEFAULT_WIDTH
+        self.type0 = False
+        self.to_unicode: dict[int, str] | None = None
+        self.cid_widths: dict[int, float] | None = None
+        self.default_width = 1000.0
         if isinstance(font_dict, dict):
             if font_dict.get("Subtype") == "Type0":
-                raise ValueError("CID/Type0 fonts are out of scope")
+                self._init_type0(doc, font_dict)
+                return
             base = font_dict.get("BaseFont")
             if isinstance(base, str):
                 base = base.split("+")[-1]  # strip subset tag
@@ -466,8 +665,58 @@ class _Font:
                 self.widths = [float(doc.resolve(x) or 0) for x in w]
                 self.first_char = int(fc)
 
+    def _init_type0(self, doc: _Document, font_dict: dict) -> None:
+        """Composite font: Identity-H 2-byte codes, CID widths, ToUnicode.
+
+        Identity-H/V with a CIDFontType2 descendant covers most real
+        statement generators (the common Identity-H + /CIDToGIDMap
+        /Identity shape); embedded-CMap encodings stay out of scope and
+        raise so the extract stage records parse_failed honestly."""
+        enc = doc.resolve(font_dict.get("Encoding"))
+        if enc not in ("Identity-H", "Identity-V"):
+            raise ValueError(
+                f"Type0 font with non-Identity encoding {enc!r} is out of scope"
+            )
+        self.type0 = True
+        desc = doc.resolve(font_dict.get("DescendantFonts")) or []
+        d0 = doc.resolve(desc[0]) if desc else None
+        if isinstance(d0, dict):
+            dw = doc.resolve(d0.get("DW"))
+            if isinstance(dw, (int, float)):
+                self.default_width = float(dw)
+            w = doc.resolve(d0.get("W"))
+            if isinstance(w, list):
+                self.cid_widths = _parse_cid_widths(doc, w)
+        tu = font_dict.get("ToUnicode")
+        cmap = doc.stream_of(tu) if isinstance(tu, _Ref) else None
+        if cmap:
+            self.to_unicode = _parse_tounicode(cmap)
+
+    def decode(self, raw: bytes):
+        """Show-string bytes → (code, text, apply_word_spacing) triples.
+
+        Simple fonts: one byte per code, text = Latin-1 char, word spacing
+        applies to byte 32. Identity-H: big-endian 2-byte CIDs mapped
+        through ToUnicode (fallback: the CID as a code point — the best
+        guess without an embedded CMap); word spacing NEVER applies to
+        multi-byte codes (ISO 32000 §9.3.3)."""
+        if not self.type0:
+            return [(b, chr(b), b == 0x20) for b in raw]
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            cid = (raw[i] << 8) | raw[i + 1]
+            text = (self.to_unicode or {}).get(cid)
+            if text is None:
+                text = chr(cid) if 0 < cid < 0x110000 else ""
+            out.append((cid, text, False))
+        return out
+
     def width(self, code: int) -> float:
         """Glyph width in 1/1000 em."""
+        if self.type0:
+            if self.cid_widths is not None and code in self.cid_widths:
+                return self.cid_widths[code]
+            return self.default_width
         if self.widths is not None:
             i = code - self.first_char
             if 0 <= i < len(self.widths) and self.widths[i] > 0:
@@ -529,15 +778,16 @@ def _page_chars(doc: _Document, page: dict, page_no: int) -> list[tuple]:
         nonlocal tm
         if font is None:
             return
-        for byte in raw:
-            ch = chr(byte)
-            w_em = font.width(byte) / 1000.0
-            advance = w_em * size + char_spacing + (word_spacing if byte == 0x20 else 0.0)
+        for code, text, is_space_byte in font.decode(raw):
+            w_em = font.width(code) / 1000.0
+            advance = (
+                w_em * size + char_spacing + (word_spacing if is_space_byte else 0.0)
+            )
             m = _mat_mul(tm, ctm)
             x0, y0 = m[4], m[5]
-            if ch != " ":
+            if text and text != " ":
                 boxes.append(
-                    (page_no, ch, x0, y0, x0 + w_em * size, y0 + size * 0.75)
+                    (page_no, text, x0, y0, x0 + w_em * size, y0 + size * 0.75)
                 )
             tm = _mat_mul((1, 0, 0, 1, advance, 0), tm)
 

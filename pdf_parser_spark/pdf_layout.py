@@ -430,6 +430,14 @@ _ENGINES = [
     ("builtin", _decode_builtin),
 ]
 
+# Python caches successful imports but re-walks sys.path on every FAILED
+# import — in a container without pdfplumber/PyMuPDF each document in the
+# extraction UDF hot loop would pay two full path searches before reaching
+# the builtin codec. The first ImportError per engine is cached here
+# (per-process, i.e. per Python worker), so only document-level decode
+# errors are retried per document.
+_ENGINE_UNAVAILABLE: set[str] = set()
+
 
 def decode_pdf_chars(pdf_bytes: bytes) -> list[tuple]:
     """Real PDF bytes → char boxes via the first engine that succeeds.
@@ -441,9 +449,14 @@ def decode_pdf_chars(pdf_bytes: bytes) -> list[tuple]:
     records parse_failed=True).
     """
     last_err: Exception | None = None
-    for _name, engine in _ENGINES:
+    for name, engine in _ENGINES:
+        if name in _ENGINE_UNAVAILABLE:
+            continue
         try:
             return engine(pdf_bytes)
-        except Exception as e:  # noqa: BLE001 — library absent or decode
-            last_err = e        # error: fall through to the next engine
+        except ImportError as e:    # library absent: never retry the import
+            _ENGINE_UNAVAILABLE.add(name)
+            last_err = e
+        except Exception as e:  # noqa: BLE001 — per-document decode error:
+            last_err = e        # fall through to the next engine
     raise NotImplementedError(f"all PDF engines failed: {last_err}")

@@ -119,6 +119,90 @@ def test_out_of_scope_inputs_raise():
 
 
 # ---------------------------------------------------------------------------
+# Type0 / Identity-H composite fonts (2-byte CIDs + ToUnicode CMap)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 6, 26])
+def test_type0_roundtrip_byte_identical(doc_id):
+    text = statement_text(doc_id)
+    pdf = pdf_codec.write_pdf_type0(text)
+    assert b"/Subtype /Type0" in pdf and b"/Encoding /Identity-H" in pdf
+    assert b"/CIDToGIDMap /Identity" in pdf
+    assert pdf_codec.extract_text(pdf) == text
+
+
+def test_type0_multipage_and_full_unicode_roundtrip():
+    # Identity-H has no Latin-1 limit: CJK and astral chars survive intact
+    # (the simple-font writer degrades them to '?')
+    lines = [f"row {i} caf\xe9 日本語 \U0001f600" for i in range(70)]
+    text = "\n".join(lines)
+    pdf = pdf_codec.write_pdf_type0(text)
+    chars = pdf_codec.decode_pdf_chars(pdf)
+    assert {c[0] for c in chars} == {0, 1}
+    assert pdf_codec.extract_text(pdf) == text
+
+
+def test_type0_cmap_is_load_bearing():
+    """CIDs are first-appearance ordinals, NOT code points: stripping the
+    ToUnicode reference must scramble the decoded text, proving the decoder
+    really reads the CMap rather than shortcutting cid→chr(cid)."""
+    text = "hello type zero world"
+    pdf = pdf_codec.write_pdf_type0(text)
+    stripped = pdf.replace(b"/ToUnicode 5 0 R ", b"")
+    assert stripped != pdf
+    assert pdf_codec.extract_text(stripped) != text
+    assert pdf_codec.extract_text(pdf) == text
+
+
+def test_type0_non_identity_encoding_raises():
+    pdf = pdf_codec.write_pdf_type0("some text")
+    broken = pdf.replace(b"/Encoding /Identity-H", b"/Encoding /UniJIS-UCS2-H")
+    with pytest.raises(ValueError, match="out of scope"):
+        pdf_codec.decode_pdf_chars(broken)
+
+
+def test_tounicode_bfchar_and_bfrange_forms():
+    cmap = (
+        b"begincmap\n"
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <00660066>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"               # base form: a b c
+        b"<0020> <0021> [<005A> <D83DDE00>]\n"  # array form incl. surrogates
+        b"endbfrange\nendcmap"
+    )
+    got = pdf_codec._parse_tounicode(cmap)
+    assert got[1] == "A" and got[2] == "ff"     # ligature: multi-unit dst
+    assert (got[0x10], got[0x11], got[0x12]) == ("a", "b", "c")
+    assert got[0x20] == "Z" and got[0x21] == "\U0001f600"
+
+
+def test_cid_w_array_both_row_forms():
+    class _FakeDoc:
+        def resolve(self, v):
+            return v
+
+    w = [1, [600.0, 500.0], 10, 12, 250.0]
+    got = pdf_codec._parse_cid_widths(_FakeDoc(), w)
+    assert got == {1: 600.0, 2: 500.0, 10: 250.0, 11: 250.0, 12: 250.0}
+
+
+# ---------------------------------------------------------------------------
+# object scan robustness: `N 0 obj` bytes inside a stream body are data
+# ---------------------------------------------------------------------------
+
+
+def test_obj_pattern_inside_stream_body_is_ignored():
+    """Text containing '5 0 obj' lands verbatim in the uncompressed content
+    stream; the scanner must not parse it as a header that clobbers the
+    real object 5 (this document's page object)."""
+    text = "hello\n5 0 obj << /Type /Garbage >> endobj\nworld"
+    pdf = pdf_codec.write_pdf(text, compress=False)
+    assert b"(5 0 obj" in pdf  # the trap is really in the stream body
+    assert pdf_codec.extract_text(pdf) == text
+
+
+# ---------------------------------------------------------------------------
 # engine chain + fixture integration
 # ---------------------------------------------------------------------------
 
