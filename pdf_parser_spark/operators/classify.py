@@ -19,16 +19,19 @@ from pyspark.sql.types import StringType
 
 from pdf_parser_spark import extraction_core as core
 
-# G15 keyword → final account, resolved through D4 once at import time with
-# the reference's own mapping function (utils/classify_transaction.py:15-37).
+# G15 keyword → raw target accounts ((pyc) parse.classify_transaction_type)
+_KEYWORD_TARGETS = {
+    "interest": "7100 - Interest Expense",
+    "fee": "7110 - Loan Fees",
+    "payment": "Credit Card Payment",
+    "credit": "4090 - Refunds and Discounts (Contra-Revenue)",
+}
+# ...resolved through D4 once at import time with the reference's own
+# mapping function (utils/classify_transaction.py:15-37) for the default
+# chart; runtime charts resolve in keyword_account_col.
 _KEYWORD_ACCOUNTS = {
     kw: core.force_map_to_allowed(acct, core.ALLOWED_ACCOUNTS)
-    for kw, acct in {
-        "interest": "7100 - Interest Expense",
-        "fee": "7110 - Loan Fees",
-        "payment": "Credit Card Payment",
-        "credit": "4090 - Refunds and Discounts (Contra-Revenue)",
-    }.items()
+    for kw, acct in _KEYWORD_TARGETS.items()
 }
 FALLBACK_ACCOUNT = core.fallback_account(core.ALLOWED_ACCOUNTS)
 
@@ -45,22 +48,34 @@ def vendor_key_udf(memo: pd.Series) -> pd.Series:
     return memo.map(uniq)
 
 
-def keyword_account_col(memo_col):
+def keyword_account_col(memo_col, accounts: list[str] | None = None):
     """G15 rules as a native when-chain (ref: (pyc) parse.classify_transaction_type).
 
-    Word-boundary 'fee' matching per the extraction_core re-spec.
+    Word-boundary 'fee' matching per the extraction_core re-spec. The
+    keyword→account targets are literals, so a runtime-supplied chart is
+    resolved through the SAME D4 cascade (extraction_core
+    force_map_to_allowed — the golden twin of functions/scalar's
+    mapped_account_col) at plan-build time: one shared implementation, no
+    per-row work for a compile-time-constant mapping.
     """
+    if accounts is None:
+        mapped = _KEYWORD_ACCOUNTS
+    else:
+        mapped = {
+            kw: core.force_map_to_allowed(acct, accounts)
+            for kw, acct in _KEYWORD_TARGETS.items()
+        }
     lo = F.lower(F.coalesce(memo_col, F.lit("")))
     return (
-        F.when(lo.contains("interest"), F.lit(_KEYWORD_ACCOUNTS["interest"]))
-        .when(lo.rlike(r"\bfees?\b"), F.lit(_KEYWORD_ACCOUNTS["fee"]))
+        F.when(lo.contains("interest"), F.lit(mapped["interest"]))
+        .when(lo.rlike(r"\bfees?\b"), F.lit(mapped["fee"]))
         .when(
             lo.contains("payment") | lo.contains("thank you"),
-            F.lit(_KEYWORD_ACCOUNTS["payment"]),
+            F.lit(mapped["payment"]),
         )
         .when(
             lo.contains("credit") | lo.contains("refund"),
-            F.lit(_KEYWORD_ACCOUNTS["credit"]),
+            F.lit(mapped["credit"]),
         )
         .otherwise(F.lit(None).cast("string"))
     )
@@ -79,12 +94,15 @@ def classify(
     txns: DataFrame,
     user_memory: DataFrame | None = None,
     global_memory: DataFrame | None = None,
+    accounts: list[str] | None = None,
 ) -> DataFrame:
     """Full cascade → account + classificationSource columns.
 
     user_memory(uid, vendor_key, account) and global_memory(vendor_key,
     account) are small dimensions → broadcast (ref per-row lookups at
     utils/classify_transaction.py:91-116 become C3 broadcast joins).
+    `accounts` overrides the chart of accounts (default: the reference's
+    static chart); keyword targets and the fallback resolve against it.
     """
     t = txns.withColumn("vendor_key", vendor_key_udf(F.col("memo")))
     # Absent memory tables join nothing: emit the null column directly
@@ -116,9 +134,12 @@ def classify(
     else:
         t = t.withColumn("global_account", F.lit(None).cast("string"))
 
-    kw = keyword_account_col(F.col("memo"))
+    kw = keyword_account_col(F.col("memo"), accounts)
+    fb = (
+        FALLBACK_ACCOUNT if accounts is None else core.fallback_account(accounts)
+    )
     account = F.coalesce(
-        F.col("user_account"), F.col("global_account"), kw, F.lit(FALLBACK_ACCOUNT)
+        F.col("user_account"), F.col("global_account"), kw, F.lit(fb)
     )
     source = (
         F.when(F.col("user_account").isNotNull(), F.lit("memory:user"))

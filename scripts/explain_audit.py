@@ -80,11 +80,13 @@ def main() -> None:
         "q30_amount_sanity": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         "q32_clean_contra": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         "q33_to_number": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        # D4 mapping: the ~60-row chart joins via broadcast nested loop (an
-        # intended bounded cross join), never a full cartesian
+        # D4 mapping: the chart is a compile-time literal array — the whole
+        # cascade is ONE projection: no join, no exchange, no Python
         "q31_account_mapping": dict(
-            require=[r"BroadcastNestedLoopJoin"],
-            forbid=[r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+            forbid=[
+                r"Exchange", r"Join", r"CartesianProduct",
+                r"BatchEvalPython", r"ArrowEvalPython",
+            ],
         ),
     }
 

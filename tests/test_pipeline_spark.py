@@ -129,6 +129,24 @@ def test_classification_memory_precedence(spark, txns):
     )
 
 
+def test_classify_runtime_chart(spark):
+    """A runtime-supplied chart resolves through the same D4 cascade as the
+    default chart — keyword targets and fallback land on the custom list."""
+    from pdf_parser_spark.operators import classify as classify_op
+
+    chart = ["100 - Interest Paid", "900 - Uncategorized Expense", "200 - Fees"]
+    txns = spark.createDataFrame(
+        [("u1", "interest charge"), ("u1", "totally unknown merchant")],
+        "uid string, memo string",
+    )
+    out = {r["memo"]: r["account"]
+           for r in classify_op.classify(txns, accounts=chart).collect()}
+    assert out["interest charge"] == core.force_map_to_allowed(
+        "7100 - Interest Expense", chart
+    )
+    assert out["totally unknown merchant"] == core.fallback_account(chart)
+
+
 def test_learning_aggregate_skewed_uids(spark):
     """D1 scale-safety: promotion result is identical with and without the
     materialized users array, on a hot vendor key with 10^4 distinct uids
