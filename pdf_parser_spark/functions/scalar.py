@@ -117,28 +117,33 @@ def clean_contra_col(label):
 # ---------------------------------------------------------------------------
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _chart_literal(accounts: list[str]):
     """The allowed chart as ONE array<struct> literal — compile-time constant.
 
     Each entry carries (i, account, account_lc, a_tokens). Because the chart
     is a literal, the whole D4 cascade becomes a pure projection: no join,
-    no aggregate, no exchange anywhere in the plan.
+    no aggregate, no exchange anywhere in the plan. Built as a single
+    F.expr so the ~60x4 literal nodes cost ONE py4j round-trip instead of
+    thousands (a Column-API build spent ~2s of driver time per plan).
     """
     entries = []
     for i, a in enumerate(accounts):
         al = a.lower()
         toks = [t for t in al.split(" ") if t]
-        entries.append(
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(a).alias("account"),
-                F.lit(al).alias("account_lc"),
-                F.array(*[F.lit(t) for t in toks]).cast("array<string>").alias(
-                    "a_tokens"
-                ),
-            )
+        tok_arr = (
+            "array(" + ",".join(_sql_str(t) for t in toks) + ")"
+            if toks
+            else "cast(array() as array<string>)"
         )
-    return F.array(*entries)
+        entries.append(
+            f"named_struct('i',{i},'account',{_sql_str(a)},"
+            f"'account_lc',{_sql_str(al)},'a_tokens',{tok_arr})"
+        )
+    return F.expr("array(" + ",".join(entries) + ")")
 
 
 def mapped_account_col(chosen, accounts: list[str] | None = None):

@@ -10,15 +10,18 @@ Spark shape:
     pass 1: extract_documents(pages)                — cheap, all docs
     pass 2: pages ⨝ (pass1 where n_txns=0, left_semi) → ocr_extract — rare
 
-Tesseract/pdf2image are not in this container, so the raster-decode step is
-STUBBED like the media decoders (operators/multimodal.py): ``fake=False``
-(production) raises NotImplementedError per row and marks the row
-``ocr_failed``; ``fake=True`` produces a deterministic pseudo-OCR read of the
-payload bytes (drops the last line and re-joins with OCR-typical single
-newlines — a plausible lossy scan) so the two-pass PLUMBING — the semi-join
-routing, the schema union, the metrics — is real and tested. Word ordering by
-vertical position ((pyc) main.extract_text_lines_with_ocr sorts by 'top') is
-preserved in the fake via line order.
+Engine chain (per batch): Tesseract via pdf2image+pytesseract when those
+libraries are importable (the reference's exact stack, absent in this
+container) → the builtin raster OCR (pdf_parser_spark/raster.py: rasterize
+the PDF to page bitmaps, then template-match segmentation/classification
+over pixels, words ordered by 'top' exactly like the reference's
+image_to_data sort) for ``%PDF-`` payloads → failure marking. ``fake=True``
+keeps the deterministic pseudo-OCR read for NON-PDF payloads (drops the
+last line, re-joins with OCR-typical single newlines — a plausible lossy
+scan) so the two-pass plumbing is exercisable on text-byte fixtures too.
+Word ordering by vertical position ((pyc) main.extract_text_lines_with_ocr
+sorts by 'top') is real in the raster engine and preserved in the fake via
+line order.
 """
 
 from __future__ import annotations
@@ -51,22 +54,76 @@ def _fake_ocr(payload: bytes) -> str:
     return "\n".join(lines[:-1]) if len(lines) > 1 else "\n".join(lines)
 
 
+def _tesseract_ocr(payload: bytes) -> str:  # pragma: no cover — libs absent
+    """The reference's exact stack: pdf2image raster + Tesseract word boxes
+    sorted by vertical position ((pyc) main.extract_text_lines_with_ocr)."""
+    import pytesseract
+    from pdf2image import convert_from_bytes
+    from pytesseract import Output
+
+    page_texts = []
+    for image in convert_from_bytes(payload, dpi=300):
+        data = pytesseract.image_to_data(image, output_type=Output.DICT)
+        words = [
+            (top, left, w)
+            for w, top, left in zip(data["text"], data["top"], data["left"])
+            if w.strip()
+        ]
+        words.sort()
+        lines: dict[int, list[tuple[int, str]]] = {}
+        for top, left, w in words:
+            lines.setdefault(top // 12, []).append((left, w))
+        page_texts.append(
+            "\n".join(
+                " ".join(w for _l, w in sorted(ws)) for _b, ws in sorted(lines.items())
+            )
+        )
+    return "\n".join(page_texts)
+
+
+def _builtin_raster_ocr(payload: bytes) -> str:
+    """In-container engine: raster the PDF, then recognize from pixels only."""
+    from pdf_parser_spark import raster
+
+    return raster.images_to_text(raster.rasterize_pdf(payload))
+
+
 def ocr_extract(pages: DataFrame, fake: bool = False) -> DataFrame:
-    """Rasterize+OCR the given pages and re-run the transaction parser."""
+    """Rasterize+OCR the given pages and re-run the transaction parser.
+
+    Engine per document: Tesseract when importable, else the builtin raster
+    engine for ``%PDF-`` payloads; non-PDF payloads use the deterministic
+    pseudo-OCR only under ``fake=True`` and are marked failed otherwise.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tesseract_available = True
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf["html"]):
-                if not fake:
-                    # production path: pdf2image.convert_from_bytes +
-                    # pytesseract.image_to_data, absent in this container
+                raw = bytes(payload) if payload is not None else b""
+                text = None
+                if raw.startswith(b"%PDF-"):
+                    if tesseract_available:
+                        try:
+                            text = _tesseract_ocr(raw)
+                        except ImportError:
+                            tesseract_available = False
+                        except Exception:
+                            text = None
+                    if text is None:
+                        try:
+                            text = _builtin_raster_ocr(raw)
+                        except Exception:
+                            text = None
+                elif fake:
+                    text = _fake_ocr(raw)
+                if text is None:
                     rows.append(
                         {"url": url, "ocr_text": "", "ocr_n_txns": 0,
                          "ocr_failed": True, "ocr_txns": []}
                     )
                     continue
-                text = _fake_ocr(bytes(payload) if payload is not None else b"")
                 # (pyc) main.parse_pdf re-runs the STATEMENT parser over the
                 # OCR'd lines — it does not re-dispatch strategies (the 'ocr'
                 # strategy itself emits no rows, ref strategies/ocr_parser.py:11-14)

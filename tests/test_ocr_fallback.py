@@ -36,11 +36,20 @@ def test_ocr_runs_only_on_empty_docs(spark, pages):
     out.unpersist()
 
 
-def test_production_gate_marks_failures(spark, pages):
+def test_production_engine_chain(spark, pages):
+    """fake=False: %PDF- payloads go through the REAL builtin raster engine
+    (Tesseract being absent here) and succeed; non-PDF payloads are marked
+    failed — the honest production gate."""
     sub = pages.limit(10)
-    rows = ocr_fallback.ocr_extract(sub, fake=False).collect()
+    rows = {r["url"]: r for r in ocr_fallback.ocr_extract(sub, fake=False).collect()}
     assert len(rows) == 10
-    assert all(r["ocr_failed"] and r["ocr_n_txns"] == 0 for r in rows)
+    pdf_urls = {u for u in rows if u.endswith("/stmt/6.pdf")}
+    assert pdf_urls  # doc 6 carries real %PDF- bytes
+    for u, r in rows.items():
+        if u in pdf_urls:
+            assert not r["ocr_failed"] and r["ocr_n_txns"] > 0, u
+        else:
+            assert r["ocr_failed"] and r["ocr_n_txns"] == 0, u
 
 
 def test_fallback_merge_preserves_pass1_schema(spark, pages):
