@@ -845,6 +845,32 @@ def r13_curation_pipeline(spark, sf_dir):
     return curation.curation_summary(curated)
 
 
+def r14_ocr_identity(spark, sf_dir):
+    """A4/F5 — raster-OCR identity audit: the %PDF- fixture slice is
+    rasterized to page bitmaps and read back by the builtin template-match
+    OCR engine (pdf_parser_spark/raster.py — despeckle, line/glyph
+    segmentation, nearest-template classify, words ordered by 'top'); the
+    recognized text must equal the source text per url. Returns the
+    mismatching urls — 0 rows IS the pass condition, like r02."""
+    _ship_package(spark)
+    from pdf_parser_spark.fixtures import pages_spark
+    from pdf_parser_spark.operators import ocr_fallback
+
+    n = 200 if "0.001" in sf_dir else 1000
+    pages = pages_spark(spark, n_docs=n, partitions=8).filter(
+        F.col("url").endswith(".pdf")
+    )
+    pdf_pages = pages.filter(F.substring(F.col("html"), 1, 5) == b"%PDF-")
+    ocr = ocr_fallback.ocr_extract(pdf_pages)  # fake=False: REAL raster engine
+    joined = ocr.join(pdf_pages.select("url", "text"), "url")
+    return joined.select(
+        "url",
+        (~F.col("ocr_failed") & (F.col("ocr_text") == F.col("text"))).alias(
+            "byte_identical"
+        ),
+    ).filter(~F.col("byte_identical"))  # MUST be empty
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -894,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_ann_ivf": r11_ann_ivf,
         "r12_embedding_source": r12_embedding_source,
         "r13_curation_pipeline": r13_curation_pipeline,
+        "r14_ocr_identity": r14_ocr_identity,
     }
 
 
