@@ -146,27 +146,23 @@ def _chart_literal(accounts: list[str]):
     return F.expr("array(" + ",".join(entries) + ")")
 
 
-def mapped_account_col(chosen, accounts: list[str] | None = None):
-    """D4 as a single column expression (the scalar cascade, JVM-side).
+def _normalized_chosen(chosen):
+    """Python str.strip().lower() twin; see _WS_TRIM note above."""
+    return F.lower(_ws_strip(F.coalesce(chosen, F.lit(""))))
 
-    Cascade identical to the scalar `force_map_to_allowed`
-    (utils/classify_transaction.py:15-37): exact lowercase match, else
-    FIRST (list-order) mutual-substring match, else max shared-token count
-    with first-in-list tie-break; empty/NULL raw input → uncategorized
-    fallback. Implemented as `array_min` over a `transform` of the literal
-    chart with ordering key (tier, -hits, list index) — structs compare
-    lexicographically, so the argmin reproduces every tie-break of the
-    Python loops. Zero joins, zero shuffles, whole-stage codegen.
+
+def _cascade_col(c, accounts: list[str]):
+    """The D4 cascade for an ALREADY-normalized (stripped+lowered) string.
+
+    `array_min` over a `transform` of the literal chart with ordering key
+    (tier, -hits, list index) — structs compare lexicographically, so the
+    argmin reproduces every tie-break of the Python loops: exact lowercase
+    match, else FIRST (list-order) mutual-substring match, else max
+    shared-token count with first-in-list tie-break. Note '' matches the
+    FIRST account via the substring rule ('' is a substring of anything) —
+    the raw-falsy fallback belongs to the caller.
     """
-    accounts = accounts if accounts is not None else ALLOWED_ACCOUNTS
-    if not accounts:
-        # scalar: empty chart → return the input unchanged (falsy → fallback)
-        fb = fallback_account(accounts)
-        return F.when(chosen.isNull() | (chosen == ""), F.lit(fb)).otherwise(chosen)
-    fb = fallback_account(accounts)
     chart = _chart_literal(accounts)
-    # Python str.strip() strips any whitespace; see _WS_TRIM note above
-    c = F.lower(_ws_strip(F.coalesce(chosen, F.lit(""))))
     # scalar tokenization: c.split(" ") then drop empties (single-space split)
     c_tokens = F.filter(F.split(c, " "), lambda x: x != "")
 
@@ -184,10 +180,28 @@ def mapped_account_col(chosen, accounts: list[str] | None = None):
             e["account"].alias("account"),
         )
 
-    best = F.array_min(F.transform(chart, score))["account"]
+    return F.array_min(F.transform(chart, score))["account"]
+
+
+def mapped_account_col(chosen, accounts: list[str] | None = None):
+    """D4 as a single column expression (the scalar cascade, JVM-side).
+
+    Cascade identical to the scalar `force_map_to_allowed`
+    (utils/classify_transaction.py:15-37); empty/NULL raw input →
+    uncategorized fallback. Zero joins, zero shuffles — but higher-order
+    functions run INTERPRETED (no whole-stage codegen), ~0.5ms/row against
+    a 60-account chart: right for small frames and literal inputs; use
+    `force_map_to_allowed` on large frames (distinct-memoized, same
+    result).
+    """
+    accounts = accounts if accounts is not None else ALLOWED_ACCOUNTS
+    fb = fallback_account(accounts)
+    if not accounts:
+        # scalar: empty chart → return the input unchanged (falsy → fallback)
+        return F.when(chosen.isNull() | (chosen == ""), F.lit(fb)).otherwise(chosen)
+    best = _cascade_col(_normalized_chosen(chosen), accounts)
     # the scalar falls back only on a falsy *raw* input ('' / None);
-    # whitespace-only input strips to '' and then matches the FIRST
-    # account via the substring rule ('' is a substring of anything)
+    # whitespace-only input strips to '' and then hits the substring rule
     return F.when(chosen.isNull() | (chosen == ""), F.lit(fb)).otherwise(best)
 
 
@@ -199,10 +213,40 @@ def force_map_to_allowed(
 ) -> DataFrame:
     """D4 distributed: map every `chosen_col` onto the allowed chart.
 
-    Thin DataFrame wrapper over `mapped_account_col`. The round-2 form was a
-    broadcast crossJoin + min_by argmin keyed on monotonically_increasing_id
-    + join-back — two N-row exchanges and a nondeterministic synthetic key
-    for what is a pure scalar function of one column against a
-    compile-time-constant list. Now a single projection.
+    The cascade is a pure function of the NORMALIZED input string, and real
+    inputs (LLM answers, account labels) repeat heavily — so it runs once
+    per DISTINCT normalized value and joins back on that semantic key
+    (deterministic, unlike the round-2 monotonically_increasing_id key):
+
+        rows → [_c] → map-side partial distinct → tiny exchange
+             → cascade projection over the distinct values (interpreted
+               HOF cost paid #distinct times, not #rows times)
+             → equi-join back on _c (AQE broadcasts the tiny mapping —
+               no hint, so adversarial all-unique inputs degrade to a
+               shuffle join instead of a driver OOM)
+
+    The big side is never shuffled and carries no Python. The raw-falsy
+    fallback ('' / NULL → uncategorized) stays row-side because the scalar
+    distinguishes raw-empty (fallback) from whitespace-only (first-account
+    substring match) — both normalize to the same '' key.
     """
-    return df.withColumn(out_col, mapped_account_col(F.col(chosen_col), accounts))
+    accounts = accounts if accounts is not None else ALLOWED_ACCOUNTS
+    fb = fallback_account(accounts)
+    if not accounts:
+        raw = F.col(chosen_col)
+        return df.withColumn(
+            out_col, F.when(raw.isNull() | (raw == ""), F.lit(fb)).otherwise(raw)
+        )
+    row = df.withColumn("_c", _normalized_chosen(F.col(chosen_col)))
+    mapping = (
+        row.select("_c").distinct().withColumn("_best", _cascade_col(F.col("_c"), accounts))
+    )
+    raw = F.col(chosen_col)
+    return (
+        row.join(mapping, "_c", "left")
+        .withColumn(
+            out_col,
+            F.when(raw.isNull() | (raw == ""), F.lit(fb)).otherwise(F.col("_best")),
+        )
+        .drop("_c", "_best")
+    )

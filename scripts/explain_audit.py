@@ -80,11 +80,16 @@ def main() -> None:
         "q30_amount_sanity": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         "q32_clean_contra": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         "q33_to_number": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        # D4 mapping: the chart is a compile-time literal array — the whole
-        # cascade is ONE projection: no join, no exchange, no Python
+        # D4 mapping: cascade computed once per DISTINCT normalized input
+        # (higher-order-function projection is interpreted, so per-row cost
+        # must be paid #distinct times, not #rows times), then an equi-join
+        # back on the semantic key — AQE broadcasts the tiny mapping; the
+        # big side is never shuffled (the only Exchanges carry the distinct
+        # single-column aggregate) and carries no Python
         "q31_account_mapping": dict(
+            require=[r"BroadcastHashJoin", r"HashAggregate"],
             forbid=[
-                r"Exchange", r"Join", r"CartesianProduct",
+                r"SortMergeJoin", r"CartesianProduct",
                 r"BatchEvalPython", r"ArrowEvalPython",
             ],
         ),
