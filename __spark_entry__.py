@@ -677,6 +677,38 @@ def q34_quality_gate(spark, sf_dir):
     )
 
 
+def q35_tfidf_terms(spark, sf_dir):
+    """Corpus TF-IDF top-term ranking over `documents`: explode → one hash
+    aggregation keyed by term → top-k of the tiny term table
+    (operators/textstats.tfidf_top_terms)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats_op.tfidf_top_terms(d, k=50)
+
+
+def q36_stratified_sample(spark, sf_dir):
+    """Deterministic hash-ranked stratified sample — 5 docs per
+    (lang, source), stable under row order and cluster size
+    (operators/sampling.stratified_sample)."""
+    from pdf_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, ["lang", "source"], k=5, id_col="doc_id").select(
+        "doc_id", "lang", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q37_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) + exact-cents session
+    rollup over `events` (operators/sessions)."""
+    from pdf_parser_spark.operators import sessions
+
+    e = _t(spark, sf_dir, "events")
+    s = sessions.sessionize(e, gap_seconds=1800)
+    return sessions.session_rollup(s)
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -907,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_clean_contra": q32_clean_contra,
         "q33_to_number": q33_to_number,
         "q34_quality_gate": q34_quality_gate,
+        "q35_tfidf_terms": q35_tfidf_terms,
+        "q36_stratified_sample": q36_stratified_sample,
+        "q37_sessionization": q37_sessionization,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -1361,6 +1396,50 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality), 4) AS avg_quality,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM g WHERE quality >= 0.5 GROUP BY lang
+        """,
+        "q35_tfidf_terms": """
+            WITH t AS (
+              SELECT doc_id AS _doc, u.term
+              FROM documents, unnest(string_split(lower(coalesce(text, '')), ' ')) AS u(term)
+              WHERE u.term <> ''),
+            a AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS total_occurrences,
+                     CAST(count(DISTINCT _doc) AS BIGINT) AS doc_freq
+              FROM t GROUP BY term),
+            d AS (SELECT count(*) AS n FROM documents)
+            SELECT term, total_occurrences, doc_freq,
+                   round(total_occurrences * ln((SELECT n FROM d) * 1.0 / doc_freq), 4) AS tfidf
+            FROM a ORDER BY tfidf DESC, term ASC LIMIT 50
+        """,
+        "q36_stratified_sample": """
+            SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 5
+        """,
+        "q37_sessionization": """
+            WITH e AS (
+              SELECT user_id, event_id, value, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events),
+            f AS (
+              SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM e),
+            s AS (
+              SELECT *, CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                                      THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM f)
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(sec) AS BIGINT) AS session_start_s,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM s GROUP BY user_id, session_id
         """,
     }
 

@@ -249,3 +249,42 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", lang_id_udf(F.col(text_col)))
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level TF-IDF term ranking — the classic explode→agg shape.
+
+    Tokenization is the trivial lowercase single-space split (oracle-equal
+    in any SQL engine); per term: total occurrences (tf over the corpus),
+    document frequency, idf = ln(D/df), score = tf·idf. Top-k by
+    (rounded score desc, term asc) — fully deterministic ties.
+
+    Scale shape: explode → ONE hash aggregation keyed by term computing
+    both counts (count(*) and countDistinct(doc) — Spark expands the
+    distinct via partial aggregation, no raw-row reshuffle), then a top-k
+    sort of the tiny term table. Scores are rounded before ordering and
+    output so double association order can't leak into the result.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    n_docs = docs.count()  # one tiny job; the scalar D in idf
+    agg = terms.groupBy("term").agg(
+        F.count("*").alias("total_occurrences"),
+        F.countDistinct("_doc").alias("doc_freq"),
+    )
+    score = F.round(
+        F.col("total_occurrences")
+        * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+        4,
+    )
+    return (
+        agg.withColumn("tfidf", score)
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(k)
+    )
