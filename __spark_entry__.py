@@ -709,6 +709,113 @@ def q37_sessionization(spark, sf_dir):
     return sessions.session_rollup(s)
 
 
+def q38_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document — dup-line and
+    top-bigram fractions (operators/textstats.repetition_signals)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    return textstats_op.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_Q39_SNIPPETS = [
+    " Contact alice.smith@example.com for details.",
+    " Call +1 (555) 123-4567 or (555) 987-6543 now!",
+    " No pii here, just prose.",
+    " Email bob_jones+spam@mail.example.org and carol@example.co.uk.",
+    " Phone: 555-867-5309; alt 1-555-867-5309.",
+    " Reach ops@EXAMPLE.COM or 555.321.7654 after hours.",
+    " v1.2.3 build 2024 released.",
+    " DM @handle (not an email) and ext. 4567.",
+]
+
+
+def q39_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, NANP phones) over documents with
+    deterministic injected PII snippets (operators/pii.scrub_pii)."""
+    from pdf_parser_spark.operators import pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            _pick(_Q39_SNIPPETS, F.col("doc_id")),
+        ).alias("text"),
+    )
+    out = pii.scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+_Q40_BASES = [
+    "HTTP://Example.COM:80",
+    "https://example.com",
+    "https://News.Site.org:443",
+    "http://blog.example.com:8080",
+    "https://shop.example.com",
+    "HTTPS://Docs.Example.com:443",
+    "http://example.com",
+]
+_Q40_SUFFIXES = [
+    "?utm_source=feed&utm_medium=rss&id=",
+    "?id=",
+    "?gclid=abc123&page=2&id=",
+    "#section-3?notaquery=",
+    "?fbclid=XYZ&ref=tw&id=",
+    "?a=1&utm_campaign=x&b=2&id=",
+]
+
+
+def q40_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (case, default ports, fragments, tracking
+    params) + per-host crawl rollup over deterministically synthesized messy
+    urls (operators/weburls)."""
+    from pdf_parser_spark.operators import weburls
+
+    e = _t(spark, sf_dir, "events")
+    urls = e.select(
+        "event_id",
+        F.concat(
+            _pick(_Q40_BASES, F.col("event_id")),
+            F.lit("/Articles/"),
+            (F.col("event_id") % 7).cast("string"),
+            _pick(_Q40_SUFFIXES, F.col("event_id")),
+            (F.col("event_id") % 13).cast("string"),
+        ).alias("url"),
+    )
+    return weburls.host_rollup(urls)
+
+
+def q41_asof_join(spark, sf_dir):
+    """As-of join: each event matched to the user's most recent signup at or
+    before it — single-shuffle merge formulation, no range join
+    (operators/asof.asof_join)."""
+    from pdf_parser_spark.operators import asof
+    from pdf_parser_spark.operators.sessions import epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup")
+    out = asof.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        signups.select("user_id", "ts", "event_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        payload_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_seconds(F.col("asof_ts")).alias("last_signup_s"),
+        F.col("asof_event_id").alias("signup_event_id"),
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -942,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_tfidf_terms": q35_tfidf_terms,
         "q36_stratified_sample": q36_stratified_sample,
         "q37_sessionization": q37_sessionization,
+        "q38_repetition_signals": q38_repetition_signals,
+        "q39_pii_scrub": q39_pii_scrub,
+        "q40_url_canonicalize": q40_url_canonicalize,
+        "q41_asof_join": q41_asof_join,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -976,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(TRY_CAST(regexp_replace(raw, '[^0-9.-]', '', 'g') AS DOUBLE), 0.0)"
     )
     contra_re = r"'\s*-?\s*\([^()]*contra[^()]*\)'"
-    return {
+    sql = {
         "q01_flagship_rollup": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
@@ -1441,7 +1552,119 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM s GROUP BY user_id, session_id
         """,
+        "q38_repetition_signals": """
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            l0 AS (
+              SELECT doc_id, trim(x) AS line
+              FROM base, unnest(string_split(t, chr(10))) AS u(x)
+              WHERE trim(x) <> ''),
+            pl AS (SELECT doc_id, line, count(*) AS cnt FROM l0 GROUP BY 1, 2),
+            ls AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 4)
+                       AS dup_line_frac,
+                     round(CASE WHEN sum(length(line) * cnt) > 0
+                           THEN sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)
+                                * 1.0 / sum(length(line) * cnt)
+                           ELSE 0.0 END, 4) AS dup_line_char_frac
+              FROM pl GROUP BY doc_id),
+            w AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws
+                  FROM base),
+            g0 AS (
+              SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS gram
+              FROM w, unnest(range(1, len(ws))) AS r(i)
+              WHERE len(ws) >= 2),
+            pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g0 GROUP BY 1, 2),
+            gs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                          round(max(cnt) * 1.0 / sum(cnt), 4) AS top_bigram_frac
+                   FROM pg GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(n_lines, 0) AS n_lines,
+                   coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+        """,
+        "q39_pii_scrub": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '') || (__SNIPPETS__)[CAST(doc_id % 8 + 1 AS INT)] AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '__EMAIL__')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '__PHONE__')) AS INT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(text, '__EMAIL__', '[EMAIL]', 'g'),
+                                      '__PHONE__', '[PHONE]', 'g')) AS redacted_md5
+            FROM d
+        """,
+        "q40_url_canonicalize": """
+            WITH d AS (
+              SELECT event_id,
+                     (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST(event_id % 7 AS VARCHAR) ||
+                     (__SUFFIXES__)[CAST(event_id % 6 + 1 AS INT)] ||
+                     CAST(event_id % 13 AS VARCHAR) AS url
+              FROM events),
+            q AS (
+              SELECT event_id, trim(url) AS u,
+                     regexp_replace(trim(url), '#.*', '') AS pre,
+                     lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                     regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS authority
+              FROM d),
+            r AS (
+              SELECT *, lower(regexp_replace(authority, ':[0-9]+$', '')) AS host,
+                     regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+                     regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(pre, '\\?([^#]*)', 1) AS query
+              FROM q),
+            s AS (
+              SELECT *, list_filter(string_split(query, '&'),
+                         x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)')) AS kept
+              FROM r),
+            c AS (
+              SELECT event_id, host,
+                     scheme || '://' || host ||
+                     CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                                   OR (scheme = 'https' AND port = '443'))
+                          THEN ':' || port ELSE '' END ||
+                     CASE WHEN path = '' THEN '/' ELSE path END ||
+                     CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+                       AS canonical_url
+              FROM s)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages
+            FROM c GROUP BY host
+        """,
+        "q41_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events),
+            r AS (SELECT user_id, ts AS rts, event_id AS rid
+                  FROM events WHERE event_type = 'signup'),
+            j AS (
+              SELECT l.event_id, l.user_id, r.rts, r.rid,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.rts DESC, r.rid DESC) AS rn
+              FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rts <= l.ts)
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(rts)) AS BIGINT) AS last_signup_s,
+                   rid AS signup_event_id
+            FROM j WHERE rn = 1
+        """,
     }
+    from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE
+
+    subs = {
+        "__SNIPPETS__": _sql_list(_Q39_SNIPPETS),
+        "__BASES__": _sql_list(_Q40_BASES),
+        "__SUFFIXES__": _sql_list(_Q40_SUFFIXES),
+        "__EMAIL__": EMAIL_RE,
+        "__PHONE__": PHONE_RE,
+    }
+    for name in ("q39_pii_scrub", "q40_url_canonicalize"):
+        for k, v in subs.items():
+            sql[name] = sql[name].replace(k, v)
+    return sql
 
 
 # G11 as a DuckDB CASE chain (kept adjacent to q10; {col} substituted)

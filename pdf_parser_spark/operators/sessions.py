@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _epoch_seconds(col: Column) -> Column:
+def epoch_seconds(col: Column) -> Column:
     """Floor wall-clock seconds since 1970-01-01, timezone-free.
 
     Parquet timestamps written without UTC adjustment load as TIMESTAMP_NTZ
@@ -53,7 +53,7 @@ def sessionize(
     seconds) exceeds ``gap_seconds``, or at the user's first event.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    epoch = _epoch_seconds(F.col(ts_col))
+    epoch = epoch_seconds(F.col(ts_col))
     prev = F.lag(epoch).over(w)
     is_new = (prev.isNull() | ((epoch - prev) > gap_seconds)).cast("int")
     running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
@@ -71,6 +71,6 @@ def session_rollup(
     """Per-session aggregate: event count, start second, exact cent sum."""
     return sessions.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min(_epoch_seconds(F.col(ts_col))).alias("session_start_s"),
+        F.min(epoch_seconds(F.col(ts_col))).alias("session_start_s"),
         F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("value_cents"),
     )

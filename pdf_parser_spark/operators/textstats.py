@@ -288,3 +288,99 @@ def tfidf_top_terms(
         .orderBy(F.col("tfidf").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document.
+
+    Boilerplate-heavy and spam pages repeat themselves; these are the
+    standard web-curation filters for that (Rae et al. 2021, §A1.1):
+
+    - ``dup_line_frac``      — fraction of lines occurring more than once
+    - ``dup_line_char_frac`` — fraction of characters in such lines
+    - ``top_bigram_frac``    — fraction of word-bigrams taken by the most
+      frequent bigram
+
+    Scale shape: two explode → hash-aggregate chains, both keyed by
+    (doc_id, token) then doc_id — per-document keys, so no global hotspot
+    and map-side partial aggregation applies; the final assembly is two
+    equi-joins on doc_id. No UDFs anywhere.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split("_t", "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+    chars = F.length("line") * F.col("cnt")
+    dup_chars = F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))
+    line_stats = (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(dup).alias("_dup"),
+            F.sum(chars).alias("_chars"),
+            F.sum(dup_chars).alias("_dupchars"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.round(F.col("_dup") / F.col("n_lines"), 4).alias("dup_line_frac"),
+            F.round(
+                F.when(F.col("_chars") > 0, F.col("_dupchars") / F.col("_chars"))
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    words = F.filter(F.split(F.lower(F.col("_t")), r"\s+"), lambda w: w != "")
+    # sequence(1, 0) would yield [1, 0] (negative default step), so gate on
+    # size >= 2 explicitly
+    grams_arr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.explode(grams_arr).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    gram_stats = (
+        per_gram.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("_top"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_top") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        )
+    )
+
+    return (
+        base.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .fillna(
+            {
+                "n_lines": 0,
+                "dup_line_frac": 0.0,
+                "dup_line_char_frac": 0.0,
+                "n_bigrams": 0,
+                "top_bigram_frac": 0.0,
+            }
+        )
+    )

@@ -1,0 +1,177 @@
+"""URL canonicalization, PII scrub, repetition signals, as-of join tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import asof, pii, textstats, weburls
+
+# ---------------------------------------------------------------------------
+# weburls
+# ---------------------------------------------------------------------------
+
+CANON_CASES = [
+    # case + default port + tracking params
+    ("HTTP://Example.COM:80/A/B?utm_source=x&id=3", "http://example.com/A/B?id=3"),
+    # https default port, fragment
+    ("https://Example.com:443/x#frag", "https://example.com/x"),
+    # non-default port preserved
+    ("http://h.example.org:8080/p", "http://h.example.org:8080/p"),
+    # empty path → /
+    ("https://example.com", "https://example.com/"),
+    # all params tracking → no query
+    ("https://example.com/p?utm_a=1&gclid=2&fbclid=3&ref=4", "https://example.com/p"),
+    # param order preserved, 'ref' dropped mid-list
+    ("https://example.com/p?b=2&ref=tw&a=1", "https://example.com/p?b=2&a=1"),
+    # '?' inside fragment is NOT a query
+    ("https://example.com/p#sec?x=1", "https://example.com/p"),
+    # path case preserved; 'refresh' param is not 'ref'
+    ("https://example.com/CaseSensitive?refresh=1", "https://example.com/CaseSensitive?refresh=1"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CANON_CASES)], "i long, url string")
+    got = {
+        r["i"]: r["canonical_url"]
+        for r in weburls.with_canonical_url(df).collect()
+    }
+    for i, (_, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_host_rollup_counts_canonical_pages(spark):
+    urls = [
+        "HTTP://A.com:80/x?utm_source=1",
+        "http://a.COM/x",          # same canonical page
+        "http://a.com/y",
+        "https://b.org/z#f1",
+        "https://B.ORG/z#f2",      # same canonical page
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["host"]: (r["n_fetches"], r["n_pages"]) for r in weburls.host_rollup(df).collect()}
+    assert got == {"a.com": (3, 2), "b.org": (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# pii
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (1, "mail alice.smith@example.com and ops@EXAMPLE.COM today"),
+        (2, "call +1 (555) 123-4567 or 555-867-5309 now"),
+        (3, "no pii, just v1.2.3 build 2024 and ext. 4567"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
+    assert got[1]["text"] == "mail [EMAIL] and [EMAIL] today"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
+    assert got[2]["text"] == "call [PHONE] or [PHONE] now"
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (0, 0)
+    assert got[3]["text"] == rows[2][1]
+    assert (got[4]["n_emails"], got[4]["n_phones"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_hand_computed(spark):
+    text_dup = "spam line\nspam line\nunique one\nspam line"  # 3 of 4 lines dup
+    text_gram = "buy now buy now buy now"  # bigrams: 'buy now'×3, 'now buy'×2
+    df = spark.createDataFrame(
+        [(1, text_dup), (2, text_gram), (3, ""), (4, "single")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_signals(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == pytest.approx(0.75)
+    # dup chars = 3·9 = 27 of total 27 + 10 = 37
+    assert got[1]["dup_line_char_frac"] == pytest.approx(round(27 / 37, 4))
+    assert got[2]["n_bigrams"] == 5
+    assert got[2]["top_bigram_frac"] == pytest.approx(0.6)
+    # empty and single-word docs survive with zeroed signals
+    assert got[3]["n_lines"] == 0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["n_bigrams"] == 0
+
+
+# ---------------------------------------------------------------------------
+# asof join
+# ---------------------------------------------------------------------------
+
+
+def _t(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _t(5)), (2, 10, _t(1)), (3, 20, _t(9)), (4, 30, _t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _t(2)),
+            (101, 10, _t(4)),   # latest ≤ day 5 for user 10
+            (102, 10, _t(6)),   # after left ts — never matched
+            (103, 20, _t(9)),   # exactly equal ts matches (<= convention)
+            # user 30 has no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof.asof_join(
+        left,
+        right.select("user_id", "ts", "event_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        payload_cols=["ts", "event_id"],
+    )
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    assert got == {1: 101, 2: None, 3: 103, 4: None}
+
+
+def test_asof_join_tie_breaks_by_greatest_right_id(spark):
+    left = spark.createDataFrame([(1, 7, _t(3))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(200, 7, _t(3)), (201, 7, _t(3))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof.asof_join(
+        left,
+        right.select("user_id", "ts", "event_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+    )
+    assert out.collect()[0]["asof_event_id"] == 201
+
+
+def test_asof_join_is_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, i % 5, _t(1 + i % 20, i % 23)) for i in range(200)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = [(1000 + i, i % 5, _t(1 + (i * 3) % 20, (i * 7) % 23)) for i in range(60)]
+    rng.shuffle(rows)
+    right = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    r_sel = right.select("user_id", "ts", "event_id")
+    a = asof.asof_join(left, r_sel, "user_id", "ts", "ts", "event_id")
+    b = asof.asof_join(
+        left.repartition(7, "ts"), r_sel.repartition(3, "event_id"),
+        "user_id", "ts", "ts", "event_id",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
