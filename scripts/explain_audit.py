@@ -93,6 +93,54 @@ def main() -> None:
                 r"BatchEvalPython", r"ArrowEvalPython",
             ],
         ),
+        # TF-IDF: partial aggregation below both exchanges + top-k as
+        # TakeOrderedAndProject (never a global sort), all JVM-side
+        "q35_tfidf_terms": dict(
+            require=[r"partial_count", r"TakeOrderedAndProject"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # stratified sample: rank-limit pushdown prunes to k rows per
+        # stratum BEFORE the shuffle (WindowGroupLimit), one exchange total
+        "q36_stratified_sample": dict(
+            require=[r"(?s)WindowGroupLimit.*Exchange \(\d+\)"],
+            forbid=[
+                r"(?s)Exchange \(\d+\).*Exchange \(\d+\)",
+                r"BatchEvalPython", r"ArrowEvalPython",
+            ],
+        ),
+        # sessionization: the rollup reuses the window's hash partitioning
+        # on user_id — exactly one exchange in the whole plan
+        "q37_sessionization": dict(
+            require=[r"Window"],
+            forbid=[
+                r"(?s)Exchange \(\d+\).*Exchange \(\d+\)",
+                r"BatchEvalPython", r"ArrowEvalPython",
+            ],
+        ),
+        # repetition signals: explode → per-doc-keyed hash aggs, no Python
+        "q38_repetition_signals": dict(
+            require=[r"Generate", r"partial_sum|partial_count"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # PII scrub: a pure projection — zero exchanges, zero Python
+        "q39_pii_scrub": dict(
+            forbid=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
+        # URL canonicalize + host rollup: map-side partials, no Python
+        "q40_url_canonicalize": dict(
+            require=[r"partial_count"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # as-of join: merge formulation — union + ONE exchange + window;
+        # no join operator at all, so no range-join blowup is possible
+        "q41_asof_join": dict(
+            require=[r"Union", r"Window"],
+            forbid=[
+                r"(?s)Exchange \(\d+\).*Exchange \(\d+\)",
+                r"SortMergeJoin", r"BroadcastNestedLoopJoin", r"CartesianProduct",
+                r"BatchEvalPython", r"ArrowEvalPython",
+            ],
+        ),
     }
 
     for name, spec in checks.items():
