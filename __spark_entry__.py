@@ -770,14 +770,10 @@ _Q40_SUFFIXES = [
 ]
 
 
-def q40_url_canonicalize(spark, sf_dir):
-    """URL canonicalization (case, default ports, fragments, tracking
-    params) + per-host crawl rollup over deterministically synthesized messy
-    urls (operators/weburls)."""
-    from pdf_parser_spark.operators import weburls
-
+def _q40_urls(spark, sf_dir):
+    """Deterministic messy-url synthesis shared by q40 and q43."""
     e = _t(spark, sf_dir, "events")
-    urls = e.select(
+    return e.select(
         "event_id",
         F.concat(
             _pick(_Q40_BASES, F.col("event_id")),
@@ -787,7 +783,72 @@ def q40_url_canonicalize(spark, sf_dir):
             (F.col("event_id") % 13).cast("string"),
         ).alias("url"),
     )
-    return weburls.host_rollup(urls)
+
+
+def q40_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (case, default ports, fragments, tracking
+    params) + per-host crawl rollup over deterministically synthesized messy
+    urls (operators/weburls)."""
+    from pdf_parser_spark.operators import weburls
+
+    return weburls.host_rollup(_q40_urls(spark, sf_dir))
+
+
+def q42_length_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of document length per lang —
+    native F.percentile (sort-based exact, map-side partials)."""
+    d = _t(spark, sf_dir, "documents")
+    pct = F.percentile(
+        F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+    )
+
+
+_Q43_BLOCKLIST = ["example.com", "news.site.org"]
+
+
+def q43_blocklist_antijoin(spark, sf_dir):
+    """Host-blocklist filtering as a broadcast LEFT ANTI join over the q40
+    canonicalized crawl (operators/weburls.filter_blocked_hosts)."""
+    from pdf_parser_spark.operators import weburls
+
+    c = weburls.with_canonical_url(_q40_urls(spark, sf_dir))
+    bl = spark.createDataFrame([(h,) for h in _Q43_BLOCKLIST], "host string")
+    kept = weburls.filter_blocked_hosts(c, bl)
+    return kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+
+
+def q44_chunking(spark, sf_dir):
+    """Sliding-window token chunking (50 tokens, 10 overlap) — one Generate,
+    zero shuffles (operators/chunking.chunk_documents)."""
+    from pdf_parser_spark.operators import chunking
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunking.chunk_documents(d, chunk_tokens=50, overlap=10)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
+    )
+
+
+def q45_global_index(spark, sf_dir):
+    """Contiguous global row ids in a total order via the two-phase range
+    scheme — identical to row_number() OVER (ORDER BY …) but without the
+    single-partition window bottleneck (operators/indexing)."""
+    from pdf_parser_spark.operators import indexing
+
+    d = _t(spark, sf_dir, "documents")
+    out = indexing.with_global_index(
+        d, key="n_chars", tiebreaker="doc_id", ascending=False, num_buckets=8
+    )
+    return out.select("doc_id", "n_chars", "global_idx")
 
 
 def q41_asof_join(spark, sf_dir):
@@ -1053,6 +1114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_pii_scrub": q39_pii_scrub,
         "q40_url_canonicalize": q40_url_canonicalize,
         "q41_asof_join": q41_asof_join,
+        "q42_length_percentiles": q42_length_percentiles,
+        "q43_blocklist_antijoin": q43_blocklist_antijoin,
+        "q44_chunking": q44_chunking,
+        "q45_global_index": q45_global_index,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -1651,6 +1716,52 @@ def oracle_sql() -> dict[str, str]:
                    rid AS signup_event_id
             FROM j WHERE rn = 1
         """,
+        "q42_length_percentiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "q43_blocklist_antijoin": """
+            WITH d AS (
+              SELECT event_id,
+                     (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST(event_id % 7 AS VARCHAR) ||
+                     (__SUFFIXES__)[CAST(event_id % 6 + 1 AS INT)] ||
+                     CAST(event_id % 13 AS VARCHAR) AS url
+              FROM events),
+            h AS (
+              SELECT event_id,
+                     lower(regexp_replace(
+                       regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host
+              FROM d)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_kept
+            FROM h WHERE host NOT IN (__BLOCKLIST__)
+            GROUP BY host
+        """,
+        "q44_chunking": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                     ws[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)] AS chunk
+              FROM w, unnest(range(0, CAST(floor((len(ws) - 1) / 40) AS BIGINT) + 1)) AS r(i)
+              WHERE len(ws) > 0)
+            SELECT doc_id, chunk_idx,
+                   CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_md5
+            FROM c
+        """,
+        "q45_global_index": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_idx
+            FROM documents
+        """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE
 
@@ -1658,10 +1769,11 @@ def oracle_sql() -> dict[str, str]:
         "__SNIPPETS__": _sql_list(_Q39_SNIPPETS),
         "__BASES__": _sql_list(_Q40_BASES),
         "__SUFFIXES__": _sql_list(_Q40_SUFFIXES),
+        "__BLOCKLIST__": ", ".join("'" + h + "'" for h in _Q43_BLOCKLIST),
         "__EMAIL__": EMAIL_RE,
         "__PHONE__": PHONE_RE,
     }
-    for name in ("q39_pii_scrub", "q40_url_canonicalize"):
+    for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin"):
         for k, v in subs.items():
             sql[name] = sql[name].replace(k, v)
     return sql

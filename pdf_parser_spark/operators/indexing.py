@@ -1,0 +1,80 @@
+"""Scalable global row numbering — contiguous ids in a total order.
+
+The naive formulation, ``row_number() OVER (ORDER BY …)`` with no
+partition, forces every row through ONE task (Spark emits a
+SinglePartition Window — the classic bottleneck; at 10^12 rows it simply
+never finishes). This module produces the identical result with an
+order-aligned bucketing scheme:
+
+1. sample approximate quantiles of the leading sort key (driver gets ≤
+   ``num_buckets`` doubles — a sketch aggregation, no shuffle);
+2. assign each row a bucket with a LITERAL boundary-array expression
+   (`size(filter(bounds, b -> key > b))`) — pure codegen, and because the
+   bucket is a deterministic *function of the key*, every job that
+   computes it agrees by construction (nothing to persist, no
+   partition-id nondeterminism);
+3. per-bucket ``row_number`` — the single hash exchange of the data;
+4. per-bucket counts → prefix-sum offsets (≤ num_buckets tiny rows to the
+   driver) → broadcast join back on the bucket id.
+
+Correctness needs only that the bucketing is order-aligned (key in a
+higher-ranked bucket ⇒ ranks before every lower bucket) and that tied
+keys share a bucket — both hold for any boundary set, so the approximate
+quantiles affect balance, never the result. The output equals the
+single-partition window's, row for row, at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_index(
+    df: DataFrame,
+    key: str,
+    tiebreaker: str,
+    ascending: bool = True,
+    num_buckets: int = 32,
+    out_col: str = "global_idx",
+) -> DataFrame:
+    """Adds ``out_col``: the 1-based rank of each row in the total order
+    ``(key asc|desc, tiebreaker asc)``.
+
+    ``key`` must be numeric (boundaries come from `approxQuantile`);
+    ``tiebreaker`` must make the order total (a unique id). Heavily-skewed
+    keys (one value dominating) collapse into one bucket — the window then
+    degrades toward the single-task sort for that value only.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    kcol = F.col(key).cast("double")
+    if ascending:
+        bucket = F.size(F.filter(barr, lambda b: kcol > b))
+        key_order = F.col(key).asc()
+    else:
+        bucket = F.size(F.filter(barr, lambda b: kcol < b))
+        key_order = F.col(key).desc()
+
+    with_b = df.withColumn("_bucket", bucket)
+
+    w = Window.partitionBy("_bucket").orderBy(key_order, F.col(tiebreaker).asc())
+    local = with_b.withColumn("_local", F.row_number().over(w))
+
+    # ≤ num_buckets rows — tiny by construction
+    counts = sorted(
+        (r["_bucket"], r["n"])
+        for r in with_b.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(offsets, "_bucket int, _offset long")
+
+    return (
+        local.join(F.broadcast(off_df), "_bucket")
+        .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
+        .drop("_bucket", "_local", "_offset")
+    )

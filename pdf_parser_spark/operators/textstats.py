@@ -303,53 +303,26 @@ def repetition_signals(
     - ``top_bigram_frac``    — fraction of word-bigrams taken by the most
       frequent bigram
 
-    Scale shape: two explode → hash-aggregate chains, both keyed by
-    (doc_id, token) then doc_id — per-document keys, so no global hotspot
-    and map-side partial aggregation applies; the final assembly is two
-    equi-joins on doc_id. No UDFs anywhere.
+    Scale shape: ONE pass — lines and bigrams are tagged structs in a single
+    concatenated array, so the corpus is scanned once and one Generate feeds
+    one (doc_id, kind, token)-keyed hash aggregation (per-document keys: no
+    global hotspot, map-side partials apply), rolled up per doc_id with
+    conditional aggregates. The only join is the left join back to the doc
+    list so empty documents keep zeroed signals. No UDFs anywhere.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     )
 
-    lines = base.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.transform(F.split("_t", "\n"), lambda l: F.trim(l)),
-                lambda l: l != "",
-            )
-        ).alias("line"),
+    lines = F.filter(
+        F.transform(F.split("_t", "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
     )
-    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
-    dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
-    chars = F.length("line") * F.col("cnt")
-    dup_chars = F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))
-    line_stats = (
-        per_line.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_lines"),
-            F.sum(dup).alias("_dup"),
-            F.sum(chars).alias("_chars"),
-            F.sum(dup_chars).alias("_dupchars"),
-        )
-        .select(
-            "doc_id",
-            "n_lines",
-            F.round(F.col("_dup") / F.col("n_lines"), 4).alias("dup_line_frac"),
-            F.round(
-                F.when(F.col("_chars") > 0, F.col("_dupchars") / F.col("_chars"))
-                .otherwise(F.lit(0.0)),
-                4,
-            ).alias("dup_line_char_frac"),
-        )
-    )
-
     words = F.filter(F.split(F.lower(F.col("_t")), r"\s+"), lambda w: w != "")
     # sequence(1, 0) would yield [1, 0] (negative default step), so gate on
     # size >= 2 explicitly
-    grams_arr = F.when(
+    grams = F.when(
         F.size(words) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - 1),
@@ -358,22 +331,49 @@ def repetition_signals(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = base.select("doc_id", F.explode(grams_arr).alias("gram"))
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    gram_stats = (
-        per_gram.groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("_top"))
-        .select(
-            "doc_id",
-            "n_bigrams",
-            F.round(F.col("_top") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
-        )
+    tag = lambda arr, kind: F.transform(  # noqa: E731
+        arr, lambda t: F.struct(F.lit(kind).alias("kind"), t.alias("tok"))
     )
+    tagged = base.select(
+        "doc_id",
+        F.explode(F.concat(tag(lines, 0), tag(grams, 1))).alias("e"),
+    ).select("doc_id", F.col("e.kind").alias("kind"), F.col("e.tok").alias("tok"))
 
+    per_tok = tagged.groupBy("doc_id", "kind", "tok").agg(F.count("*").alias("cnt"))
+    is_line = F.col("kind") == 0
+    is_gram = F.col("kind") == 1
+    chars = F.length("tok") * F.col("cnt")
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum(F.when(is_line, F.col("cnt")).otherwise(0)).alias("n_lines"),
+        F.sum(F.when(is_line & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)).alias("_dup"),
+        F.sum(F.when(is_line, chars).otherwise(0)).alias("_chars"),
+        F.sum(F.when(is_line & (F.col("cnt") > 1), chars).otherwise(0)).alias("_dupchars"),
+        F.sum(F.when(is_gram, F.col("cnt")).otherwise(0)).alias("n_bigrams"),
+        F.max(F.when(is_gram, F.col("cnt"))).alias("_top"),
+    )
+    out = stats.select(
+        "doc_id",
+        "n_lines",
+        F.round(
+            F.when(F.col("n_lines") > 0, F.col("_dup") / F.col("n_lines"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("_chars") > 0, F.col("_dupchars") / F.col("_chars"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_char_frac"),
+        "n_bigrams",
+        F.round(
+            F.when(F.col("n_bigrams") > 0, F.col("_top") / F.col("n_bigrams"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
     return (
         base.select("doc_id")
-        .join(line_stats, "doc_id", "left")
-        .join(gram_stats, "doc_id", "left")
+        .join(out, "doc_id", "left")
         .fillna(
             {
                 "n_lines": 0,

@@ -91,6 +91,19 @@ def with_canonical_url(
     )
 
 
+def filter_blocked_hosts(
+    df: DataFrame, blocklist: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Drop rows whose host is on the blocklist — broadcast LEFT ANTI join.
+
+    Blocklists (spam hosts, opted-out domains, adult filters) are tiny next
+    to the crawl: broadcasting turns the filter into a map-side hash probe —
+    no shuffle of the corpus, ever. `blocklist` must carry a ``host``
+    column (or pass host_col).
+    """
+    return df.join(F.broadcast(blocklist), host_col, "left_anti")
+
+
 def host_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host crawl stats over canonicalized urls.
 

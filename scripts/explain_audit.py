@@ -131,6 +131,31 @@ def main() -> None:
             require=[r"partial_count"],
             forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
         ),
+        # exact percentiles: map-side sketch partials before the exchange
+        "q42_length_percentiles": dict(
+            require=[r"partial_percentile"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # blocklist filter: broadcast LEFT ANTI — corpus never shuffles
+        # through the join
+        "q43_blocklist_antijoin": dict(
+            require=[r"BroadcastHashJoin", r"LeftAnti"],
+            forbid=[r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
+        # chunking: one Generate, zero exchanges, zero Python
+        "q44_chunking": dict(
+            require=[r"Generate"],
+            forbid=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
+        # global index: hash-bucketed window + broadcast offset join — and
+        # NEVER the single-partition window the naive form would emit
+        "q45_global_index": dict(
+            require=[r"hashpartitioning\(_bucket", r"BroadcastHashJoin"],
+            forbid=[
+                r"SinglePartition", r"rangepartitioning",
+                r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
+            ],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
