@@ -303,12 +303,16 @@ def repetition_signals(
     - ``top_bigram_frac``    — fraction of word-bigrams taken by the most
       frequent bigram
 
-    Scale shape: ONE pass — lines and bigrams are tagged structs in a single
-    concatenated array, so the corpus is scanned once and one Generate feeds
-    one (doc_id, kind, token)-keyed hash aggregation (per-document keys: no
-    global hotspot, map-side partials apply), rolled up per doc_id with
-    conditional aggregates. The only join is the left join back to the doc
-    list so empty documents keep zeroed signals. No UDFs anywhere.
+    Scale shape: ZERO shuffles — the signals are per-document functions of
+    the text, so they are computed row-local: sort the line/bigram arrays,
+    count duplicated elements by adjacent equality, and take the longest
+    equal run for the modal bigram — all codegen'd higher-order functions
+    (array_sort / transform / aggregate). No explode, no hash aggregation,
+    no join: the corpus is scanned exactly once and nothing leaves its
+    partition. (A (doc_id, token) groupBy formulation computes the same
+    values but shuffles ~one row per corpus word — at 10^12 documents that
+    is the dominant shuffle of the whole curation chain, for a quantity the
+    row already fully determines.) No UDFs anywhere.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -320,47 +324,104 @@ def repetition_signals(
         lambda l: l != "",
     )
     words = F.filter(F.split(F.lower(F.col("_t")), r"\s+"), lambda w: w != "")
-    # sequence(1, 0) would yield [1, 0] (negative default step), so gate on
-    # size >= 2 explicitly
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tag = lambda arr, kind: F.transform(  # noqa: E731
-        arr, lambda t: F.struct(F.lit(kind).alias("kind"), t.alias("tok"))
-    )
-    tagged = base.select(
+    # Materialize the words array into its own column BEFORE building
+    # bigrams from it: an `element_at(words, i)` inside a lambda would
+    # re-evaluate the whole split/lower/filter expression once per element
+    # (Catalyst does not CSE through lambda bodies) — O(words²) regex work
+    # per document. Against a bound attribute, element access is O(1).
+    tokenized = base.select(
         "doc_id",
-        F.explode(F.concat(tag(lines, 0), tag(grams, 1))).alias("e"),
-    ).select("doc_id", F.col("e.kind").alias("kind"), F.col("e.tok").alias("tok"))
-
-    per_tok = tagged.groupBy("doc_id", "kind", "tok").agg(F.count("*").alias("cnt"))
-    is_line = F.col("kind") == 0
-    is_gram = F.col("kind") == 1
-    chars = F.length("tok") * F.col("cnt")
-    stats = per_tok.groupBy("doc_id").agg(
-        F.sum(F.when(is_line, F.col("cnt")).otherwise(0)).alias("n_lines"),
-        F.sum(F.when(is_line & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)).alias("_dup"),
-        F.sum(F.when(is_line, chars).otherwise(0)).alias("_chars"),
-        F.sum(F.when(is_line & (F.col("cnt") > 1), chars).otherwise(0)).alias("_dupchars"),
-        F.sum(F.when(is_gram, F.col("cnt")).otherwise(0)).alias("n_bigrams"),
-        F.max(F.when(is_gram, F.col("cnt"))).alias("_top"),
+        F.array_sort(lines).alias("_sl"),
+        words.alias("_w"),
     )
-    out = stats.select(
+    wcol = F.col("_w")
+    # bigrams = zip the array with its own tail; zip_with null-pads the
+    # shorter side, so the trailing (last, NULL) pair concats to NULL and is
+    # filtered out. Handles 0- and 1-word documents without a size gate.
+    grams = F.filter(
+        F.zip_with(
+            wcol,
+            F.slice(wcol, 2, F.greatest(F.size(wcol) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    zero_long = F.lit(0).cast("long")
+    with_arrays = tokenized.select(
+        "doc_id",
+        "_sl",
+        F.array_sort(grams).alias("_sg"),
+    )
+
+    # Sorted-adjacency duplicate scan: element i is part of a duplicated
+    # line iff it equals its predecessor or successor. F.get is 0-based and
+    # returns NULL out of bounds (never errors under ANSI, unlike
+    # element_at(_, 0)); NULL comparisons fall through F.when to 0.
+    sl = F.col("_sl")
+    idxs = F.when(
+        F.size(sl) > 0, F.sequence(F.lit(0), F.size(sl) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _line_elem(i):
+        is_dup = (F.get(sl, i) == F.get(sl, i - 1)) | (
+            F.get(sl, i) == F.get(sl, i + 1)
+        )
+        return F.struct(
+            F.when(is_dup, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("d"),
+            F.length(F.get(sl, i)).cast("long").alias("len"),
+        )
+
+    line_stats = F.aggregate(
+        F.transform(idxs, _line_elem),
+        F.struct(
+            zero_long.alias("dup"), zero_long.alias("chars"), zero_long.alias("dupchars")
+        ),
+        lambda acc, e: F.struct(
+            (acc["dup"] + e["d"]).alias("dup"),
+            (acc["chars"] + e["len"]).alias("chars"),
+            (acc["dupchars"] + e["d"] * e["len"]).alias("dupchars"),
+        ),
+    )
+
+    # Modal bigram count = longest equal run in the sorted bigram array
+    # (linear run-length fold; prev=NULL starts the first run at 1).
+    def _run_merge(acc, x):
+        newcur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            newcur.alias("cur"),
+            F.greatest(acc["best"], newcur).alias("best"),
+            x.alias("prev"),
+        )
+
+    top_gram = F.aggregate(
+        F.col("_sg"),
+        F.struct(
+            zero_long.alias("cur"),
+            zero_long.alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        _run_merge,
+        lambda acc: acc["best"],
+    )
+
+    stats = with_arrays.select(
+        "doc_id",
+        F.size(sl).cast("long").alias("n_lines"),
+        line_stats.alias("_ls"),
+        F.size("_sg").cast("long").alias("n_bigrams"),
+        top_gram.alias("_top"),
+    )
+    return stats.select(
         "doc_id",
         "n_lines",
         F.round(
-            F.when(F.col("n_lines") > 0, F.col("_dup") / F.col("n_lines"))
+            F.when(F.col("n_lines") > 0, F.col("_ls.dup") / F.col("n_lines"))
             .otherwise(F.lit(0.0)),
             4,
         ).alias("dup_line_frac"),
         F.round(
-            F.when(F.col("_chars") > 0, F.col("_dupchars") / F.col("_chars"))
+            F.when(F.col("_ls.chars") > 0, F.col("_ls.dupchars") / F.col("_ls.chars"))
             .otherwise(F.lit(0.0)),
             4,
         ).alias("dup_line_char_frac"),
@@ -370,17 +431,4 @@ def repetition_signals(
             .otherwise(F.lit(0.0)),
             4,
         ).alias("top_bigram_frac"),
-    )
-    return (
-        base.select("doc_id")
-        .join(out, "doc_id", "left")
-        .fillna(
-            {
-                "n_lines": 0,
-                "dup_line_frac": 0.0,
-                "dup_line_char_frac": 0.0,
-                "n_bigrams": 0,
-                "top_bigram_frac": 0.0,
-            }
-        )
     )

@@ -136,13 +136,33 @@ def drop_near_duplicates(docs: DataFrame, threshold: float = 0.85,
     identical result on clusters whose every member pairs with the minimum,
     but a chain fragment can survive it.
     """
-    pairs = dedupe_op.near_duplicates_minhash(docs, threshold, id_col, text_col)
+    # Persist the band table: the candidate self-join references it on BOTH
+    # sides, and each evaluation re-runs the MinHash-signature pandas UDF
+    # over the full input. Serialized cache = one signature pass, two cheap
+    # scans. (doc_id, band, band_hash) is ~24 bytes/row × 16 bands — orders
+    # of magnitude smaller than the corpus it indexes.
+    from pyspark import StorageLevel
+
+    bands = dedupe_op.minhash_band_table(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = dedupe_op.minhash_candidate_pairs(bands)
+    pairs = dedupe_op.verify_jaccard(cands, docs, threshold, id_col, text_col)
     if transitive:
+        # The component iteration derives its edge list from pairs twice
+        # (forward + reversed union) — persist so the verify UDF runs once.
+        # neardup_components is eager (per-round counts), so both caches can
+        # be dropped as soon as it returns its localCheckpoint'd labels.
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         comp = neardup_components(pairs)
         losers = comp.filter(F.col("doc_id") != F.col("component")).select(
             F.col("doc_id").alias("_lose_id")
         )
+        pairs.unpersist()
+        bands.unpersist()
     else:
+        # lazy path: pairs is consumed once; bands stays cached for the two
+        # lazy self-join scans (LRU-evicted / cleared with the session).
         losers = pairs.select(F.col("b_id").alias("_lose_id")).distinct()
     return docs.join(losers, docs[id_col] == losers["_lose_id"], "left_anti")
 
@@ -150,11 +170,30 @@ def drop_near_duplicates(docs: DataFrame, threshold: float = 0.85,
 def curate(docs: DataFrame, min_quality: float = 0.5,
            allowed_langs: tuple[str, ...] = ("en",),
            neardup_threshold: float = 0.85,
-           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Full curation chain; returns the curated documents with stat columns."""
+           id_col: str = "doc_id", text_col: str = "text",
+           cache: bool = True) -> DataFrame:
+    """Full curation chain; returns the curated documents with stat columns.
+
+    Two serialized persist barriers (cache=True): after the language filter
+    (the Arrow-batched lang-ID UDF is the chain's expensive narrow stage,
+    and everything downstream references its output repeatedly) and after
+    exact dedup (the near-dup stage references ITS output four times — band
+    table, both verify sides, final anti-join; without the barrier each
+    reference replays the semi-join shuffle). Same rationale and storage
+    level as plans/pipeline.transactions_pipeline: serialized blocks keep
+    the cached working set compact and GC-stable. In the resumable
+    production job these barriers are the per-bucket table commits
+    (plans/checkpoint.py); persist is their single-job analog.
+    """
+    from pyspark import StorageLevel
+
     d = quality_gate(docs, min_quality, text_col)
     d = language_filter(d, allowed_langs, text_col)
+    if cache:
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
     d = drop_exact_duplicates(d, id_col, text_col)
+    if cache:
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
     d = drop_near_duplicates(d, neardup_threshold, id_col, text_col)
     return d
 

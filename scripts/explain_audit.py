@@ -118,9 +118,16 @@ def main() -> None:
             ],
         ),
         # repetition signals: explode → per-doc-keyed hash aggs, no Python
+        # repetition signals: row-local sorted-array fold — a pure
+        # projection; no explode, no aggregation exchange, no Python
         "q38_repetition_signals": dict(
-            require=[r"Generate", r"partial_sum|partial_count"],
-            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+            forbid=[
+                r"Exchange",
+                r"Generate",
+                r"BatchEvalPython",
+                r"ArrowEvalPython",
+                r"CartesianProduct",
+            ],
         ),
         # PII scrub: a pure projection — zero exchanges, zero Python
         "q39_pii_scrub": dict(
