@@ -877,6 +877,41 @@ def q41_asof_join(spark, sf_dir):
     )
 
 
+def q46_decontamination(spark, sf_dir):
+    """Benchmark decontamination: fraction of each doc's distinct 5-word
+    grams that appear in the eval slice (doc_id % 97 == 0) — broadcast gram
+    join, corpus never shuffled by gram (operators/decontam)."""
+    from pdf_parser_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    out = decontam.contamination(d, eval_docs, k=5, threshold=0.2)
+    return out.withColumn("is_contaminated", F.col("is_contaminated").cast("int"))
+
+
+def q47_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scores (CCNet-shaped perplexity gate): add-one
+    smoothed self-fit model, mean token log-prob + perplexity per doc
+    (operators/lm_quality)."""
+    from pdf_parser_spark.operators import lm_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_quality.unigram_scores(d)
+
+
+def q48_mixing_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) domain mixing weights per (lang,
+    source): token shares, normalized s^alpha weights, and the up/down
+    sampling factor (operators/sampling.domain_mixing_weights)."""
+    from pdf_parser_spark.operators import sampling
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.domain_mixing_weights(
+        d, ["lang", "source"], textstats_op.token_count_col(F.col("text")), alpha=0.5
+    )
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -1118,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_blocklist_antijoin": q43_blocklist_antijoin,
         "q44_chunking": q44_chunking,
         "q45_global_index": q45_global_index,
+        "q46_decontamination": q46_decontamination,
+        "q47_unigram_logprob": q47_unigram_logprob,
+        "q48_mixing_weights": q48_mixing_weights,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -1761,6 +1799,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_idx
             FROM documents
+        """,
+        "q46_decontamination": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+              FROM base, unnest(range(1, len(ws) - 3)) AS r(i)
+              WHERE len(ws) >= 5),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+            m AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+                  FROM g JOIN ev USING (gram) GROUP BY 1)
+            SELECT b.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                         THEN coalesce(m.n_matched, 0) * 1.0 / tot.n_grams
+                         ELSE 0.0 END, 4) AS contamination_frac,
+                   CAST(round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                        THEN coalesce(m.n_matched, 0) * 1.0 / tot.n_grams
+                        ELSE 0.0 END, 4) >= 0.2 AS INT) AS is_contaminated
+            FROM base b LEFT JOIN tot USING (doc_id) LEFT JOIN m USING (doc_id)
+        """,
+        "q47_unigram_logprob": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, x AS word FROM w, unnest(ws) AS u(x)),
+            counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+            tv AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts),
+            model AS (SELECT word, ln((cnt + 1) * 1.0 / (n + v)) AS logp
+                      FROM counts, tv),
+            scored AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     avg(logp) AS a
+              FROM tok JOIN model USING (word) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   round(coalesce(a, 0.0), 4) AS avg_logprob,
+                   round(exp(-coalesce(a, 0.0)), 4) AS ppl
+            FROM documents d LEFT JOIN scored USING (doc_id)
+        """,
+        "q48_mixing_weights": """
+            WITH t AS (
+              SELECT lang, source, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+'))
+                              END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                           sum(pow(n_tokens, 0.5)) AS ssum FROM t)
+            SELECT lang, source, n_docs, n_tokens,
+                   round(n_tokens * 1.0 / total, 6) AS token_share,
+                   round(pow(n_tokens, 0.5) / ssum, 6) AS mix_weight,
+                   round((pow(n_tokens, 0.5) / ssum) / (n_tokens * 1.0 / total), 4)
+                     AS sampling_factor
+            FROM t, tot
         """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE

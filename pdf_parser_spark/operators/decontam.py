@@ -1,0 +1,90 @@
+"""Benchmark decontamination — flag training docs that overlap an eval set.
+
+Before a web corpus is used for training, documents sharing long word
+n-grams with evaluation benchmarks must be flagged/removed, or downstream
+eval numbers are meaningless (the standard n-gram-collision rule: GPT-3
+appendix C, Dodge et al. 2021 C4 analysis — public methodology). The rule
+here: a document is contaminated in proportion to the fraction of its
+DISTINCT k-word-grams that appear anywhere in the eval set.
+
+Scale shape (10^12 docs vs ~10^4-10^6 eval grams):
+- The eval side is tiny by construction (benchmarks are small): its
+  distinct-gram table is broadcast — the corpus is NEVER shuffled by gram.
+- The corpus side explodes distinct k-grams (a Generate, row-local),
+  broadcast-inner-joins the eval grams, and aggregates matches per doc_id —
+  the only exchange is the per-doc match count, keyed by doc_id (uniform).
+- Per-doc totals (`n_grams`) are computed row-locally from the gram array
+  (size of array_distinct) — they never touch the join.
+- Gram construction materializes the words array into a bound column before
+  slicing (an element_at/slice over an unmaterialized split() inside a
+  lambda re-evaluates the split per element — O(words²) regex work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words_col(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+
+
+def with_kgrams(docs: DataFrame, k: int, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, _grams) — DISTINCT k-word-grams per document, row-local."""
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_w")
+    )
+    wcol = F.col("_w")
+    grams = F.when(
+        F.size(wcol) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wcol) - (k - 1)),
+            lambda i: F.array_join(F.slice(wcol, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tokenized.select("doc_id", F.array_distinct(grams).alias("_grams"))
+
+
+def contamination(docs: DataFrame, eval_docs: DataFrame, k: int = 5,
+                  threshold: float = 0.2, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination vs the eval set's k-gram inventory.
+
+    Returns (doc_id, n_grams, n_matched, contamination_frac,
+    is_contaminated). ``n_grams`` counts the doc's distinct k-grams;
+    ``n_matched`` those also present in ANY eval document;
+    ``is_contaminated`` applies the fraction threshold.
+    """
+    corpus = with_kgrams(docs, k, text_col, id_col)
+    eval_grams = (
+        with_kgrams(eval_docs, k, text_col, id_col)
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+    )
+    exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
+    matched = (
+        exploded.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    totals = corpus.select("doc_id", F.size("_grams").cast("long").alias("n_grams"))
+    out = totals.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_matched") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        F.round(frac, 4).alias("contamination_frac"),
+        (F.round(frac, 4) >= threshold).alias("is_contaminated"),
+    )

@@ -1,0 +1,97 @@
+"""Unigram language-model quality scoring — perplexity-style web-text gate.
+
+CCNet-style corpus curation scores each document with a language model and
+filters/buckets on perplexity (Wenzek et al. 2020 — public methodology).
+The full KenLM is out of scope; the standard cheap stand-in with the same
+pipeline shape is a unigram model: estimate add-one-smoothed token
+probabilities from the corpus itself, then score each document by its mean
+token log-probability (and report the perplexity form exp(-mean)).
+
+Scale shape (10^12 docs):
+- Model estimation is one token-keyed hash aggregation (map-side partials;
+  word keys are Zipfian but partial aggregation absorbs the skew — the hot
+  key arrives at the reducer once per map partition, not once per token).
+- The fitted model is a VOCABULARY-sized table, not a corpus-sized one;
+  scoring joins it back with a broadcast hash join, so the corpus is never
+  shuffled by word. At web scale the vocabulary is capped to the top-V
+  terms (`vocab_size`) and the tail scores as OOV with the smoothing floor
+  1/(N+V) — exactly what add-one assigns an unseen word.
+- Per-doc aggregation is the only corpus exchange, keyed by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), words.alias("_w")).select(
+        "doc_id", F.explode("_w").alias("word")
+    )
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  vocab_size: int | None = None) -> DataFrame:
+    """(word, count, logp) — add-one-smoothed unigram log-probabilities.
+
+    logp(w) = ln((c_w + 1) / (N + V)) with N = total tokens, V = distinct
+    words (V of the FULL vocabulary even when the returned table is capped,
+    so probabilities stay consistent as vocab_size varies).
+    """
+    tok = _tokens(docs, text_col, id_col)
+    counts = tok.groupBy("word").agg(F.count("*").alias("count"))
+    totals = counts.agg(
+        F.sum("count").alias("_n"), F.count("*").alias("_v")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        "count",
+        F.log((F.col("count") + 1) / (F.col("_n") + F.col("_v"))).alias("logp"),
+    )
+    if vocab_size is not None:
+        model = model.orderBy(F.col("count").desc(), "word").limit(vocab_size)
+    return model
+
+
+def unigram_scores(docs: DataFrame, model: DataFrame | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   oov_logp: float | None = None) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, ppl) — mean token log-prob per doc.
+
+    Empty documents score avg_logprob = 0, ppl = 1 (the empty product).
+    When ``model`` is None it is fitted on ``docs`` itself (self-scoring:
+    every token is in-vocabulary, so no OOV branch is needed). With a
+    capped external model pass ``oov_logp`` (the smoothing floor
+    ln(1/(N+V))) so out-of-vocabulary tokens are penalized instead of
+    silently dropped from the mean.
+    """
+    if model is None:
+        model = unigram_model(docs, text_col, id_col)
+    tok = _tokens(docs, text_col, id_col)
+    logp = F.col("logp")
+    if oov_logp is not None:
+        logp = F.coalesce(logp, F.lit(float(oov_logp)))
+    scored = (
+        tok.join(F.broadcast(model.select("word", "logp")), "word", "left")
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("logp").alias("_avg"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(scored, "doc_id", "left")
+    avg = F.coalesce(F.col("_avg"), F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(avg, 4).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )

@@ -39,3 +39,50 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def domain_mixing_weights(
+    docs: DataFrame,
+    domain_cols: list[str],
+    token_count,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights for training-data sampling.
+
+    Raw web corpora are dominated by a few giant domains; training mixtures
+    therefore re-weight domains with a temperature exponent (multilingual
+    sampling à la XLM-R / mT5, alpha in (0, 1]): a domain holding share
+    ``s`` of the corpus tokens is sampled with weight proportional to
+    ``s^alpha`` — alpha=1 keeps natural proportions, alpha→0 approaches
+    uniform. Returns one row per domain: ``n_docs``, ``n_tokens``,
+    ``token_share``, ``mix_weight`` (normalized s^alpha), and
+    ``sampling_factor`` = mix_weight / token_share — the per-domain
+    up/down-sampling rate a data loader applies.
+
+    ``token_count`` is the per-row token-count Column (e.g.
+    ``textstats.token_count_col(F.col("text"))``), so the caller controls
+    the tokenizer.
+
+    Scale shape: one hash aggregation keyed by domain (map-side partials —
+    the corpus collapses to |domains| rows before any exchange), then a
+    broadcast of the 1-row total for normalization. The corpus itself is
+    scanned exactly once and never joined or windowed.
+    """
+    per_domain = docs.groupBy(*domain_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count).cast("long").alias("n_tokens"),
+    )
+    totals = per_domain.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("_scaled_sum"),
+    )
+    share = F.col("n_tokens") / F.col("_total")
+    weight = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_scaled_sum")
+    return per_domain.crossJoin(F.broadcast(totals)).select(
+        *domain_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight / share, 4).alias("sampling_factor"),
+    )

@@ -163,6 +163,24 @@ def main() -> None:
                 r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
             ],
         ),
+        # decontamination: eval grams broadcast to the corpus side — the
+        # corpus is never shuffled by gram, and nothing is Python
+        "q46_decontamination": dict(
+            require=[r"BroadcastHashJoin", r"Generate"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # unigram LM: vocab-sized model broadcast back to the token stream;
+        # corpus never shuffled by word beyond the partial-agg count
+        "q47_unigram_logprob": dict(
+            require=[r"BroadcastHashJoin", r"partial_count"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # mixing weights: corpus collapses to |domains| rows via map-side
+        # partials; the 1-row total is a broadcast, never a shuffle
+        "q48_mixing_weights": dict(
+            require=[r"partial_count|partial_sum"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
