@@ -912,6 +912,54 @@ def q48_mixing_weights(spark, sf_dir):
     )
 
 
+def q49_dup_passages(spark, sf_dir):
+    """Corpus-internal duplicated-passage stats: fraction of each doc's
+    distinct 8-word grams occurring in >= 2 distinct documents (the fixed-k
+    form of exact-substring dedup; operators/dedupe.duplicate_passage_stats).
+    hash_grams=False here so the oracle joins the same exact gram strings;
+    the contract asserts separately that the xxhash64 default agrees."""
+    from pdf_parser_spark.operators import dedupe
+
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.duplicate_passage_stats(d, k=8, min_docs=2, hash_grams=False)
+
+
+def q50_weighted_sample(spark, sf_dir):
+    """Priority sampling: top-100 docs by priority = n_chars / u with u the
+    deterministic md5-derived uniform — bit-exact across engines, planned
+    as TakeOrderedAndProject (operators/sampling.weighted_priority_sample)."""
+    from pdf_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_priority_sample(
+        d, weight_col="n_chars", k=100, id_col="doc_id", seed=7
+    )
+    return out.select(
+        "doc_id", "n_chars", F.round(F.col("priority"), 4).alias("priority")
+    )
+
+
+def q51_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets per language (exact ntile
+    mode; the approximate percentile mode is the 10^12-row shape —
+    operators/lm_quality.ppl_buckets)."""
+    from pdf_parser_spark.operators import lm_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_quality.ppl_buckets(d, n_buckets=3, by=("lang",))
+
+
+def q52_corpus_shuffle(spark, sf_dir):
+    """Deterministic pretraining-order shuffle: contiguous 1-based positions
+    in md5(seed:id) order via the order-aligned bucket ranking — no
+    single-partition window (operators/indexing.deterministic_shuffle)."""
+    from pdf_parser_spark.operators import indexing
+
+    d = _t(spark, sf_dir, "documents")
+    out = indexing.deterministic_shuffle(d, id_col="doc_id", seed=3, num_buckets=8)
+    return out.select("doc_id", "shuffle_idx")
+
+
 # -- rows-only queries (non-SQL-expressible: Python-UDF extraction / LSH) ----
 
 
@@ -1106,6 +1154,27 @@ def r14_ocr_identity(spark, sf_dir):
     ).filter(~F.col("byte_identical"))  # MUST be empty
 
 
+def r15_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means clusters (distributed
+    Lloyd) then within-cluster greedy near-dup removal — iterative training
+    makes it rows-only. Returns the per-cluster rollup (kept/dropped)."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    marked = similarity_op.semdedup(
+        e, threshold=0.92, n_centroids=8, dim=64, iters=2
+    )
+    return (
+        marked.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        )
+        .withColumn("n_dropped", F.col("n_vecs") - F.col("n_kept"))
+        .orderBy("cluster")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -1156,6 +1225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_decontamination": q46_decontamination,
         "q47_unigram_logprob": q47_unigram_logprob,
         "q48_mixing_weights": q48_mixing_weights,
+        "q49_dup_passages": q49_dup_passages,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q51_ppl_buckets": q51_ppl_buckets,
+        "q52_corpus_shuffle": q52_corpus_shuffle,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -1170,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_embedding_source": r12_embedding_source,
         "r13_curation_pipeline": r13_curation_pipeline,
         "r14_ocr_identity": r14_ocr_identity,
+        "r15_semdedup": r15_semdedup,
     }
 
 
@@ -1862,6 +1936,87 @@ def oracle_sql() -> dict[str, str]:
                    round((pow(n_tokens, 0.5) / ssum) / (n_tokens * 1.0 / total), 4)
                      AS sampling_factor
             FROM t, tot
+        """,
+        # q50/q52 fold the first 13 md5 hex digits into the exact 52-bit
+        # integer (every term and partial sum is an exactly-representable
+        # double), mirroring Spark's conv(substring(md5(..),1,13),16,10).
+        "q49_dup_passages": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+              FROM base, unnest(range(1, len(ws) - 6)) AS r(i)
+              WHERE len(ws) >= 8),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+            m AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                  FROM g JOIN dup USING (gram) GROUP BY 1)
+            SELECT b.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(m.n_dup, 0) AS n_dup_grams,
+                   round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                         THEN coalesce(m.n_dup, 0) * 1.0 / tot.n_grams
+                         ELSE 0.0 END, 4) AS dup_frac
+            FROM base b LEFT JOIN tot USING (doc_id) LEFT JOIN m USING (doc_id)
+        """,
+        "q50_weighted_sample": """
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                CAST(n_chars AS DOUBLE) /
+                  ((list_sum(list_transform(range(1, 14),
+                      i -> (strpos('0123456789abcdef',
+                                   substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                          CAST(i AS INT), 1)) - 1)
+                           * pow(16, 13 - i))) + 1.0) / 4503599627370496.0)
+                  AS priority
+              FROM documents)
+            SELECT doc_id, n_chars, round(priority, 4) AS priority
+            FROM p ORDER BY p.priority DESC, doc_id LIMIT 100
+        """,
+        "q51_ppl_buckets": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, x AS word FROM w, unnest(ws) AS u(x)),
+            counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+            tv AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts),
+            model AS (SELECT word, ln((cnt + 1) * 1.0 / (n + v)) AS logp
+                      FROM counts, tv),
+            scored AS (
+              SELECT doc_id, avg(logp) AS a
+              FROM tok JOIN model USING (word) GROUP BY 1),
+            s AS (
+              SELECT d.doc_id, d.lang,
+                     round(exp(-coalesce(a, 0.0)), 4) AS ppl
+              FROM documents d LEFT JOIN scored USING (doc_id))
+            SELECT doc_id, lang, ppl, bucket_id,
+                   CASE WHEN bucket_id = 1 THEN 'head'
+                        WHEN bucket_id = 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (SELECT doc_id, lang, ppl,
+                         CAST(ntile(3) OVER (PARTITION BY lang
+                                             ORDER BY ppl, doc_id) AS INT)
+                           AS bucket_id
+                  FROM s)
+        """,
+        "q52_corpus_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(1, 14),
+                  i -> (strpos('0123456789abcdef',
+                               substr(md5('3:' || CAST(doc_id AS VARCHAR)),
+                                      CAST(i AS INT), 1)) - 1)
+                       * pow(16, 13 - i))) AS key
+              FROM documents)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY key, doc_id) AS shuffle_idx
+            FROM k
         """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE

@@ -303,3 +303,63 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def duplicate_passage_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            hash_grams: bool = True) -> DataFrame:
+    """Per-document duplicated-passage level: the fraction of a document's
+    DISTINCT k-word grams that also occur in >= min_docs distinct documents.
+
+    Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — public methodology) removes passages
+    repeated across a corpus; in the fixed-k formulation the suffix-array
+    machinery reduces to counting, per k-gram, how many documents contain
+    it. This operator reports that as per-doc gating stats:
+    (doc_id, n_grams, n_dup_grams, dup_frac).
+
+    Scale shape — this is the one dedup operator that MUST shuffle the
+    corpus by gram: corpus-internal duplication is a self-aggregation, so
+    unlike decontamination there is no small side to broadcast. Mitigations:
+    - grams are row-local and per-doc DISTINCT before the exchange (a doc
+      repeating its own boilerplate contributes each gram once);
+    - with hash_grams=True the exchange carries xxhash64 keys (8 bytes)
+      instead of raw k-word strings — ~10x narrower shuffles at k=8. A
+      collision needs two distinct grams on one 64-bit key: ~n_grams²/2⁶⁴
+      (negligible at 10^12 grams it's ~0.05, i.e. at most a handful of
+      miscounted grams corpus-wide; deterministic either way);
+    - (gram, doc) rows are already distinct, so docs-per-gram is a plain
+      count(*) hash aggregate — map-side partials absorb Zipfian grams;
+    - the duplicated-gram table (count >= min_docs) is far smaller than the
+      gram table on web text (most grams are unique) and sort-merge-joins
+      back on the same gram key — AQE reuses the exchange partitioning.
+    """
+    from pdf_parser_spark.operators.decontam import with_kgrams
+
+    corpus = with_kgrams(docs, k, text_col, id_col)
+    exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
+    if hash_grams:
+        exploded = exploded.select("doc_id", F.xxhash64("gram").alias("gram"))
+    dup_grams = (
+        exploded.groupBy("gram")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    matched = (
+        exploded.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    totals = corpus.select("doc_id", F.size("_grams").cast("long").alias("n_grams"))
+    out = totals.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_dup_grams") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams", F.round(frac, 4).alias("dup_frac")
+    )

@@ -78,3 +78,41 @@ def with_global_index(
         .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
         .drop("_bucket", "_local", "_offset")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    num_buckets: int = 32,
+    out_col: str = "shuffle_idx",
+) -> DataFrame:
+    """Deterministic global corpus shuffle with contiguous 1-based
+    positions — the training-data ordering step.
+
+    Pretraining loaders need the corpus in a reproducible pseudorandom
+    order (epoch order must not depend on file layout, partition count, or
+    task scheduling). Rank key = the 52-bit integer folded from
+    md5(seed:id) (pdf_parser_spark.operators.sampling.uniform_hash_col's
+    integer form): a pure function of (seed, id), so the permutation is
+    identical on any cluster and re-derivable per row.
+
+    Scale shape: the key is a zero-exchange projection and the ranking
+    reuses with_global_index's order-aligned bucket scheme — per-bucket
+    row_number + prefix-sum offsets, never a single-partition window. The
+    key is near-uniform on [0, 2^52), so buckets are balanced by
+    construction (no skew caveat).
+    """
+    from pdf_parser_spark.operators.sampling import uniform_hash_col
+
+    key = uniform_hash_col(id_col, seed) * F.lit(float(1 << 52)) - F.lit(1.0)
+    with_key = df.withColumn("_shuffle_key", key)
+    out = with_global_index(
+        with_key,
+        key="_shuffle_key",
+        tiebreaker=id_col,
+        ascending=True,
+        num_buckets=num_buckets,
+        out_col=out_col,
+    )
+    return out.drop("_shuffle_key")

@@ -21,7 +21,7 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,57 @@ def unigram_scores(docs: DataFrame, model: DataFrame | None = None,
         F.round(avg, 4).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )
+
+
+def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
+                by: tuple[str, ...] = ("lang",), text_col: str = "text",
+                id_col: str = "doc_id", approximate: bool = False) -> DataFrame:
+    """CCNet-style perplexity bucketing: split each language's documents
+    into equal head / middle / tail thirds by LM perplexity (Wenzek et al.
+    2020 keep the head/middle for training — public methodology).
+
+    Returns (doc_id, <by...>, ppl, bucket_id, bucket) with bucket_id in
+    1..n_buckets (1 = lowest perplexity) and bucket named head/middle/tail
+    when n_buckets == 3.
+
+    Two modes:
+    - exact (default): ntile over a per-group window ordered by
+      (ppl, doc_id) — a total order, so the split is deterministic and
+      SQL-oracle-checkable. The window partitions by language: few, huge
+      partitions at 10^12 rows, so this mode is for bounded corpora.
+    - approximate=True — the at-scale shape and what CCNet itself does
+      (cutoffs from a sample): per-group percentile_approx cutoffs (a
+      sketch aggregate, |groups| x (n_buckets-1) rows), broadcast back,
+      bucket = 1 + #cutoffs below ppl. Zero windows; the corpus is never
+      shuffled by group. Boundary rows may land one bucket off the exact
+      split — the documented sketch trade.
+    """
+    scores = unigram_scores(docs, text_col=text_col, id_col=id_col)
+    keys = docs.select(F.col(id_col).alias("doc_id"), *by)
+    joined = keys.join(scores.select("doc_id", "ppl"), "doc_id")
+    if approximate:
+        probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+        cuts = joined.groupBy(*by).agg(
+            F.percentile_approx("ppl", probs, 10_000).alias("_cuts")
+        )
+        bucket = (
+            F.lit(1)
+            + F.size(F.filter(F.col("_cuts"), lambda c: F.col("ppl") > c))
+        ).cast("int")
+        out = joined.join(F.broadcast(cuts), list(by)).withColumn(
+            "bucket_id", bucket
+        ).drop("_cuts")
+    else:
+        w = Window.partitionBy(*by).orderBy(
+            F.col("ppl").asc(), F.col("doc_id").asc()
+        )
+        out = joined.withColumn("bucket_id", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        name = (
+            F.when(F.col("bucket_id") == 1, "head")
+            .when(F.col("bucket_id") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        name = F.concat(F.lit("b"), F.col("bucket_id").cast("string"))
+    return out.select("doc_id", *by, "ppl", "bucket_id", name.alias("bucket"))

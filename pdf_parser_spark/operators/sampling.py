@@ -86,3 +86,48 @@ def domain_mixing_weights(
         F.round(weight, 6).alias("mix_weight"),
         F.round(weight / share, 4).alias("sampling_factor"),
     )
+
+
+def uniform_hash_col(id_col: str, seed: int | None = None):
+    """Deterministic uniform u in (0, 1] from an id — EXACTLY reproducible
+    across engines.
+
+    u = (first 13 md5 hex digits + 1) / 2^52. Every step is bit-exact in
+    any IEEE-754 engine: the 52-bit integer and 2^52 are exactly
+    representable doubles and division is correctly rounded, so Spark and
+    a SQL oracle (folding the same hex digits) agree to the last bit — no
+    seed store, no RNG state, stable under repartitioning and retries.
+    """
+    s = F.col(id_col).cast("string")
+    if seed is not None:
+        s = F.concat(F.lit(f"{seed}:"), s)
+    h = F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 13), 16, 10)
+    return (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int | None = None,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup 2007, public methodology):
+    keep the k rows with the largest priority = weight / u, u the
+    deterministic uniform hash of the id — inclusion probability grows
+    with weight, the estimator stays unbiased with threshold weighting,
+    and the sample is a pure function of (ids, weights, seed).
+
+    Scale shape: priority is a zero-exchange projection, and top-k by
+    priority is mergeable — the top-k of a union is the top-k of
+    per-partition top-ks, so Spark plans TakeOrderedAndProject (each task
+    keeps k rows, the driver merges) — no global sort, no single-partition
+    window, identical output at any cluster size. Weights must be > 0.
+    """
+    pr = F.col(weight_col).cast("double") / uniform_hash_col(id_col, seed)
+    return (
+        df.withColumn(priority_col, pr)
+        .orderBy(F.col(priority_col).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -319,3 +319,65 @@ def ann_topk_lsh(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 6
     )
     cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["_cand_id"], "left_semi")
     return cosine_topk(cands, query_id, k, id_col, vec_col)
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.92,
+             n_centroids: int = 16, dim: int = 64, iters: int = 3,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             max_cluster_rows: int = 100_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public methodology):
+    k-means-cluster the embeddings, then deduplicate WITHIN each cluster;
+    cross-cluster near-dups are intentionally never compared (that is the
+    algorithm's recall-for-cost trade, not a shortcut here).
+
+    Keep rule inside a cluster: deterministic greedy maximal independent
+    set in ascending id order — a vector is dropped iff its cosine to an
+    already-KEPT vector is >= threshold, so exactly one representative
+    per semantic group survives and reruns/repartitionings agree.
+    Returns (id_col, cluster, keep).
+
+    Scale shape: centroids come from the distributed Lloyd trainer
+    (ivf_train — only k x dim aggregate rows reach the driver), assignment
+    is the broadcast-matmul map (ivf_assign), and the dedup pass is ONE
+    applyInPandas exchange keyed by cluster. The kernel avoids the |C|²
+    similarity matrix: each row takes one vectorized dot against the
+    kept-set matrix (O(|C|·kept) memory). The paper sizes k ~ sqrt(n)
+    (50k clusters for 5B embeddings) so clusters stay bounded;
+    max_cluster_rows raises loudly instead of silently OOMing — resize
+    n_centroids rather than lifting the guard.
+    """
+    cents = ivf_train(embeddings, n_centroids, dim, iters, seed, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    joined = embeddings.select(id_col, vec_col).join(assigned, id_col)
+
+    def dedupe_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['cluster'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={max_cluster_rows}; "
+                "increase n_centroids"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        kept_rows: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if kept_rows and (mat[kept_rows] @ mat[i] >= threshold).any():
+                continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "cluster": pdf["cluster"].values,
+                "keep": keep,
+            }
+        )
+
+    return joined.groupBy("cluster").applyInPandas(
+        dedupe_cluster, schema=f"`{id_col}` long, cluster int, keep boolean"
+    )

@@ -181,6 +181,37 @@ def main() -> None:
             require=[r"partial_count|partial_sum"],
             forbid=[r"BatchEvalPython", r"ArrowEvalPython"],
         ),
+        # duplicate passages: the one dedup op that must shuffle by gram —
+        # but grams stay native (Generate), counting is map-side-combinable,
+        # and no Python runs anywhere
+        "q49_dup_passages": dict(
+            require=[r"Generate", r"partial_count"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # priority sampling: per-partition top-k merge — NEVER a global sort
+        # or single-partition window
+        "q50_weighted_sample": dict(
+            require=[r"TakeOrderedAndProject"],
+            forbid=[
+                r"Exchange", r"Window", r"SinglePartition",
+                r"BatchEvalPython", r"ArrowEvalPython",
+            ],
+        ),
+        # ppl buckets (exact mode): model broadcast back, the only corpus
+        # exchanges are doc_id agg + the per-lang window; no Python
+        "q51_ppl_buckets": dict(
+            require=[r"BroadcastHashJoin", r"Window"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        ),
+        # corpus shuffle: same bucket-ranked shape as q45 — no
+        # single-partition window, no range partitioning
+        "q52_corpus_shuffle": dict(
+            require=[r"hashpartitioning\(_bucket", r"BroadcastHashJoin"],
+            forbid=[
+                r"SinglePartition", r"rangepartitioning",
+                r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
+            ],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
