@@ -1175,6 +1175,27 @@ def r15_semdedup(spark, sf_dir):
     )
 
 
+def r16_pretrain_pipeline(spark, sf_dir):
+    """Full pretraining-data pipeline: curation → duplicate-passage gate →
+    decontamination vs an eval slice → CCNet perplexity gate (approximate
+    cutoffs) → mixing weights → deterministic shuffle → token chunks
+    (plans/pretrain.py). Returns the stage funnel (stage, n) — a stable,
+    deterministic audit trail. Rows-only: lang-ID/MinHash are Python-UDF."""
+    _ship_package(spark)
+    from pdf_parser_spark.plans import pretrain
+
+    d = _t(spark, sf_dir, "documents")
+    out = pretrain.pretrain_corpus(
+        d,
+        eval_docs=d.filter(F.col("doc_id") % 97 == 0),
+        min_quality=0.4,
+        allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.8,
+        seed=1,
+    )
+    return out["funnel"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -1244,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r13_curation_pipeline": r13_curation_pipeline,
         "r14_ocr_identity": r14_ocr_identity,
         "r15_semdedup": r15_semdedup,
+        "r16_pretrain_pipeline": r16_pretrain_pipeline,
     }
 
 

@@ -1,0 +1,144 @@
+"""End-to-end pretraining-data pipeline: crawl documents → training chunks.
+
+Extends plans/curation.py's filter/dedup chain with the remaining stages a
+100 TB web corpus goes through before it feeds a trainer — each one is an
+operator this package ships and tests individually:
+
+    documents → quality gate + language filter          (curation)
+              → exact dedup → MinHash near-dup removal  (curation)
+              → duplicate-passage gate                  (dedupe, q49 shape)
+              → benchmark decontamination               (decontam, q46 shape)
+              → perplexity bucketing, keep head+middle  (lm_quality, CCNet)
+              → domain mixing weights                   (sampling, q48 shape)
+              → deterministic shuffle + contiguous ids  (indexing, q52 shape)
+              → sliding-window token chunks             (chunking, q44 shape)
+
+Scale shape: the chain inherits each operator's audited plan — narrow
+projections, broadcast joins for every small side (eval grams, LM vocab,
+percentile cutoffs, bucket offsets), equi-join-shaped shuffles for the two
+unavoidable corpus exchanges (gram self-aggregation in the passage gate,
+doc_id aggregations), and no single-partition window anywhere. Persist
+barriers sit where an output is re-referenced (same rationale as
+plans/curation.curate; in the resumable production job these are bucketed
+table commits, plans/checkpoint.py).
+
+Perplexity bucketing runs in the APPROXIMATE percentile-cutoff mode — the
+10^12-row shape (CCNet itself derives cutoffs from a sample); the exact
+ntile mode stays available through lm_quality.ppl_buckets for bounded
+corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import chunking as chunking_op
+from pdf_parser_spark.operators import decontam as decontam_op
+from pdf_parser_spark.operators import dedupe as dedupe_op
+from pdf_parser_spark.operators import indexing as indexing_op
+from pdf_parser_spark.operators import lm_quality as lm_quality_op
+from pdf_parser_spark.operators import sampling as sampling_op
+from pdf_parser_spark.plans import curation
+
+
+def pretrain_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.85,
+    dup_frac_max: float = 0.5,
+    k_gram: int = 8,
+    contamination_threshold: float = 0.2,
+    ppl_keep_buckets: tuple[int, ...] = (1, 2),
+    mixing_alpha: float = 0.5,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Run the full chain; returns the named intermediate/output tables.
+
+    Keys: ``curated`` (post filter+dedup, with stat columns), ``kept``
+    (post passage gate, decontamination, and perplexity filter),
+    ``mixing`` (per-predicted-language weights), ``ordered`` (kept docs
+    with the deterministic ``shuffle_idx``), ``chunks`` (training
+    sequences, ordered by (shuffle_idx, chunk_idx)), and ``funnel``
+    (stage → surviving doc count, the pipeline's audit trail).
+
+    Every stage is a pure function of (input rows, parameters, seed):
+    reruns and repartitionings produce identical tables.
+    """
+    # Barriers are localCheckpoint (eager): unlike bare persist it TRUNCATES
+    # the logical plan, so the many small downstream jobs (funnel counts,
+    # shuffle quantiles/offsets, chunk explode) plan against a short lineage
+    # instead of re-optimizing the whole chain each time — at sf0.01 that
+    # planning overhead dominated wall time 2:1. The production analog is
+    # the bucketed table commit (plans/checkpoint.py), which truncates
+    # lineage the durable way.
+    funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    curated = curation.curate(
+        docs, min_quality, allowed_langs, neardup_threshold, id_col, text_col
+    ).localCheckpoint()
+    funnel.append(("curated", curated.count()))
+
+    # duplicate-passage gate: drop docs dominated by cross-doc boilerplate
+    passage = dedupe_op.duplicate_passage_stats(
+        curated, k=k_gram, id_col=id_col, text_col=text_col
+    ).filter(F.col("dup_frac") <= dup_frac_max)
+    d = curated.join(
+        passage.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+
+    # benchmark decontamination (skipped when no eval side is supplied)
+    if eval_docs is not None:
+        clean = decontam_op.contamination(
+            d, eval_docs, k=5, threshold=contamination_threshold,
+            text_col=text_col, id_col=id_col,
+        ).filter(~F.col("is_contaminated"))
+        d = d.join(clean.select(F.col("doc_id").alias(id_col)), id_col, "left_semi")
+
+    d = d.localCheckpoint()
+    funnel.append(("passage_decontam", d.count()))
+
+    # CCNet perplexity gate — approximate cutoffs (the at-scale mode),
+    # grouped by the PREDICTED language the curation stage attached
+    buckets = lm_quality_op.ppl_buckets(
+        d, n_buckets=3, by=("lang_pred",), text_col=text_col, id_col=id_col,
+        approximate=True,
+    ).filter(F.col("bucket_id").isin(list(ppl_keep_buckets)))
+    kept = d.join(
+        buckets.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    ).localCheckpoint()
+    funnel.append(("ppl_kept", kept.count()))
+
+    mixing = sampling_op.domain_mixing_weights(
+        kept, ["lang_pred"], F.col("n_tokens"), alpha=mixing_alpha
+    )
+
+    # referenced twice below (chunk explode + shuffle_idx join): checkpoint
+    # so the ranking window runs once
+    ordered = indexing_op.deterministic_shuffle(
+        kept, id_col=id_col, seed=seed, num_buckets=16
+    ).localCheckpoint()
+    chunks = chunking_op.chunk_documents(
+        ordered, chunk_tokens=chunk_tokens, overlap=overlap,
+        text_col=text_col, id_col=id_col,
+    ).join(
+        ordered.select(F.col(id_col).alias("doc_id"), "shuffle_idx"), "doc_id"
+    )
+    funnel.append(("chunks", chunks.count()))
+
+    spark = docs.sparkSession
+    funnel_df = spark.createDataFrame(funnel, "stage string, n bigint")
+    return {
+        "curated": curated,
+        "kept": kept,
+        "mixing": mixing,
+        "ordered": ordered,
+        "chunks": chunks,
+        "funnel": funnel_df,
+    }

@@ -1,0 +1,106 @@
+"""End-to-end pretraining-data plan tests (plans/pretrain.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.plans import pretrain
+
+EVAL_TEXT = (
+    "the benchmark question asks about the capital of france and the answer "
+    "is paris which every model should know by heart"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic corpus with planned fates: contaminated doc, exact dup,
+    near dups, boilerplate-heavy pair, and plain survivors."""
+    rows = []
+    for i in range(40):
+        # unique tokens at every other position: cross-doc shingle overlap
+        # ~0 (every 3-word window contains a w{i}* token), while the
+        # English stopwords keep lang_pred = "en"
+        text = " ".join(
+            f"the w{i}a{j} and w{i}b{j} of w{i}c{j}" for j in range(12)
+        )
+        rows.append((i, "en", text))
+    rows.append((100, "en", EVAL_TEXT))                      # contaminated
+    rows.append((101, "en", rows[0][2]))                     # exact dup of doc 0
+    rows.append((102, "en", "zz " + rows[1][2]))             # near dup of doc 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    eval_docs = spark.createDataFrame([(0, EVAL_TEXT)], "doc_id long, text string")
+    return pretrain.pretrain_corpus(
+        corpus,
+        eval_docs=eval_docs,
+        min_quality=0.0,
+        allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.6,
+        dup_frac_max=0.95,
+        ppl_keep_buckets=(1, 2, 3),  # keep all buckets: isolate dedup/decontam
+        seed=9,
+    )
+
+
+def test_funnel_shape_and_monotonicity(result):
+    rows = result["funnel"].collect()
+    assert [r["stage"] for r in rows] == [
+        "input", "curated", "passage_decontam", "ppl_kept", "chunks"
+    ]
+    funnel = {r["stage"]: r["n"] for r in rows}
+    assert funnel["input"] == 43
+    assert funnel["curated"] <= funnel["input"]
+    assert funnel["passage_decontam"] <= funnel["curated"]
+    assert funnel["ppl_kept"] <= funnel["passage_decontam"]
+    assert funnel["chunks"] > 0
+
+
+def test_planned_fates(result):
+    kept_ids = {r["doc_id"] for r in result["kept"].select("doc_id").collect()}
+    assert 100 not in kept_ids          # decontaminated (eval-set copy)
+    assert 101 not in kept_ids          # exact duplicate loses to doc 0
+    assert 102 not in kept_ids          # near duplicate loses to doc 1
+    assert 0 in kept_ids and 1 in kept_ids
+
+
+def test_chunks_cover_kept_docs_in_shuffle_order(result):
+    kept_ids = {r["doc_id"] for r in result["kept"].select("doc_id").collect()}
+    chunks = result["chunks"].collect()
+    assert {r["doc_id"] for r in chunks} == {
+        i for i in kept_ids
+    }  # every kept doc has >= 1 chunk (no empty docs in fixture)
+    assert all(r["shuffle_idx"] >= 1 for r in chunks)
+    # shuffle_idx is a bijection over kept docs
+    idx = {r["doc_id"]: r["shuffle_idx"] for r in result["ordered"].collect()}
+    assert sorted(idx.values()) == list(range(1, len(kept_ids) + 1))
+
+
+def test_mixing_weights_normalized(result):
+    mix = result["mixing"].collect()
+    assert abs(sum(r["mix_weight"] for r in mix) - 1.0) < 1e-4
+    assert all(r["n_docs"] > 0 for r in mix)
+
+
+def test_pipeline_is_deterministic(spark, corpus, result):
+    eval_docs = spark.createDataFrame([(0, EVAL_TEXT)], "doc_id long, text string")
+    again = pretrain.pretrain_corpus(
+        corpus.repartition(7),
+        eval_docs=eval_docs,
+        min_quality=0.0,
+        allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.6,
+        dup_frac_max=0.95,
+        ppl_keep_buckets=(1, 2, 3),
+        seed=9,
+    )
+    assert sorted(map(tuple, result["funnel"].collect())) == sorted(
+        map(tuple, again["funnel"].collect())
+    )
+    assert sorted(map(tuple, result["chunks"].collect())) == sorted(
+        map(tuple, again["chunks"].collect())
+    )
