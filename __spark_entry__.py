@@ -1175,6 +1175,22 @@ def r15_semdedup(spark, sf_dir):
     )
 
 
+def q53_bloom_antijoin(spark, sf_dir):
+    """q43's blocklist filter through the Bloom-pruned join: distributed
+    bitmap build → broadcast numpy probe → exact anti-join over possible
+    hits only (operators/bloom.bloom_pruned_join). Same semantics and the
+    SAME oracle as q43 — deliberately: this is the physical-plan twin for
+    blocklists too large to broadcast-hash (the 10^8-host case), the way
+    q23 is the salted twin of the host rollup."""
+    from pdf_parser_spark.operators import bloom, weburls
+
+    c = weburls.with_canonical_url(_q40_urls(spark, sf_dir))
+    bl = spark.createDataFrame([(h,) for h in _Q43_BLOCKLIST], "host string")
+    kept = bloom.bloom_pruned_join(c, bl, on="host", how="left_anti",
+                                   n_bits=1 << 12)
+    return kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+
+
 def r16_pretrain_pipeline(spark, sf_dir):
     """Full pretraining-data pipeline: curation → duplicate-passage gate →
     decontamination vs an eval slice → CCNet perplexity gate (approximate
@@ -1250,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_weighted_sample": q50_weighted_sample,
         "q51_ppl_buckets": q51_ppl_buckets,
         "q52_corpus_shuffle": q52_corpus_shuffle,
+        "q53_bloom_antijoin": q53_bloom_antijoin,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -2054,6 +2071,9 @@ def oracle_sql() -> dict[str, str]:
     for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin"):
         for k, v in subs.items():
             sql[name] = sql[name].replace(k, v)
+    # q53 is q43's physical-plan twin: identical semantics, identical oracle
+    # (assigned after substitution so the blocklist literal is resolved)
+    sql["q53_bloom_antijoin"] = sql["q43_blocklist_antijoin"]
     return sql
 
 

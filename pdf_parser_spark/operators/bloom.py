@@ -1,0 +1,131 @@
+"""Bloom-filter-pruned joins — the huge-small-side filter pattern.
+
+A broadcast anti/semi join stops working when the "small" side is merely
+smaller, not small: a 10^8-host blocklist or a 10^9-gram inventory is too
+big for a broadcast HASH table (per-row object overhead) but fits
+comfortably as a Bloom BITMAP (~10 bits/key ⇒ 125 MB for 10^8 keys at 1%
+FPR). The pattern (Bloom-pruned join; the same idea Spark's own runtime
+row-group filtering uses, Kirsch–Mitzenmacher double hashing — public
+methodology):
+
+1. build the bitmap from the filter side DISTRIBUTED: each partition emits
+   its local bitmap, the driver ORs the handful of partials (a
+   treeReduce-shaped aggregation — no per-key collect);
+2. broadcast the bitmap; an Arrow-batched probe marks each big-side row
+   "possibly in" / "definitely not in" — vectorized numpy, no join;
+3. rows that are definitely-not-in bypass the join entirely; ONLY the
+   possible hits (true members + FPR·n stragglers) go through the exact
+   join, so the result is byte-identical to the plain join at a fraction
+   of the shuffle.
+
+Keys are Spark-side xxhash64 (computed natively, so the Python layer only
+ever sees int64s), split into k bit positions with double hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HASH_COL = "_bloom_h"
+
+
+def _positions(h: "np.ndarray", n_bits: int, k: int) -> "np.ndarray":
+    """(len(h), k) bit positions via Kirsch–Mitzenmacher double hashing."""
+    h = h.astype(np.uint64)
+    h1 = h
+    # a fixed odd multiplier decorrelates the second hash from the first
+    h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def build_bloom(small: DataFrame, col: str, n_bits: int = 1 << 20,
+                k: int = 7) -> "np.ndarray":
+    """Bitmap (packed uint8 array of n_bits/8 bytes) over xxhash64(col).
+
+    Each partition reduces to ONE bitmap row (mapInPandas), the driver ORs
+    the ≤ num_partitions partials — the collect is O(partitions · n_bits/8)
+    bytes, independent of key count. Size n_bits ≈ 10 × expected distinct
+    keys for ~1% FPR (k=7 is optimal near that load factor).
+    """
+    if n_bits % 8 != 0:
+        raise ValueError("n_bits must be a multiple of 8")
+    hashed = small.select(F.xxhash64(F.col(col)).alias(_HASH_COL))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            any_rows = True
+            pos = _positions(batch[_HASH_COL].to_numpy(), n_bits, k).ravel()
+            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(partial, schema="bitmap binary").collect()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out
+
+
+def with_bloom_probe(df: DataFrame, col: str, bitmap: "np.ndarray",
+                     k: int = 7, out_col: str = "_bloom_maybe") -> DataFrame:
+    """Adds boolean ``out_col``: False ⇒ definitely not in the filter set."""
+    n_bits = int(bitmap.shape[0]) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for batch in batches:
+            if len(batch) == 0:
+                yield batch.assign(**{out_col: pd.Series([], dtype=bool)})
+                continue
+            pos = _positions(batch[_HASH_COL].to_numpy(), n_bits, k)
+            hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            yield batch.assign(**{out_col: hit.all(axis=1)})
+
+    hashed = df.withColumn(_HASH_COL, F.xxhash64(F.col(col)))
+    # fresh StructType — StructType.add mutates in place, and mutating
+    # hashed.schema would poison the DataFrame's own column list
+    schema = T.StructType(
+        list(hashed.schema.fields) + [T.StructField(out_col, T.BooleanType())]
+    )
+    return hashed.mapInPandas(probe, schema=schema).drop(_HASH_COL)
+
+
+def bloom_pruned_join(big: DataFrame, small: DataFrame, on: str,
+                      how: str = "left_anti", n_bits: int = 1 << 20,
+                      k: int = 7) -> DataFrame:
+    """Exact ``big.join(small, on, how)`` with a Bloom pre-filter.
+
+    how='left_anti': definitely-not-in rows bypass the join (they are in
+    the result by definition); only possible hits join. how='left_semi':
+    definitely-not-in rows are dropped outright. Either way the output is
+    EXACTLY the plain join's (the filter is conservative; pytest asserts
+    parity) — what changes is how much of `big` reaches the shuffle:
+    |true members| + FPR·|big| instead of |big|.
+    """
+    if how not in ("left_anti", "left_semi"):
+        raise ValueError("bloom_pruned_join supports left_anti / left_semi")
+    bitmap = build_bloom(small, on, n_bits, k)
+    probed = with_bloom_probe(big, on, bitmap, k)
+    maybe = probed.filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
+    joined = maybe.join(small, on, how)
+    # match the plain USING-join's column order (key first) so callers can
+    # swap this in for big.join(small, on, how) without a select
+    order = [on] + [c for c in big.columns if c != on]
+    if how == "left_anti":
+        clean = probed.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+        return clean.unionByName(joined).select(*order)
+    return joined.select(*order)
