@@ -212,6 +212,21 @@ def main() -> None:
                 r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
             ],
         ),
+        # bloom-pruned blocklist: Arrow-batched bitmap probe (MapInPandas)
+        # routes only possible members into the exact anti-join. The join
+        # itself stays SHUFFLE-shaped on purpose — the operator's premise is
+        # a filter side too big to broadcast-HASH (10^8 keys), so the
+        # at-scale plan is an equi-SMJ over |members| + FPR·|big| rows, not
+        # a broadcast; at sf0.01 AQE converts it to broadcast at runtime.
+        # Assert: probe present, anti-join is an equi-join, zero row-Python.
+        "q53_bloom_antijoin": dict(
+            require=[
+                r"MapInPandas",
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) LeftAnti",
+            ],
+            forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython"],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
