@@ -1212,6 +1212,73 @@ def r16_pretrain_pipeline(spark, sf_dir):
     return out["funnel"]
 
 
+def q54_passage_dedup(spark, sf_dir):
+    """C4-style cross-corpus passage dedup WITH reassembly: non-overlapping
+    8-word passages, global first-occurrence-wins, documents rebuilt from
+    their surviving passages (operators/dedupe.passage_dedup). The removal
+    counterpart of q49's stats: the dedup exchange is xxhash64-narrowed and
+    min(struct)-partial-aggregated, reassembly groups survivors by doc."""
+    from pdf_parser_spark.operators import dedupe
+
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.passage_dedup(d, k=8).orderBy("doc_id")
+
+
+def _q55_pages(spark, sf_dir):
+    """Deterministic synthetic web pages: own url + html with three hrefs
+    (nav link, article link, tag link) drawn from the q40 messy-url bases.
+    Synthesized identically in the oracle SQL so link extraction is
+    value-checkable without shipping html through parquet."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.concat(
+            _pick(_Q40_BASES, F.col("event_id")),
+            F.lit("/Articles/"),
+            (F.col("event_id") % 7).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><nav><a href="'),
+            _pick(_Q40_BASES, F.col("event_id") + 3),
+            F.lit('/nav">home</a></nav><p>story text</p><a href="'),
+            _pick(_Q40_BASES, F.col("event_id")),
+            F.lit("/Articles/"),
+            ((F.col("event_id") + 1) % 7).cast("string"),
+            F.lit('">read</a><a href="'),
+            _pick(_Q40_BASES, F.col("event_id") * 5 + 1),
+            F.lit("/tag/"),
+            (F.col("event_id") % 11).cast("string"),
+            F.lit('">tag</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+def q55_outlink_indegree(spark, sf_dir):
+    """Outlink extraction + per-host in-degree over synthetic web pages:
+    native regexp_extract_all over the html string (zero Python, zero
+    shuffles until the host aggregate), canonical host via operators/weburls
+    (operators/linkgraph.extract_outlinks + host_indegree)."""
+    from pdf_parser_spark.operators import linkgraph
+
+    links = linkgraph.extract_outlinks(_q55_pages(spark, sf_dir))
+    return linkgraph.host_indegree(links).orderBy("host")
+
+
+def r17_pagerank(spark, sf_dir):
+    """Host-graph PageRank over the q55 outlink corpus: distinct
+    (src_host, dst_host) edges, 10 damped power iterations with uniform
+    dangling-mass redistribution (operators/linkgraph.pagerank). Iterative
+    (driver loop + localCheckpoint per step) ⇒ rows-only; numpy parity is
+    pytest-asserted in tests/test_linkgraph.py."""
+    from pdf_parser_spark.operators import linkgraph
+
+    links = linkgraph.extract_outlinks(_q55_pages(spark, sf_dir))
+    edges = linkgraph.host_edges(links)
+    ranks = linkgraph.pagerank(edges, n_iter=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
+        F.desc("rank"), "node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -1267,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_ppl_buckets": q51_ppl_buckets,
         "q52_corpus_shuffle": q52_corpus_shuffle,
         "q53_bloom_antijoin": q53_bloom_antijoin,
+        "q54_passage_dedup": q54_passage_dedup,
+        "q55_outlink_indegree": q55_outlink_indegree,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -1283,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_ocr_identity": r14_ocr_identity,
         "r15_semdedup": r15_semdedup,
         "r16_pretrain_pipeline": r16_pretrain_pipeline,
+        "r17_pagerank": r17_pagerank,
     }
 
 
@@ -2057,6 +2127,71 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY key, doc_id) AS shuffle_idx
             FROM k
         """,
+        "q54_passage_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                     array_to_string(
+                       ws[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')
+                       AS passage
+              FROM base,
+                   unnest(range(0, CAST(floor((len(ws) - 1) / 8) AS BIGINT) + 1))
+                     AS r(i)
+              WHERE len(ws) > 0),
+            f AS (
+              SELECT doc_id, idx, passage FROM (
+                SELECT doc_id, idx, passage,
+                       row_number() OVER (PARTITION BY passage
+                                          ORDER BY doc_id, idx) AS rn
+                FROM c) WHERE rn = 1),
+            t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages
+                  FROM c GROUP BY 1),
+            reasm AS (
+              SELECT doc_id,
+                     string_agg(passage, ' ' ORDER BY idx) AS dedup_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM f GROUP BY 1)
+            SELECT b.doc_id,
+                   coalesce(reasm.dedup_text, '') AS dedup_text,
+                   coalesce(t.n_passages, 0) AS n_passages,
+                   coalesce(reasm.n_kept, 0) AS n_kept
+            FROM base b
+            LEFT JOIN t USING (doc_id) LEFT JOIN reasm USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q55_outlink_indegree": """
+            WITH d AS (
+              SELECT (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST(event_id % 7 AS VARCHAR) AS url,
+                     '<html><body><nav><a href="' ||
+                     (__BASES__)[CAST((event_id + 3) % 7 + 1 AS INT)] ||
+                     '/nav">home</a></nav><p>story text</p><a href="' ||
+                     (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST((event_id + 1) % 7 AS VARCHAR) ||
+                     '">read</a><a href="' ||
+                     (__BASES__)[CAST((event_id * 5 + 1) % 7 + 1 AS INT)] ||
+                     '/tag/' || CAST(event_id % 11 AS VARCHAR) ||
+                     '">tag</a></body></html>' AS html
+              FROM events),
+            l AS (
+              SELECT url, u AS out_url
+              FROM d, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                   AS t(u)),
+            h AS (
+              SELECT url AS _src,
+                     lower(regexp_replace(
+                       regexp_extract(out_url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host
+              FROM l)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT _src) AS BIGINT) AS n_src_pages
+            FROM h WHERE host <> '' GROUP BY host ORDER BY host
+        """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE
 
@@ -2068,7 +2203,8 @@ def oracle_sql() -> dict[str, str]:
         "__EMAIL__": EMAIL_RE,
         "__PHONE__": PHONE_RE,
     }
-    for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin"):
+    for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin",
+                 "q55_outlink_indegree"):
         for k, v in subs.items():
             sql[name] = sql[name].replace(k, v)
     # q53 is q43's physical-plan twin: identical semantics, identical oracle

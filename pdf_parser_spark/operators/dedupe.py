@@ -363,3 +363,92 @@ def duplicate_passage_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
     return out.select(
         "doc_id", "n_grams", "n_dup_grams", F.round(frac, 4).alias("dup_frac")
     )
+
+
+def passage_dedup(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  hash_passages: bool = True) -> DataFrame:
+    """C4-style exact passage dedup WITH document reassembly.
+
+    Split each document into NON-overlapping k-word passages; across the
+    whole corpus keep only the FIRST occurrence of each distinct passage
+    (first = smallest (doc, position)); rebuild every document from its
+    surviving passages. This is the removal counterpart of
+    :func:`duplicate_passage_stats` — the C4/"Deduplicating Training Data"
+    fixed-span formulation (Raffel et al. 2020 dedup three-sentence spans;
+    Lee et al. 2022 remove repeated substrings — public methodology), where
+    the suffix-array machinery reduces to a first-occurrence argmin per
+    distinct passage.
+
+    Returns (doc_id, dedup_text, n_passages, n_kept) — one row per input
+    document; a document whose every passage occurred earlier comes back
+    with dedup_text='' (C4 semantics: spans are removed, documents remain).
+
+    Scale shape (the corpus MUST shuffle by passage — corpus-internal
+    duplication has no small side to broadcast):
+    - passages are built row-local (split + slice inside codegen, one
+      Generate), so the only wide edges are the dedup exchange and the
+      reassembly exchange;
+    - the dedup aggregate is min(struct(doc, idx, passage)) keyed by the
+      passage (xxhash64-narrowed when hash_passages=True — 8-byte shuffle
+      keys, same collision budget as duplicate_passage_stats): a map-side
+      partial keeps ONE candidate struct per key per mapper, so Zipfian
+      boilerplate passages collapse before the exchange;
+    - reassembly is one groupBy(doc_id) over the SURVIVORS only (on web
+      text most passages are unique, so this input is ≤ the corpus, and
+      each group is ≤ the original document);
+    - the final stitch joins survivors back to the per-doc totals on
+      doc_id — AQE broadcasts or reuses the reassembly partitioning.
+    """
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws")).select(
+        "doc_id",
+        "_ws",
+        F.when(F.size("_ws") > 0, F.floor((F.size("_ws") - 1) / k) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_passages"),
+    )
+    chunks = base.filter(F.col("n_passages") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_passages") - 1).cast("int")),
+                lambda i: F.array_join(F.slice("_ws", i * k + 1, k), " "),
+            )
+        ).alias("idx", "passage"),
+    )
+    key = F.xxhash64("passage") if hash_passages else F.col("passage")
+    firsts = (
+        chunks.groupBy(key.alias("_pk"))
+        .agg(F.min(F.struct("doc_id", "idx", "passage")).alias("_f"))
+        .select(
+            F.col("_f.doc_id").alias("doc_id"),
+            F.col("_f.idx").alias("idx"),
+            F.col("_f.passage").alias("passage"),
+        )
+    )
+    kept = (
+        firsts.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "passage"))).alias("_ps"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("_ps", lambda p: p["passage"]), " "
+            ).alias("dedup_text"),
+            F.size("_ps").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_passages")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

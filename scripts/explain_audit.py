@@ -227,6 +227,21 @@ def main() -> None:
             forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
                     r"BatchEvalPython"],
         ),
+        # passage dedup: passages built row-local (Generate, codegen); the
+        # dedup exchange carries a partial min(struct) keyed by the passage
+        # hash; no window over the full chunk table, no cartesian
+        "q54_passage_dedup": dict(
+            require=[r"Generate", r"partial_min"],
+            forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas"],
+        ),
+        # outlink extraction + host in-degree: pure codegen until the host
+        # aggregate — regexp_extract_all + explode, zero Python, no joins
+        "q55_outlink_indegree": dict(
+            require=[r"Generate", r"partial_count"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas",
+                    r"Join", r"CartesianProduct"],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
