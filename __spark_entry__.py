@@ -1279,6 +1279,48 @@ def r17_pagerank(spark, sf_dir):
     )
 
 
+def r18_warc_roundtrip(spark, sf_dir):
+    """WARC source audit (sources/warc): synthesize pages, pack them into
+    per-record-gzipped WARC archives EXECUTOR-side (one applyInPandas group
+    per archive — the write→read round-trip never touches the driver),
+    parse them back with the from-scratch ISO 28500 reader (gzip members →
+    record split → HTTP response unwrap), and emit any (archive, url) whose
+    html bytes fail byte-identity. 0 rows = pass, r02-style."""
+    _ship_package(spark)
+    import pandas as pd
+
+    from pdf_parser_spark.fixtures import pages_spark
+
+    n = 200 if "0.001" in sf_dir else 1000
+    pages = pages_spark(spark, n_docs=n, partitions=8).select(
+        "url", "warc_ts", "html",
+        F.pmod(F.xxhash64("url"), F.lit(8)).alias("_arc"),
+    )
+
+    def roundtrip(key, pdf):
+        from pdf_parser_spark.sources import warc as warc_src
+
+        pdf = pdf.sort_values("url")
+        rows = [
+            (u, t, bytes(h))
+            for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+        ]
+        blob = warc_src.write_warc(rows, per_record_gzip=True)
+        got = {r["url"]: r["html"] for r in warc_src.warc_to_page_rows(blob)}
+        bad = [
+            {"archive": int(key[0]), "url": u}
+            for u, _, h in rows
+            if got.get(u) != h
+        ]
+        if len(got) != len(rows):
+            bad.append({"archive": int(key[0]), "url": "__count_mismatch__"})
+        return pd.DataFrame(bad, columns=["archive", "url"])
+
+    return pages.groupBy("_arc").applyInPandas(
+        roundtrip, schema="archive int, url string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -1353,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r15_semdedup": r15_semdedup,
         "r16_pretrain_pipeline": r16_pretrain_pipeline,
         "r17_pagerank": r17_pagerank,
+        "r18_warc_roundtrip": r18_warc_roundtrip,
     }
 
 

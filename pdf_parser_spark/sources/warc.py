@@ -1,0 +1,320 @@
+"""A1 — WARC source: Common-Crawl-style archives → the pages table.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web pages";
+upstream of that table sits the crawl archive itself, which Common Crawl
+publishes as WARC (ISO 28500 — public spec). This module is a from-scratch
+stdlib implementation of the subset a crawl-extraction pipeline needs:
+
+- a RECORD READER for WARC/1.0 and WARC/1.1: header block (CRLF-terminated
+  name:value lines) + Content-Length payload + CRLF CRLF separator, either
+  as one plain stream or as concatenated per-record GZIP MEMBERS (the
+  Common Crawl layout — each record its own gzip member so readers can
+  seek; zlib.decompressobj's unused_data walks the members);
+- HTTP RESPONSE UNWRAPPING: records whose Content-Type is
+  ``application/http`` carry a full HTTP response; the status line +
+  headers are split off, and a ``Content-Encoding: gzip/deflate`` body is
+  decompressed (Transfer-Encoding: chunked is de-chunked first);
+- CHARSET SNIFFING (WHATWG encoding-sniffing order, trimmed): BOM, then
+  the HTTP Content-Type charset parameter, then ``<meta charset>`` /
+  ``<meta http-equiv=Content-Type>`` within the first 1024 bytes, else
+  utf-8. The pages table keeps ``html`` as BINARY (bytes are ground truth
+  for byte-identity); the sniffed charset rides along for decoding.
+- a RECORD WRITER (tests + fixtures): emits spec-shaped warcinfo/response
+  records, optionally per-record-gzipped — the reader's round-trip oracle.
+
+Spark side: WARC files arrive via the ``binaryFile`` source (one row per
+file — matching how crawl archives are actually partitioned: ~1 GB files,
+one task each; parallelism = file count, so at 10^12 documents the unit of
+work is the archive file, never the record) and a mapInPandas splitter
+emits pages rows. No driver-side parsing, no per-record Python round-trips
+outside the Arrow batch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+_CHARSET_HTTP_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
+
+# ---------------------------------------------------------------- writer
+
+
+def _warc_record(warc_type: str, headers: dict[str, str], payload: bytes) -> bytes:
+    head = ["WARC/1.0"]
+    head.append(f"WARC-Type: {warc_type}")
+    for k, v in headers.items():
+        head.append(f"{k}: {v}")
+    head.append(f"Content-Length: {len(payload)}")
+    return (
+        "\r\n".join(head).encode("utf-8") + _HDR_END + payload + _CRLF + _CRLF
+    )
+
+
+def write_warc(
+    pages: list[tuple[str, "datetime | str", bytes]],
+    per_record_gzip: bool = True,
+    content_type: str = "text/html; charset=utf-8",
+    http_wrap: bool = True,
+) -> bytes:
+    """Build a WARC archive from (url, timestamp, html_bytes) rows.
+
+    With http_wrap the payload is a full HTTP/1.1 200 response (the
+    Common-Crawl response-record shape); without, a raw resource record.
+    per_record_gzip emits each record as its own gzip member (mtime pinned
+    to 0 so output is deterministic).
+    """
+    out = []
+    info = _warc_record(
+        "warcinfo",
+        {"Content-Type": "application/warc-fields"},
+        b"software: pdf_parser_spark warc writer\r\n",
+    )
+    out.append(info)
+    for url, ts, html in pages:
+        if isinstance(ts, datetime):
+            if ts.tzinfo is None:  # naive timestamps are UTC by convention
+                ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            else:
+                ts_s = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        else:
+            ts_s = str(ts)
+        if http_wrap:
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + content_type.encode()
+                + b"\r\nContent-Length: "
+                + str(len(html)).encode()
+                + _HDR_END
+                + html
+            )
+            ctype = 'application/http; msgtype=response'
+        else:
+            payload = html
+            ctype = content_type
+        out.append(
+            _warc_record(
+                "response",
+                {
+                    "WARC-Target-URI": url,
+                    "WARC-Date": ts_s,
+                    "Content-Type": ctype,
+                },
+                payload,
+            )
+        )
+    if not per_record_gzip:
+        return b"".join(out)
+    gzipped = []
+    for rec in out:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(rec)
+        gzipped.append(buf.getvalue())
+    return b"".join(gzipped)
+
+
+# ---------------------------------------------------------------- reader
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members one by one."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        chunk = d.decompress(data[pos:])
+        chunk += d.flush()
+        yield chunk
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # corrupt trailer: stop rather than loop
+            return
+        pos += consumed
+
+
+def _decode_header(raw: bytes) -> str:
+    """WARC headers are UTF-8 (URIs may carry non-ASCII); HTTP headers are
+    latin-1 — try strict UTF-8 first, fall back to latin-1 (lossless)."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[_decode_header(k.strip()).lower()] = _decode_header(v.strip())
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield {'headers': {...lowercased...}, 'payload': bytes} per record.
+
+    Accepts a plain WARC stream or concatenated per-record gzip members
+    (sniffed from the magic bytes).
+    """
+    if data[:2] == b"\x1f\x8b":
+        streams: Iterator[bytes] = _gzip_members(data)
+    else:
+        streams = iter([data])
+    for stream in streams:
+        pos = 0
+        n = len(stream)
+        while pos < n:
+            if not stream[pos:].startswith(b"WARC/"):
+                nxt = stream.find(b"WARC/", pos)
+                if nxt < 0:
+                    break
+                pos = nxt
+            hdr_end = stream.find(_HDR_END, pos)
+            if hdr_end < 0:
+                break
+            headers = _parse_headers(stream[pos:hdr_end])
+            try:
+                length = int(headers.get("content-length", "0"))
+            except ValueError:
+                break
+            body_start = hdr_end + len(_HDR_END)
+            payload = stream[body_start : body_start + length]
+            yield {"headers": headers, "payload": payload}
+            pos = body_start + length
+            # consume the record separator (two CRLFs), tolerantly
+            while stream[pos : pos + 2] == _CRLF:
+                pos += 2
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 Transfer-Encoding: chunked."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            break
+        size_s = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_s, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        out.append(body[start : start + size])
+        pos = start + size + 2
+    return b"".join(out)
+
+
+def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
+    """HTTP response bytes → (lowercased headers incl. ':status', body).
+
+    Applies Transfer-Encoding: chunked and Content-Encoding: gzip/deflate
+    so the returned body is the actual entity bytes.
+    """
+    hdr_end = payload.find(_HDR_END)
+    if hdr_end < 0 or not payload[:5].startswith(b"HTTP/"):
+        return {}, payload
+    lines = payload[:hdr_end].split(_CRLF)
+    headers = _parse_headers(_CRLF.join(lines[1:]))
+    status = lines[0].split(b" ")
+    headers[":status"] = status[1].decode("latin-1") if len(status) > 1 else ""
+    body = payload[hdr_end + len(_HDR_END) :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    try:
+        if "gzip" in enc:
+            body = gzip.decompress(body)
+        elif "deflate" in enc:
+            body = zlib.decompress(body, -zlib.MAX_WBITS)
+    except Exception:
+        pass  # keep raw bytes; charset/extraction layers degrade gracefully
+    return headers, body
+
+
+def sniff_charset(http_headers: dict[str, str], body: bytes) -> str:
+    """WHATWG-order charset sniff: BOM → HTTP header → <meta> → utf-8."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _CHARSET_HTTP_RE.search(
+        http_headers.get("content-type", "").encode("latin-1")
+    )
+    if m:
+        return m.group(1).decode("latin-1").lower()
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        return m.group(1).decode("latin-1").lower()
+    return "utf-8"
+
+
+def warc_to_page_rows(data: bytes) -> Iterator[dict]:
+    """One WARC archive's bytes → pages-table rows (response records only).
+
+    Emits {'url', 'warc_ts' (ISO string), 'html' (entity BYTES — ground
+    truth preserved), 'charset', 'http_status'}.
+    """
+    for rec in iter_warc_records(data):
+        h = rec["headers"]
+        if h.get("warc-type") != "response":
+            continue
+        payload = rec["payload"]
+        if h.get("content-type", "").lower().startswith("application/http"):
+            http_h, body = split_http_response(payload)
+        else:
+            http_h, body = {}, payload
+        yield {
+            "url": h.get("warc-target-uri", ""),
+            "warc_ts": h.get("warc-date", ""),
+            "html": body,
+            "charset": sniff_charset(http_h, body),
+            "http_status": http_h.get(":status", ""),
+        }
+
+
+# ---------------------------------------------------------------- spark
+
+
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts string, html binary, charset string, "
+    "http_status string"
+)
+
+
+def read_warc(spark, path: str, glob: str = "*.warc*"):
+    """WARC files on disk → pages rows, one Spark task per archive file.
+
+    binaryFile gives (path, content) per file; the Arrow-batched splitter
+    runs entirely executor-side. At crawl scale (~1 GB archives) the file
+    IS the parallelism unit — exactly how the archives are produced — so
+    there is no shuffle anywhere in this source.
+    """
+    import pandas as pd
+
+    def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            for content in batch["content"]:
+                rows = list(warc_to_page_rows(bytes(content)))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(split, schema=WARC_PAGES_SCHEMA)

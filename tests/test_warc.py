@@ -1,0 +1,105 @@
+"""WARC source: writer→reader round-trip, HTTP unwrap, charset sniffing,
+malformed-input tolerance, and the Spark binaryFile ingestion path."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+
+from pdf_parser_spark.sources import warc
+
+
+def _pages():
+    return [
+        ("https://a.com/p1", "2024-01-01T00:00:00Z", b"<html><p>hello</p></html>"),
+        # binary payload with CRLFCRLF inside — Content-Length framing must win
+        ("https://a.com/p2", "2024-01-01T00:01:00Z", b"%PDF-\r\n\r\nbinary\x00stuff"),
+        # unicode + datetime timestamp
+        (
+            "https://b.org/café",
+            datetime(2024, 3, 1, 12, tzinfo=timezone.utc),
+            "café ☃".encode("utf-8"),
+        ),
+        ("https://c.net/empty", "2024-01-02T00:00:00Z", b""),
+    ]
+
+
+def test_roundtrip_plain_and_gzipped():
+    for per_gz in (False, True):
+        blob = warc.write_warc(_pages(), per_record_gzip=per_gz)
+        rows = list(warc.warc_to_page_rows(blob))
+        assert [r["url"] for r in rows] == [u for u, _, _ in _pages()]
+        assert [r["html"] for r in rows] == [h for _, _, h in _pages()]
+        assert all(r["http_status"] == "200" for r in rows)
+
+
+def test_roundtrip_no_http_wrap():
+    blob = warc.write_warc(_pages(), per_record_gzip=False, http_wrap=False)
+    rows = list(warc.warc_to_page_rows(blob))
+    assert [r["html"] for r in rows] == [h for _, _, h in _pages()]
+
+
+def test_warcinfo_record_skipped():
+    blob = warc.write_warc(_pages()[:1], per_record_gzip=False)
+    recs = list(warc.iter_warc_records(blob))
+    assert recs[0]["headers"]["warc-type"] == "warcinfo"
+    assert len(list(warc.warc_to_page_rows(blob))) == 1
+
+
+def test_http_unwrap_content_encoding_gzip():
+    body = b"<html>compressed body</html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(body)
+    )
+    headers, got = warc.split_http_response(payload)
+    assert got == body
+    assert headers[":status"] == "200"
+
+
+def test_http_unwrap_chunked():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    _, got = warc.split_http_response(payload)
+    assert got == b"hello world"
+
+
+def test_charset_sniffing_order():
+    assert warc.sniff_charset({}, b"\xef\xbb\xbfhi") == "utf-8"
+    assert (
+        warc.sniff_charset({"content-type": "text/html; charset=ISO-8859-1"}, b"x")
+        == "iso-8859-1"
+    )
+    assert (
+        warc.sniff_charset({}, b'<html><meta charset="Shift_JIS"><body>')
+        == "shift_jis"
+    )
+    assert warc.sniff_charset({}, b"<html>plain</html>") == "utf-8"
+
+
+def test_malformed_inputs_dont_raise():
+    assert list(warc.warc_to_page_rows(b"")) == []
+    assert list(warc.warc_to_page_rows(b"garbage no records")) == []
+    # truncated record: header promises more bytes than exist
+    blob = warc.write_warc(_pages()[:1], per_record_gzip=False)
+    rows = list(warc.warc_to_page_rows(blob[: len(blob) - 10]))
+    assert len(rows) <= 1  # degrades, never raises
+    # leading junk before the first WARC/ magic is skipped
+    assert len(list(warc.warc_to_page_rows(b"JUNK" + blob))) == 1
+
+
+def test_read_warc_spark(spark, tmp_path):
+    pages = _pages()
+    (tmp_path / "part0.warc.gz").write_bytes(
+        warc.write_warc(pages[:2], per_record_gzip=True)
+    )
+    (tmp_path / "part1.warc").write_bytes(
+        warc.write_warc(pages[2:], per_record_gzip=False)
+    )
+    df = warc.read_warc(spark, str(tmp_path)).orderBy("url")
+    got = df.collect()
+    want = sorted(pages, key=lambda p: p[0])
+    assert [r["url"] for r in got] == [u for u, _, _ in want]
+    assert [bytes(r["html"]) for r in got] == [h for _, _, h in want]
