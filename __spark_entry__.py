@@ -1321,6 +1321,35 @@ def r18_warc_roundtrip(spark, sf_dir):
     )
 
 
+def r19_snapshot_log(spark, sf_dir):
+    """Iceberg-style snapshot-log audit (plans/snapshots.SnapshotTable):
+    append the documents table bucketed by doc-id hash, overwrite one
+    bucket, roll back, and return the resulting snapshot history (version,
+    operation, n_files, n_rows). Exercises atomic exclusive publish,
+    manifest-based reads, and single-partition data files; rows-only
+    (filesystem side effects), full semantics pytest-covered in
+    tests/test_snapshots.py."""
+    import tempfile
+
+    from pdf_parser_spark.plans.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="snaplog-"), stats_cols=("n_chars",)
+    )
+    t.append(d)
+    t.overwrite_partitions(d.filter(F.col("bucket") == 3))
+    t.rollback(1)
+    # sanity INSIDE the query: rollback must reproduce v1 exactly
+    assert t.read().count() == t.read(version=1).count()
+    return t.snapshots().select(
+        "version", "operation", "n_files", "n_rows"
+    ).orderBy("version")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -1396,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r16_pretrain_pipeline": r16_pretrain_pipeline,
         "r17_pagerank": r17_pagerank,
         "r18_warc_roundtrip": r18_warc_roundtrip,
+        "r19_snapshot_log": r19_snapshot_log,
     }
 
 

@@ -1,0 +1,329 @@
+"""Iceberg-style snapshot log over a parquet table (A7/A8/S1 at table level).
+
+The north rule targets "partitioned Iceberg tables" with jobs that "resume
+from the last committed snapshot". This sandbox has no Iceberg runtime jar,
+so this module implements the snapshot SEMANTICS from scratch — the same
+public design the Iceberg spec describes (and the same on-disk idioms:
+``metadata/v{N}.json`` + ``version-hint.text``):
+
+- a table is a directory: ``data/`` (immutable parquet files) +
+  ``metadata/`` (one JSON snapshot per version, newest wins);
+- every snapshot carries a MANIFEST: the full list of data files with
+  file-level stats (row count, byte size, per-column min/max for the
+  declared stats columns) read from parquet FOOTERS via pyarrow — no data
+  scan to build metadata;
+- commits are ATOMIC and OPTIMISTICALLY CONCURRENT: the snapshot JSON is
+  written to a tmp file and published with ``os.link`` (hard link fails if
+  the target exists), so two racing writers cannot both claim version N —
+  the loser gets ``CommitConflict`` and retries on the new base, exactly
+  Iceberg's optimistic-concurrency loop;
+- readers never list ``data/``: they read the manifest of the version they
+  want (time travel = pick an older version; rollback = a NEW snapshot
+  that re-publishes an old file set, history is never rewritten);
+- ``plan_files`` prunes manifests by min/max stats BEFORE Spark sees a
+  path — the Iceberg scan-planning step that keeps a 10^12-row table's
+  query from listing a million files;
+- ``expire_snapshots`` retires old versions and deletes data files no
+  retained snapshot references (the GC story).
+
+On a real cluster the same call sites switch to ``df.writeTo(...)`` /
+``spark.read.option("snapshot-id", ...)``; the job loops (plans/checkpoint)
+are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_META = "metadata"
+_DATA = "data"
+_HINT = "version-hint.text"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first — rebase and retry."""
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def _publish_exclusive(path: str, payload: str) -> None:
+    """Create `path` atomically, failing if it already exists."""
+    tmp = path + f".claim.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)  # atomic + exclusive on POSIX
+    except FileExistsError as exc:
+        raise CommitConflict(f"version file already published: {path}") from exc
+    finally:
+        os.unlink(tmp)
+
+
+def _parquet_file_entry(path: str, stats_cols: tuple[str, ...]) -> dict:
+    """Manifest entry from the parquet FOOTER only (no data scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col in stats_cols:
+        i = names.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            mins[col] = lo if not isinstance(lo, bytes) else lo.decode("utf-8", "replace")
+            maxs[col] = hi if not isinstance(hi, bytes) else hi.decode("utf-8", "replace")
+    return {
+        "path": path,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "min": mins,
+        "max": maxs,
+    }
+
+
+class SnapshotTable:
+    """A parquet directory with an Iceberg-shaped snapshot log.
+
+    Single table, many versions; every mutation is a new immutable
+    snapshot. ``partition_col`` is the layout key (the bucket id from
+    sources/pages.with_bucket); ``stats_cols`` are footer-stat columns
+    recorded per file for scan pruning.
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_col: str = "bucket",
+                 stats_cols: tuple[str, ...] = ()) -> None:
+        self.spark = spark
+        self.path = path
+        self.partition_col = partition_col
+        self.stats_cols = tuple(stats_cols)
+        self.meta_dir = os.path.join(path, _META)
+        self.data_dir = os.path.join(path, _DATA)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- versions -----------------------------------------------------------
+
+    def current_version(self) -> int:
+        # the hint file is only a cache; the log itself is authoritative, so
+        # a hint lost to a writer race can never roll the table back
+        versions = [
+            int(n[1:-5])
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _snapshot_path(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"v{v}.json")
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "operation": "none", "files": [],
+                    "partitions": {}, "ts": 0.0}
+        with open(self._snapshot_path(v)) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> DataFrame:
+        """Metadata table: one row per retained snapshot."""
+        rows = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as fh:
+                    s = json.load(fh)
+                rows.append((
+                    s["version"], s["operation"], len(s["files"]),
+                    int(sum(f["rows"] for f in s["files"])),
+                    int(sum(f["bytes"] for f in s["files"])), float(s["ts"]),
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, operation string, n_files int, n_rows long, "
+            "n_bytes long, ts double",
+        )
+
+    # -- commits ------------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, v: int) -> list[dict]:
+        """Write df under a version-unique subdir; return manifest entries.
+
+        Data files are SINGLE-PARTITION by construction (partitionBy layout
+        — the Iceberg data-file invariant): without it, a file spanning two
+        bucket values would make a later single-bucket overwrite either
+        lose rows (drop the file) or duplicate them (keep it).
+        """
+        sub = os.path.join(self.data_dir, f"snap-v{v}")
+        i = 0
+        while os.path.exists(sub):  # failed earlier attempt left debris
+            i += 1
+            sub = os.path.join(self.data_dir, f"snap-v{v}-r{i}")
+        df.write.partitionBy(self.partition_col).mode("error").parquet(sub)
+        marker = f"{self.partition_col}="
+        entries = []
+        for root, _, names in os.walk(sub):
+            part = None
+            for seg in os.path.relpath(root, sub).split(os.sep):
+                if seg.startswith(marker):
+                    raw = seg[len(marker):]
+                    part = int(raw) if raw.lstrip("-").isdigit() else raw
+            for name in sorted(names):
+                if name.endswith(".parquet") and part is not None:
+                    e = _parquet_file_entry(
+                        os.path.join(root, name), self.stats_cols
+                    )
+                    # the partition value lives in the path, not the footer
+                    e["min"][self.partition_col] = part
+                    e["max"][self.partition_col] = part
+                    e["base"] = sub
+                    entries.append(e)
+        return entries
+
+    def _publish(self, operation: str, files: list[dict], base_version: int) -> int:
+        v = base_version + 1
+        snap = {
+            "version": v,
+            "operation": operation,
+            "base_version": base_version,
+            "files": files,
+            "ts": time.time(),
+        }
+        _publish_exclusive(self._snapshot_path(v), json.dumps(snap))
+        # the hint is a cache of max(vN); losing a race here is harmless
+        # because readers fall back to scanning metadata/ for the max
+        _atomic_write(os.path.join(self.meta_dir, _HINT), str(v))
+        return v
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = old files + df's files.
+
+        One shuffle keyed on the partition column so each partition value
+        lands in one file (pages.write_table's small-files discipline; at
+        real scale a target-file-size split would follow, which Iceberg's
+        writers do and parquet row groups approximate here).
+        """
+        base = self.current_version()
+        new = self._write_data_files(df.repartition(self.partition_col), base + 1)
+        return self._publish("append", self.snapshot(base)["files"] + new, base)
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Replace exactly the partitions present in df (dynamic overwrite).
+
+        A file is replaced iff its partition_col min==max value appears in
+        df — which holds by construction because data files are written
+        repartitioned by the partition column.
+        """
+        base = self.current_version()
+        out = df.repartition(self.partition_col)
+        new = self._write_data_files(out, base + 1)
+        touched = {f["min"][self.partition_col] for f in new}
+        # every data file is single-partition (see _write_data_files), so
+        # membership of its one value decides replacement exactly
+        kept = [
+            f
+            for f in self.snapshot(base)["files"]
+            if f["min"].get(self.partition_col) not in touched
+        ]
+        return self._publish("overwrite_partitions", kept + new, base)
+
+    def rollback(self, version: int) -> int:
+        """New snapshot re-publishing `version`'s file set (history kept)."""
+        base = self.current_version()
+        return self._publish("rollback", self.snapshot(version)["files"], base)
+
+    # -- reads --------------------------------------------------------------
+
+    def plan_entries(self, version: int | None = None,
+                     min_max: dict[str, tuple] | None = None) -> list[dict]:
+        """Manifest-level scan planning: file entries, stats-pruned.
+
+        min_max: {col: (lo, hi)} keeps a file only if its [min, max] for
+        col overlaps [lo, hi] (files without stats are kept — pruning is
+        always conservative).
+        """
+        files = self.snapshot(version)["files"]
+        if min_max:
+            for col, (lo, hi) in min_max.items():
+                files = [
+                    f
+                    for f in files
+                    if f["min"].get(col) is None
+                    or not (f["max"][col] < lo or f["min"][col] > hi)
+                ]
+        return files
+
+    def plan_files(self, version: int | None = None,
+                   min_max: dict[str, tuple] | None = None) -> list[str]:
+        return [f["path"] for f in self.plan_entries(version, min_max)]
+
+    def _read_entries(self, entries: list[dict]) -> DataFrame:
+        # the partition value lives in the directory name, so each snap
+        # subdir is read with its own basePath and the groups unioned
+        by_base: dict[str, list[str]] = {}
+        for f in entries:
+            by_base.setdefault(f["base"], []).append(f["path"])
+        out = None
+        for base, paths in sorted(by_base.items()):
+            part = self.spark.read.option("basePath", base).parquet(*paths)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def read(self, version: int | None = None,
+             min_max: dict[str, tuple] | None = None) -> DataFrame:
+        entries = self.plan_entries(version, min_max)
+        if entries:
+            return self._read_entries(entries)
+        all_entries = self.snapshot(version)["files"]
+        if all_entries:  # pruned to nothing: keep the schema, drop the rows
+            return self._read_entries(all_entries).limit(0)
+        return self.spark.createDataFrame([], f"{self.partition_col} int")
+
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest `keep_last` snapshots; delete data files
+        referenced by NO retained snapshot. Returns {'snapshots': n, 'files': n}.
+        """
+        current = self.current_version()
+        versions = sorted(
+            int(n[1:-5])
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        retained = [v for v in versions if v > current - keep_last]
+        keep_files = set()
+        for v in retained:
+            keep_files.update(f["path"] for f in self.snapshot(v)["files"])
+        dropped_files = 0
+        for v in versions:
+            if v in retained:
+                continue
+            for f in self.snapshot(v)["files"]:
+                if f["path"] not in keep_files and os.path.exists(f["path"]):
+                    os.unlink(f["path"])
+                    dropped_files += 1
+            os.unlink(self._snapshot_path(v))
+        return {"snapshots": len(versions) - len(retained), "files": dropped_files}

@@ -1,0 +1,108 @@
+"""Iceberg-style snapshot log: append / overwrite / time travel / rollback /
+optimistic-concurrency conflict / stats pruning / expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.plans.snapshots import CommitConflict, SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "bucket int, k string, n long")
+
+
+def _data(tbl, version=None):
+    return {(r["bucket"], r["k"], r["n"]) for r in tbl.read(version).collect()}
+
+
+def test_append_and_read(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=("n",))
+    assert t.current_version() == 0
+    v1 = t.append(_df(spark, [(0, "a", 1), (1, "b", 2)]))
+    v2 = t.append(_df(spark, [(1, "c", 3)]))
+    assert (v1, v2) == (1, 2)
+    assert _data(t) == {(0, "a", 1), (1, "b", 2), (1, "c", 3)}
+    assert _data(t, version=1) == {(0, "a", 1), (1, "b", 2)}  # time travel
+
+
+def test_overwrite_partitions_exact(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # buckets 1 and 2 written TOGETHER (can share a write task): the
+    # single-partition file invariant is what keeps the later bucket-1
+    # overwrite from dropping or duplicating bucket 2
+    t.append(_df(spark, [(1, "old1", 1), (2, "old2", 2), (3, "old3", 3)]))
+    t.overwrite_partitions(_df(spark, [(1, "new1", 10)]))
+    assert _data(t) == {(1, "new1", 10), (2, "old2", 2), (3, "old3", 3)}
+    # idempotent re-run (the checkpoint resume story)
+    t.overwrite_partitions(_df(spark, [(1, "new1", 10)]))
+    assert _data(t) == {(1, "new1", 10), (2, "old2", 2), (3, "old3", 3)}
+
+
+def test_rollback_creates_new_version(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "keep", 1)]))
+    t.overwrite_partitions(_df(spark, [(0, "oops", 9)]))
+    v = t.rollback(1)
+    assert v == 3  # history preserved, rollback is a NEW snapshot
+    assert _data(t) == {(0, "keep", 1)}
+    assert _data(t, version=2) == {(0, "oops", 9)}  # still inspectable
+
+
+def test_commit_conflict(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a", 1)]))
+    base = t.current_version()
+    # a racing writer publishes base+1 INSIDE our commit window (after we
+    # read the base, before we publish) — the exclusive link must lose
+    with open(t._snapshot_path(base + 1), "w") as fh:
+        fh.write('{"version": 2, "operation": "append", "files": [], "ts": 0}')
+    with pytest.raises(CommitConflict):
+        t._publish("append", [], base)
+    # a writer that instead re-reads the log rebases cleanly past the racer
+    t.append(_df(spark, [(0, "b", 2)]))
+    assert t.current_version() == base + 2
+
+
+def test_stats_pruning(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=("n",))
+    t.append(_df(spark, [(0, "lo", 1), (0, "lo2", 5)]))
+    t.append(_df(spark, [(1, "hi", 100), (1, "hi2", 200)]))
+    # manifest pruning: only the file overlapping [90, 300] is planned
+    assert len(t.plan_files(min_max={"n": (90, 300)})) == 1
+    assert len(t.plan_files()) == 2
+    # partition pruning via the same mechanism
+    assert len(t.plan_files(min_max={"bucket": (1, 1)})) == 1
+    # pruned read == full read filtered (pruning is conservative, never lossy)
+    got = {r["k"] for r in t.read(min_max={"n": (90, 300)})
+           .filter(F.col("n").between(90, 300)).collect()}
+    assert got == {"hi", "hi2"}
+    # pruned-to-nothing keeps the schema
+    empty = t.read(min_max={"n": (10**6, 10**7)})
+    assert empty.count() == 0 and set(empty.columns) == {"bucket", "k", "n"}
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a", 1)]))
+    t.overwrite_partitions(_df(spark, [(0, "b", 2)]))  # v1's file now orphan
+    old_file = t.snapshot(1)["files"][0]["path"]
+    assert os.path.exists(old_file)
+    out = t.expire_snapshots(keep_last=1)
+    assert out == {"snapshots": 1, "files": 1}
+    assert not os.path.exists(old_file)
+    assert _data(t) == {(0, "b", 2)}  # current snapshot untouched
+    assert t.snapshots().count() == 1
+
+
+def test_snapshots_metadata_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a", 1), (1, "b", 2)]))
+    t.overwrite_partitions(_df(spark, [(1, "c", 3)]))
+    rows = {r["version"]: r for r in t.snapshots().collect()}
+    assert rows[1]["operation"] == "append" and rows[1]["n_rows"] == 2
+    assert rows[2]["operation"] == "overwrite_partitions"
+    assert rows[2]["n_rows"] == 2  # bucket 0 kept + bucket 1 replaced
