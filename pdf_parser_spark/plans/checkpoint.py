@@ -186,3 +186,132 @@ def full_pipeline_job(
     txns = pipeline.transactions_pipeline(pages)
     pages_src.write_table(txns, os.path.join(out_dir, "transactions"), n_buckets)
     return spark.read.parquet(os.path.join(out_dir, "transactions"))
+
+
+class SnapshotExtractionJob:
+    """pages → transactions where the COMMIT UNIT IS A TABLE SNAPSHOT.
+
+    The north rule's literal shape: "resumes from the last committed
+    snapshot". Each bucket group becomes one `overwrite_partitions` commit
+    on a plans/snapshots.SnapshotTable, with the group's extraction metrics
+    riding in the snapshot SUMMARY (Iceberg snapshots carry exactly such a
+    summary map). Resume = read which buckets any retained snapshot already
+    committed; a crash between the data write and the snapshot publish
+    leaves only unreferenced debris files (GC'd by expire_snapshots), never
+    a half-committed bucket — the marker-file variant above
+    (ResumableExtractionJob) is this same pattern with the snapshot log
+    replaced by per-bucket JSON markers.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_buckets: int = 16,
+        buckets_per_commit: int = 4,
+    ) -> None:
+        from pdf_parser_spark.plans.snapshots import SnapshotTable
+
+        self.spark = spark
+        self.n_buckets = n_buckets
+        self.buckets_per_commit = buckets_per_commit
+        self.table = SnapshotTable(spark, out_dir, partition_col="bucket")
+
+    # -- lineage state ------------------------------------------------------
+
+    def committed(self) -> set[int]:
+        """Buckets some retained snapshot's summary claims (zero-output
+        buckets commit too, which file listings could not express)."""
+        done: set[int] = set()
+        v = self.table.current_version()
+        while v > 0:
+            try:
+                snap = self.table.snapshot(v)
+            except FileNotFoundError:  # expired history: older work is gone
+                break
+            done.update(snap["summary"].get("buckets", []))
+            v = snap.get("base_version", v - 1)
+        return done
+
+    def lineage(self) -> DataFrame:
+        """Per-commit lineage/metrics straight from the snapshot log."""
+        rows = []
+        v = self.table.current_version()
+        while v > 0:
+            try:
+                snap = self.table.snapshot(v)
+            except FileNotFoundError:
+                break
+            s = snap["summary"]
+            if "buckets" in s:
+                rows.append((
+                    snap["version"],
+                    s["lineage_id"],
+                    [int(b) for b in s["buckets"]],
+                    int(s["docs"]), int(s["txns"]), int(s["bytes_in"]),
+                    int(s["parse_failures"]),
+                    float(s["group_wall_s"]), float(s["group_docs_per_sec"]),
+                ))
+            v = snap.get("base_version", v - 1)
+        return self.spark.createDataFrame(
+            rows,
+            "version int, lineage_id string, buckets array<int>, docs long, "
+            "txns long, bytes_in long, parse_failures long, "
+            "group_wall_s double, group_docs_per_sec double",
+        )
+
+    # -- the job ------------------------------------------------------------
+
+    def run(self, get_pages, max_commits: int | None = None) -> dict:
+        """Process every bucket group absent from the snapshot history."""
+        todo = sorted(set(range(self.n_buckets)) - self.committed())
+        groups = [
+            todo[i : i + self.buckets_per_commit]
+            for i in range(0, len(todo), self.buckets_per_commit)
+        ]
+        done = 0
+        for group in groups:
+            if max_commits is not None and done >= max_commits:
+                break
+            t0 = time.perf_counter()
+            pages = pages_src.with_bucket(get_pages(), "url", self.n_buckets)
+            pages = pages.where(F.col("bucket").isin([int(b) for b in group]))
+            extracted = extract_op.extract_documents(pages.drop("bucket"))
+            extracted = pages_src.with_bucket(
+                extracted, "url", self.n_buckets
+            ).persist()
+            txns = extract_op.extracted_transactions(extracted.drop("bucket"))
+            txns = pages_src.with_bucket(txns, "url", self.n_buckets)
+            agg = extracted.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_txns").alias("txns"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+            ).first()
+            wall = time.perf_counter() - t0
+            docs = int(agg["docs"] or 0)
+            self.table.overwrite_partitions(
+                txns,
+                summary={
+                    "lineage_id": f"extract:{self.n_buckets}:"
+                    + ",".join(str(b) for b in group),
+                    "buckets": [int(b) for b in group],
+                    "docs": docs,
+                    "txns": int(agg["txns"] or 0),
+                    "bytes_in": int(agg["bytes_in"] or 0),
+                    "parse_failures": int(agg["parse_failures"] or 0),
+                    "group_wall_s": round(wall, 3),
+                    "group_docs_per_sec": round(docs / wall, 2) if wall else 0.0,
+                },
+            )
+            extracted.unpersist()
+            done += 1
+        return {
+            "n_buckets": self.n_buckets,
+            "committed": len(self.committed()),
+            "group_commits_this_run": done,
+            "snapshot_version": self.table.current_version(),
+        }
+
+    def output(self) -> DataFrame:
+        return self.table.read()

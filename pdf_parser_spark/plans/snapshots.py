@@ -202,13 +202,15 @@ class SnapshotTable:
                     entries.append(e)
         return entries
 
-    def _publish(self, operation: str, files: list[dict], base_version: int) -> int:
+    def _publish(self, operation: str, files: list[dict], base_version: int,
+                 summary: dict | None = None) -> int:
         v = base_version + 1
         snap = {
             "version": v,
             "operation": operation,
             "base_version": base_version,
             "files": files,
+            "summary": summary or {},
             "ts": time.time(),
         }
         _publish_exclusive(self._snapshot_path(v), json.dumps(snap))
@@ -217,7 +219,7 @@ class SnapshotTable:
         _atomic_write(os.path.join(self.meta_dir, _HINT), str(v))
         return v
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """New snapshot = old files + df's files.
 
         One shuffle keyed on the partition column so each partition value
@@ -227,9 +229,12 @@ class SnapshotTable:
         """
         base = self.current_version()
         new = self._write_data_files(df.repartition(self.partition_col), base + 1)
-        return self._publish("append", self.snapshot(base)["files"] + new, base)
+        return self._publish(
+            "append", self.snapshot(base)["files"] + new, base, summary
+        )
 
-    def overwrite_partitions(self, df: DataFrame) -> int:
+    def overwrite_partitions(self, df: DataFrame,
+                             summary: dict | None = None) -> int:
         """Replace exactly the partitions present in df (dynamic overwrite).
 
         A file is replaced iff its partition_col min==max value appears in
@@ -247,12 +252,14 @@ class SnapshotTable:
             for f in self.snapshot(base)["files"]
             if f["min"].get(self.partition_col) not in touched
         ]
-        return self._publish("overwrite_partitions", kept + new, base)
+        return self._publish("overwrite_partitions", kept + new, base, summary)
 
-    def rollback(self, version: int) -> int:
+    def rollback(self, version: int, summary: dict | None = None) -> int:
         """New snapshot re-publishing `version`'s file set (history kept)."""
         base = self.current_version()
-        return self._publish("rollback", self.snapshot(version)["files"], base)
+        return self._publish(
+            "rollback", self.snapshot(version)["files"], base, summary
+        )
 
     # -- reads --------------------------------------------------------------
 

@@ -152,3 +152,55 @@ def test_bucket_pruned_read(spark, pages, tmp_path_factory):
     assert 0 < one.count() < n_all
     # partition filter must reach the scan (pruning, not post-filter)
     assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+
+
+def test_snapshot_job_resume_matches_one_shot(spark, pages, tmp_path_factory):
+    """The snapshot-log variant of the kill-and-restart contract: each group
+    commit is one table snapshot; resume reads the snapshot summaries."""
+    from pdf_parser_spark.plans.checkpoint import SnapshotExtractionJob
+
+    out = str(tmp_path_factory.mktemp("snapresume"))
+    job = SnapshotExtractionJob(spark, out, n_buckets=N_BUCKETS, buckets_per_commit=2)
+
+    summary1 = job.run(lambda: pages, max_commits=2)
+    assert summary1["group_commits_this_run"] == 2
+    assert summary1["snapshot_version"] == 2  # one snapshot per group commit
+    assert len(job.committed()) == 4
+
+    job2 = SnapshotExtractionJob(spark, out, n_buckets=N_BUCKETS, buckets_per_commit=2)
+    summary2 = job2.run(lambda: pages)
+    assert summary2["committed"] == N_BUCKETS
+    assert summary2["snapshot_version"] == 4
+
+    got = job2.output()
+    assert got.count() == got.select("txn_id").distinct().count()
+    expect = (
+        pipeline.transactions_pipeline(pages)
+        .select("txn_id", "date", "memo", "amount", "source")
+        .orderBy("txn_id")
+        .toPandas()
+    )
+    got_pd = (
+        got.select("txn_id", "date", "memo", "amount", "source")
+        .orderBy("txn_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got_pd, expect)
+
+    # rerunning a fully-committed job is a no-op (no new snapshots)
+    summary3 = job2.run(lambda: pages)
+    assert summary3["group_commits_this_run"] == 0
+    assert summary3["snapshot_version"] == 4
+
+    # the lineage table comes straight from the snapshot summaries
+    lin = job2.lineage()
+    assert lin.count() == 4
+    assert lin.agg(F.sum("docs")).first()[0] == N_DOCS
+
+    # time travel still sees the half-done table: exactly the first two
+    # groups' buckets ({0,1,2,3}), row-for-row what the final table holds
+    # for those buckets
+    half = job2.table.read(version=2)
+    half_buckets = {r["bucket"] for r in half.select("bucket").distinct().collect()}
+    assert half_buckets <= {0, 1, 2, 3}
+    assert half.count() == got.filter(F.col("bucket") < 4).count()
