@@ -1,0 +1,119 @@
+"""S1/S3 at crawl scale: streaming WARC ingestion with exactly-once commits.
+
+New archive files land in a directory (the crawl's delivery bucket); a
+Structured Streaming ``binaryFile`` source discovers them incrementally, the
+WARC splitter (sources/warc) turns each archive into pages rows inside the
+executors, and ``foreachBatch`` commits every micro-batch to an
+Iceberg-style SnapshotTable (plans/snapshots).
+
+Exactly-once is the standard idempotent-foreachBatch recipe with the
+snapshot log as the transactional sink: the snapshot SUMMARY records the
+stream's batch id, so a batch replayed after a failure between the sink
+commit and the source-checkpoint advance is detected in the log and
+skipped. One stream checkpoint directory pairs with one table — batch ids
+are only unique within a checkpoint lineage (resetting the checkpoint while
+keeping the table would replay ids; that pairing is the caller's contract,
+same as with any idempotent foreachBatch sink).
+
+At crawl scale the unit of streaming work is the ARCHIVE FILE (~1 GB), so
+``maxFilesPerTrigger`` is the batch-size knob; there is no shuffle between
+the file source and the snapshot write except the bucket repartition the
+table itself performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_parser_spark.plans.snapshots import SnapshotTable
+from pdf_parser_spark.sources import pages as pages_src
+from pdf_parser_spark.sources import warc as warc_src
+
+# binaryFile's fixed schema — streaming sources cannot infer it
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(spark: SparkSession, path: str, glob: str = "*.warc*",
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of sources/warc.read_warc: archives → pages rows."""
+    import pandas as pd
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("content")
+
+    def split(batches):
+        for batch in batches:
+            for content in batch["content"]:
+                rows = list(warc_src.warc_to_page_rows(bytes(content)))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(split, schema=warc_src.WARC_PAGES_SCHEMA)
+
+
+class WarcIngest:
+    """Directory of WARC archives → bucketed SnapshotTable, exactly once."""
+
+    def __init__(self, spark: SparkSession, src_path: str, table_path: str,
+                 checkpoint_dir: str, n_buckets: int = 16,
+                 glob: str = "*.warc*") -> None:
+        self.spark = spark
+        self.src_path = src_path
+        self.checkpoint_dir = checkpoint_dir
+        self.n_buckets = n_buckets
+        self.glob = glob
+        self.table = SnapshotTable(spark, table_path, partition_col="bucket")
+
+    def committed_batches(self) -> set[int]:
+        done: set[int] = set()
+        v = self.table.current_version()
+        while v > 0:
+            try:
+                snap = self.table.snapshot(v)
+            except FileNotFoundError:
+                break
+            b = snap["summary"].get("stream_batch_id")
+            if b is not None:
+                done.add(int(b))
+            v = snap.get("base_version", v - 1)
+        return done
+
+    def _commit_batch(self, df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in self.committed_batches():
+            return  # replayed batch: the snapshot log already has it
+        out = pages_src.with_bucket(df, "url", self.n_buckets)
+        n = out.persist().count()
+        self.table.append(
+            out,
+            summary={"stream_batch_id": int(batch_id), "pages": int(n)},
+        )
+        out.unpersist()
+
+    def run_available_now(self, timeout_s: float = 120.0) -> dict:
+        """Drain everything currently in the directory, then stop."""
+        pages = read_warc_stream(self.spark, self.src_path, self.glob)
+        q = (
+            pages.writeStream.foreachBatch(self._commit_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        return {
+            "snapshot_version": self.table.current_version(),
+            "batches_committed": len(self.committed_batches()),
+        }
+
+    def output(self) -> DataFrame:
+        return self.table.read()
+
+
+__all__ = ["read_warc_stream", "WarcIngest"]

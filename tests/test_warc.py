@@ -103,3 +103,46 @@ def test_read_warc_spark(spark, tmp_path):
     want = sorted(pages, key=lambda p: p[0])
     assert [r["url"] for r in got] == [u for u, _, _ in want]
     assert [bytes(r["html"]) for r in got] == [h for _, _, h in want]
+
+
+def test_warc_streaming_ingest_exactly_once(spark, tmp_path):
+    """Incremental drain + replayed-batch idempotence for WarcIngest."""
+    from pdf_parser_spark.streaming.warc_stream import WarcIngest
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    pages = _pages()
+    (src / "a.warc.gz").write_bytes(warc.write_warc(pages[:2]))
+    (src / "b.warc.gz").write_bytes(warc.write_warc(pages[2:3]))
+
+    ing = WarcIngest(
+        spark,
+        str(src),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    out1 = ing.run_available_now()
+    assert out1["batches_committed"] >= 1
+    got = {r["url"] for r in ing.output().select("url").collect()}
+    assert got == {u for u, _, _ in pages[:3]}
+
+    # a new archive lands; only IT is ingested on the next drain
+    (src / "c.warc.gz").write_bytes(warc.write_warc(pages[3:]))
+    out2 = ing.run_available_now()
+    assert out2["snapshot_version"] > out1["snapshot_version"]
+    table_rows = ing.output().collect()
+    assert {r["url"] for r in table_rows} == {u for u, _, _ in pages}
+    assert len(table_rows) == len(pages)  # no duplicates across drains
+
+    # replayed micro-batch (failure between sink commit and checkpoint
+    # advance): same batch id → the snapshot log detects it → no-op
+    replay_id = max(ing.committed_batches())
+    before = ing.table.current_version()
+    df = spark.createDataFrame(
+        [("dup://u", "2024-01-01T00:00:00Z", b"<p>dup</p>", "utf-8", "200")],
+        warc.WARC_PAGES_SCHEMA,
+    )
+    ing._commit_batch(df, replay_id)
+    assert ing.table.current_version() == before
+    assert ing.output().count() == len(pages)
