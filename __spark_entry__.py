@@ -1350,6 +1350,46 @@ def r19_snapshot_log(spark, sf_dir):
     ).orderBy("version")
 
 
+def r20_span_invariants(spark, sf_dir):
+    """Span-audit of the extraction output: the Python engines PRODUCE
+    (text, spans); a fully NATIVE expression audits them — per doc, every
+    span's width matches its offsets, spans tile the text exactly (start 0,
+    consecutive, joined by one '\\n', last end == length), and substring
+    reconstruction over the span offsets rebuilds the extracted text
+    byte-for-byte. Emits violating urls; 0 rows = pass.
+
+    Scope: the HTML path — char-offset spans are html_extract's contract.
+    PDF-path spans are GEOMETRIC layout records (page/column/y-range,
+    pdf_layout.extract_layout_text), deliberately a different shape, and
+    are audited in their own terms by tests/test_pdf_layout.py."""
+    _ship_package(spark)
+    from pdf_parser_spark.fixtures import pages_spark
+    from pdf_parser_spark.operators import extract as extract_op
+
+    n = 200 if "0.001" in sf_dir else 1000
+    docs = extract_op.extract_documents(
+        pages_spark(spark, n_docs=n, partitions=8), keep_text=True
+    ).filter(F.col("payload_kind") == "html")
+    ok = F.expr(
+        """
+        forall(spans, s -> s.end - s.start = s.n_chars)
+        AND (size(spans) = 0 OR element_at(spans, 1).start = 0)
+        AND (size(spans) = 0
+             OR element_at(spans, -1).end = length(extracted_text))
+        AND (size(spans) < 2 OR forall(
+              zip_with(slice(spans, 1, size(spans) - 1),
+                       slice(spans, 2, size(spans) - 1),
+                       (a, b) -> b.start = a.end + 1),
+              x -> x))
+        AND concat_ws('\n', transform(
+              spans,
+              s -> substring(extracted_text, s.start + 1, s.n_chars)))
+            = extracted_text
+        """
+    )
+    return docs.select("url", ok.alias("spans_ok")).filter(~F.col("spans_ok"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
@@ -1426,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r17_pagerank": r17_pagerank,
         "r18_warc_roundtrip": r18_warc_roundtrip,
         "r19_snapshot_log": r19_snapshot_log,
+        "r20_span_invariants": r20_span_invariants,
     }
 
 

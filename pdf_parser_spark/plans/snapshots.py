@@ -310,6 +310,33 @@ class SnapshotTable:
 
     # -- maintenance ----------------------------------------------------------
 
+    def compact(self, min_files_per_partition: int = 2) -> int | None:
+        """Rewrite fragmented partitions into one file each (Iceberg's
+        rewrite_data_files): partitions with >= min_files_per_partition
+        files are read back and re-published as a 'compact' snapshot; data
+        is bit-identical, only the file layout changes. Old files stay
+        referenced by older snapshots until expire_snapshots drops them.
+        Returns the new version, or None if nothing was fragmented.
+        """
+        base = self.current_version()
+        files = self.snapshot(base)["files"]
+        per_part: dict = {}
+        for f in files:
+            per_part.setdefault(f["min"].get(self.partition_col), []).append(f)
+        frag = {p for p, fs in per_part.items() if len(fs) >= min_files_per_partition}
+        if not frag:
+            return None
+        frag_entries = [f for p in frag for f in per_part[p]]
+        rewritten = self._write_data_files(
+            self._read_entries(frag_entries).repartition(self.partition_col),
+            base + 1,
+        )
+        kept = [f for f in files if f["min"].get(self.partition_col) not in frag]
+        return self._publish(
+            "compact", kept + rewritten, base,
+            {"rewrote_files": len(frag_entries), "into": len(rewritten)},
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest `keep_last` snapshots; delete data files
         referenced by NO retained snapshot. Returns {'snapshots': n, 'files': n}.

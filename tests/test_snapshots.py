@@ -106,3 +106,31 @@ def test_snapshots_metadata_table(spark, tmp_path):
     assert rows[1]["operation"] == "append" and rows[1]["n_rows"] == 2
     assert rows[2]["operation"] == "overwrite_partitions"
     assert rows[2]["n_rows"] == 2  # bucket 0 kept + bucket 1 replaced
+
+
+def test_compact_rewrites_fragmented_partitions(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # three appends fragment bucket 0 into three files
+    t.append(_df(spark, [(0, "a", 1)]))
+    t.append(_df(spark, [(0, "b", 2), (1, "x", 9)]))
+    t.append(_df(spark, [(0, "c", 3)]))
+    before = _data(t)
+    n_files_b0 = sum(
+        1 for f in t.snapshot()["files"] if f["min"]["bucket"] == 0
+    )
+    assert n_files_b0 == 3
+    v = t.compact(min_files_per_partition=2)
+    assert v == 4 and t.snapshot()["operation"] == "compact"
+    assert _data(t) == before  # bit-identical data
+    after = [f for f in t.snapshot()["files"] if f["min"]["bucket"] == 0]
+    assert len(after) == 1  # one file per compacted partition
+    # untouched partition keeps its original file
+    b1 = [f for f in t.snapshot()["files"] if f["min"]["bucket"] == 1]
+    assert len(b1) == 1 and "snap-v2" in b1[0]["path"]
+    # nothing fragmented anymore → no-op
+    assert t.compact(min_files_per_partition=2) is None
+    # old layout still time-travelable until expiry
+    assert _data(t, version=3) == before
+    out = t.expire_snapshots(keep_last=1)
+    assert out["snapshots"] == 3 and out["files"] == 3
+    assert _data(t) == before
