@@ -119,13 +119,16 @@ def extract_documents(pages: DataFrame, keep_text: bool = False) -> DataFrame:
     """
     cols = ["url", "html", "lang", "source_type_hint"]
     have_hint = "source_type_hint" in pages.columns
+    # fresh-crawl pages (e.g. the WARC source) arrive without a lang label
+    have_lang = "lang" in pages.columns
     pruned = pages.select(*[c for c in cols if c in pages.columns])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             hints = pdf["source_type_hint"] if have_hint else [None] * len(pdf)
-            for url, html, lang, hint in zip(pdf["url"], pdf["html"], pdf["lang"], hints):
+            langs = pdf["lang"] if have_lang else [None] * len(pdf)
+            for url, html, lang, hint in zip(pdf["url"], pdf["html"], langs, hints):
                 rec = _extract_one(url, html, keep_text)
                 rec["lang"] = lang
                 rec["source_type_hint"] = hint

@@ -64,12 +64,18 @@ class WarcIngest:
 
     def __init__(self, spark: SparkSession, src_path: str, table_path: str,
                  checkpoint_dir: str, n_buckets: int = 16,
-                 glob: str = "*.warc*") -> None:
+                 glob: str = "*.warc*", transform=None) -> None:
+        """``transform``: optional DataFrame→DataFrame applied to each
+        batch's pages BEFORE the bucket/commit — pass the extraction
+        pipeline here and the table holds extracted documents instead of
+        raw pages (crawl → text, incremental end to end). Must keep a
+        ``url`` column (the bucket key)."""
         self.spark = spark
         self.src_path = src_path
         self.checkpoint_dir = checkpoint_dir
         self.n_buckets = n_buckets
         self.glob = glob
+        self.transform = transform
         self.table = SnapshotTable(spark, table_path, partition_col="bucket")
 
     def committed_batches(self) -> set[int]:
@@ -89,6 +95,8 @@ class WarcIngest:
     def _commit_batch(self, df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in self.committed_batches():
             return  # replayed batch: the snapshot log already has it
+        if self.transform is not None:
+            df = self.transform(df)
         out = pages_src.with_bucket(df, "url", self.n_buckets)
         n = out.persist().count()
         self.table.append(

@@ -146,3 +146,38 @@ def test_warc_streaming_ingest_exactly_once(spark, tmp_path):
     ing._commit_batch(df, replay_id)
     assert ing.table.current_version() == before
     assert ing.output().count() == len(pages)
+
+
+def test_warc_ingest_with_extraction_transform(spark, tmp_path):
+    """crawl → text, incremental end to end: the ingest transform runs the
+    extraction pipeline, so the snapshot table holds extracted documents
+    whose text is byte-identical to the fixture ground truth."""
+    from pdf_parser_spark.fixtures import pages_pandas
+    from pdf_parser_spark.operators import extract as extract_op
+    from pdf_parser_spark.streaming.warc_stream import WarcIngest
+
+    pdf = pages_pandas(24)  # covers html, raw-text .pdf and %PDF- modes
+    src = tmp_path / "landing"
+    src.mkdir()
+    for arc in range(2):
+        part = pdf.iloc[arc * 12 : (arc + 1) * 12]
+        rows = [
+            (r.url, r.warc_ts.to_pydatetime(), bytes(r.html))
+            for r in part.itertuples()
+        ]
+        (src / f"{arc}.warc.gz").write_bytes(warc.write_warc(rows))
+
+    ing = WarcIngest(
+        spark,
+        str(src),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+        transform=lambda df: extract_op.extract_documents(df, keep_text=True),
+    )
+    ing.run_available_now()
+    got = {r["url"]: r["extracted_text"] for r in ing.output().collect()}
+    want = dict(zip(pdf["url"], pdf["text"]))
+    assert set(got) == set(want)
+    mismatch = [u for u in want if got[u] != want[u]]
+    assert mismatch == []
