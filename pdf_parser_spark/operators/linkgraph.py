@@ -91,9 +91,11 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     keyed by dst (map-side partial sums absorb hub fan-in); the
     rank-to-edge join is keyed by src on the persisted degree-annotated
     edge table, so AQE broadcasts the |nodes|-sized rank side when small
-    and reuses the src partitioning when not. Dangling mass is a scalar
-    (one-row aggregate), not a crossJoin. localCheckpoint per iteration
-    keeps the plan O(1)-deep instead of O(n_iter).
+    and reuses the src partitioning when not. The dangling mass is a
+    one-ROW aggregate broadcast back into the same job (never a driver
+    round-trip per iteration: exactly one Spark job per step, the
+    localCheckpoint that materializes the new ranks). localCheckpoint per
+    iteration keeps the plan O(1)-deep instead of O(n_iter).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -122,20 +124,19 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
             .groupBy("node")
             .agg(F.sum("_c").alias("_contrib"))
         )
-        dangling = (
-            dangling_nodes.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        dangling = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # one row: scalar fan-in
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce(F.col("_contrib"), F.lit(0.0))
-                       + F.lit(dangling / n))
+                       + F.col("_dangling") / n)
                 ).alias("rank"),
             )
             .localCheckpoint()
