@@ -35,13 +35,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", help="pages table path (parquet/Iceberg)")
+    p.add_argument("--input", help="pages table path (parquet/Iceberg) or WARC dir")
+    p.add_argument("--input-format", choices=("parquet", "warc"),
+                   default="parquet",
+                   help="warc: --input is a directory of WARC archives "
+                        "(sources/warc.read_warc — one task per archive)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic pages instead of --input")
     p.add_argument("--output", required=True)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--buckets-per-commit", type=int, default=8)
     p.add_argument("--max-commits", type=int, default=None)
+    p.add_argument("--sink", choices=("markers", "snapshots"),
+                   default="markers",
+                   help="markers: per-bucket lineage JSON (A7/A8); "
+                        "snapshots: Iceberg-style snapshot log — resume "
+                        "from the last committed snapshot (plans/snapshots)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,10 +77,22 @@ def main() -> None:
         if not args.input:
             p.error("--input or --synthetic required")
 
-        def get_pages():
-            return read_pages_table(spark, args.input)
+        if args.input_format == "warc":
+            from pdf_parser_spark.sources.warc import read_warc
 
-    job = ResumableExtractionJob(
+            def get_pages():
+                return read_warc(spark, args.input)
+        else:
+            def get_pages():
+                return read_pages_table(spark, args.input)
+
+    if args.sink == "snapshots":
+        from pdf_parser_spark.plans.checkpoint import SnapshotExtractionJob
+
+        job_cls = SnapshotExtractionJob
+    else:
+        job_cls = ResumableExtractionJob
+    job = job_cls(
         spark, args.output,
         n_buckets=args.n_buckets,
         buckets_per_commit=args.buckets_per_commit,
