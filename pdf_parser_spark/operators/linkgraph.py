@@ -97,7 +97,16 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     localCheckpoint that materializes the new ranks). localCheckpoint per
     iteration keeps the plan O(1)-deep instead of O(n_iter).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    spark = edges.sparkSession
+    # pin the distinct edge table FIRST: nodes, degrees, and the
+    # degree-annotated edges all derive from it — without the persist the
+    # upstream plan (often an extraction scan) re-executes four times
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -106,15 +115,40 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     )
     n = nodes.count()
     if n == 0:
-        nodes.unpersist()
-        return edges.sparkSession.createDataFrame([], "node string, rank double")
+        for df in (nodes, e):
+            df.unpersist()
+        return spark.createDataFrame([], "node string, rank double")
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     edges_deg = e.join(out_deg, "src").persist()
     edges_deg.count()  # materialize once; reused every iteration
     dangling_nodes = nodes.join(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
+    dangling_nodes.count()
 
+    # size the per-iteration shuffles to the GRAPH, not the session: a
+    # host graph is often tiny next to the page corpus whose session conf
+    # we inherit (≈100k nodes/partition; no-op when the graph is big,
+    # restored on exit). The remaining per-iteration floor is one job's
+    # scheduling + the localCheckpoint write.
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, max(1, min(int(saved_parts), n // 100_000 + 1)))
+    try:
+        ranks = _pagerank_loop(
+            nodes, edges_deg, dangling_nodes, n, n_iter, damping
+        )
+    finally:
+        spark.conf.set(conf_key, saved_parts)
+    edges_deg.unpersist()
+    dangling_nodes.unpersist()
+    nodes.unpersist()
+    e.unpersist()
+    return ranks
+
+
+def _pagerank_loop(nodes, edges_deg, dangling_nodes, n: int, n_iter: int,
+                   damping: float):
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(n_iter):
         contribs = (
@@ -141,7 +175,4 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
             )
             .localCheckpoint()
         )
-    edges_deg.unpersist()
-    dangling_nodes.unpersist()
-    nodes.unpersist()
     return ranks
