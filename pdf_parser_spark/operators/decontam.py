@@ -35,7 +35,14 @@ def _words_col(text_col: str):
 
 def with_kgrams(docs: DataFrame, k: int, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, _grams) — DISTINCT k-word-grams per document, row-local."""
+    """(doc_id, _grams) — DISTINCT k-word-grams per document, row-local.
+
+    Gram construction is the CPU-heavy stage of every caller, so the input
+    is parallelism-guarded (operators/parallelism): a single-row-group
+    parquet scan must not serialize it on one core."""
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     tokenized = docs.select(
         F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_w")
     )

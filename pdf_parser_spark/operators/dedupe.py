@@ -124,6 +124,9 @@ def exact_duplicates(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
 
 
 def minhash_band_table(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     """(doc_id, band, band_hash) — the LSH index table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,6 +185,9 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
 
 
 def simhash_table(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     """(doc_id, simhash) — the signature table; banding happens natively."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -336,7 +342,11 @@ def duplicate_passage_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
     """
     from pdf_parser_spark.operators.decontam import with_kgrams
 
-    corpus = with_kgrams(docs, k, text_col, id_col)
+    # three plan branches read the gram table (dup counts, the join back,
+    # per-doc totals): persist it serialized so gram construction runs
+    # once per action, not three times — the r01 barrier pattern; spills
+    # to disk at scale instead of re-deriving 10^12-row gram arrays
+    corpus = with_kgrams(docs, k, text_col, id_col).persist()
     exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
     if hash_grams:
         exploded = exploded.select("doc_id", F.xxhash64("gram").alias("gram"))
@@ -400,6 +410,9 @@ def passage_dedup(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     - the final stitch joins survivors back to the per-doc totals on
       doc_id — AQE broadcasts or reuses the reassembly partitioning.
     """
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     ws = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda x: x != F.lit(""),

@@ -216,6 +216,10 @@ def with_winnowing(docs: DataFrame, text_col: str = "text",
     running the vectorized numpy kernels (scalar-parity-tested)."""
     from pyspark.sql.types import ArrayType, LongType
 
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+
     @F.pandas_udf(ArrayType(LongType()))
     def fp(text: pd.Series) -> pd.Series:
         return text.map(lambda t: winnowing_fingerprint_np(t, k, w))
@@ -248,7 +252,11 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("lang_pred", lang_id_udf(F.col(text_col)))
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    return ensure_parallelism(docs).withColumn(
+        "lang_pred", lang_id_udf(F.col(text_col))
+    )
 
 
 def tfidf_top_terms(
