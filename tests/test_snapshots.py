@@ -134,3 +134,15 @@ def test_compact_rewrites_fragmented_partitions(spark, tmp_path):
     out = t.expire_snapshots(keep_last=1)
     assert out["snapshots"] == 3 and out["files"] == 3
     assert _data(t) == before
+
+
+def test_expire_keeps_files_rereferenced_by_rollback(spark, tmp_path):
+    """A rollback snapshot re-references OLD files: expiring history must
+    GC only files no retained snapshot uses, not the re-published ones."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "keep", 1)]))
+    t.overwrite_partitions(_df(spark, [(0, "oops", 9)]))
+    t.rollback(1)  # current version points at v1's file again
+    out = t.expire_snapshots(keep_last=1)
+    assert out == {"snapshots": 2, "files": 1}  # only the 'oops' file dies
+    assert _data(t) == {(0, "keep", 1)}
