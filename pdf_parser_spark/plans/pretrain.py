@@ -49,6 +49,7 @@ def pretrain_corpus(
     allowed_langs: tuple[str, ...] = ("en",),
     neardup_threshold: float = 0.85,
     dup_frac_max: float = 0.5,
+    passage_rewrite: bool = False,
     k_gram: int = 8,
     contamination_threshold: float = 0.2,
     ppl_keep_buckets: tuple[int, ...] = (1, 2),
@@ -92,6 +93,32 @@ def pretrain_corpus(
     d = curated.join(
         passage.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )
+
+    # optional C4-style passage REWRITE: beyond gating dominated docs,
+    # strip every cross-corpus duplicate passage from the survivors
+    # (first occurrence wins) and rebuild their text; token counts are
+    # recomputed so mixing weights see the post-rewrite corpus. Docs
+    # rewritten to empty are dropped (their content lives elsewhere).
+    if passage_rewrite:
+        from pdf_parser_spark.operators import textstats as textstats_op
+
+        rewritten = dedupe_op.passage_dedup(
+            d, k=k_gram, id_col=id_col, text_col=text_col
+        )
+        d = (
+            d.drop(text_col)
+            .join(
+                rewritten.select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("dedup_text").alias(text_col),
+                ),
+                id_col,
+            )
+            .filter(F.length(F.col(text_col)) > 0)
+            .withColumn(
+                "n_tokens", textstats_op.token_count_col(F.col(text_col))
+            )
+        )
 
     # benchmark decontamination (skipped when no eval side is supplied)
     if eval_docs is not None:

@@ -104,3 +104,37 @@ def test_pipeline_is_deterministic(spark, corpus, result):
     assert sorted(map(tuple, result["chunks"].collect())) == sorted(
         map(tuple, again["chunks"].collect())
     )
+
+
+def test_passage_rewrite_strips_cross_doc_boilerplate(spark):
+    """passage_rewrite=True removes duplicated passages from SURVIVING docs
+    (first occurrence wins) and recomputes token counts; a doc rewritten
+    to empty is dropped rather than chunked."""
+    from pdf_parser_spark.plans import pretrain
+
+    boiler = "all rights reserved terms of service apply here now please"  # 10 words — one full k=10 passage, so both docs split on the same boundary
+    unique_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    unique_b = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, f"{unique_a} {boiler}", "en", "s0", 1),
+        (1, f"{boiler} {unique_b}", "en", "s0", 1),  # loses the boiler run
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = pretrain.pretrain_corpus(
+        docs,
+        min_quality=0.0,
+        allowed_langs=("en", "de", "es", "fr", "unknown"),
+        neardup_threshold=0.99,
+        dup_frac_max=1.0,          # gate keeps both; rewrite does the work
+        passage_rewrite=True,
+        k_gram=10,                 # both docs are exactly 2 passages of 10
+        ppl_keep_buckets=(0, 1, 2),
+        seed=3,
+    )
+    kept = {r["doc_id"]: r["text"] for r in out["kept"].collect()}
+    assert kept[0] == f"{unique_a} {boiler}"          # first occurrence intact
+    assert kept[1] == unique_b                         # boiler stripped
+    toks = {r["doc_id"]: r["n_tokens"] for r in out["kept"].collect()}
+    assert toks[1] == 10                               # recounted post-rewrite
