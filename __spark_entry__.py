@@ -1279,6 +1279,37 @@ def r17_pagerank(spark, sf_dir):
     )
 
 
+def q56_postings(spark, sf_dir):
+    """Capped inverted-index postings over the documents corpus: per term,
+    document frequency + the top-3 documents by term frequency
+    (operators/indexing.postings — one full-corpus (term, doc) aggregate,
+    WindowGroupLimit-pruned per-term top-k)."""
+    from pdf_parser_spark.operators import indexing
+
+    d = _t(spark, sf_dir, "documents")
+    return indexing.postings(d, top_k=3).orderBy("term", "rank")
+
+
+def q57_bigram_pmi(spark, sf_dir):
+    """Top-20 adjacent-word collocations by pointwise mutual information
+    (operators/textstats.bigram_pmi): row-local bigram Generate, map-side
+    partial counts, |vocab|-sized unigram decorations, TakeOrdered top-k."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats_op.bigram_pmi(d, top_k=20, min_count=5)
+
+
+def q58_anchor_rollup(spark, sf_dir):
+    """Inbound anchor-text profile per target host over the q55 synthetic
+    web pages (operators/linkgraph.extract_anchors + host_anchor_rollup):
+    aligned regexp pair extraction (zero Python), one host-keyed exchange."""
+    from pdf_parser_spark.operators import linkgraph
+
+    anchors = linkgraph.extract_anchors(_q55_pages(spark, sf_dir))
+    return linkgraph.host_anchor_rollup(anchors).orderBy("host")
+
+
 def r18_warc_roundtrip(spark, sf_dir):
     """WARC source audit (sources/warc): synthesize pages, pack them into
     per-record-gzipped WARC archives EXECUTOR-side (one applyInPandas group
@@ -1447,6 +1478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_bloom_antijoin": q53_bloom_antijoin,
         "q54_passage_dedup": q54_passage_dedup,
         "q55_outlink_indegree": q55_outlink_indegree,
+        "q56_postings": q56_postings,
+        "q57_bigram_pmi": q57_bigram_pmi,
+        "q58_anchor_rollup": q58_anchor_rollup,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -2306,6 +2340,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT _src) AS BIGINT) AS n_src_pages
             FROM h WHERE host <> '' GROUP BY host ORDER BY host
         """,
+        "q56_postings": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, x AS term FROM w, unnest(ws) AS u(x)),
+            tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            d AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+                  FROM tf GROUP BY 1),
+            r AS (SELECT term, doc_id, tf,
+                         row_number() OVER (PARTITION BY term
+                                            ORDER BY tf DESC, doc_id) AS rnk
+                  FROM tf)
+            SELECT r.term, d.df_docs, CAST(r.rnk AS INT) AS rank,
+                   r.doc_id, r.tf
+            FROM r JOIN d USING (term) WHERE r.rnk <= 3
+            ORDER BY term, rank
+        """,
+        "q57_bigram_pmi": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            uni AS (
+              SELECT x AS word, CAST(count(*) AS BIGINT) AS c
+              FROM w, unnest(ws) AS u(x) GROUP BY 1),
+            bi AS (
+              SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i + 1 AS INT)] AS b,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM w, unnest(range(1, len(ws))) AS r(i)
+              WHERE len(ws) >= 2 GROUP BY 1, 2
+              HAVING count(*) >= 5),
+            tot AS (
+              SELECT (SELECT sum(c) FROM uni) AS n_uni,
+                     (SELECT sum(greatest(len(ws) - 1, 0)) FROM w) AS n_bi)
+            SELECT a, b, c_ab,
+                   round(ln((c_ab * 1.0 / n_bi) /
+                            ((ua.c * 1.0 / n_uni) * (ub.c * 1.0 / n_uni))),
+                         4) AS pmi
+            FROM bi
+            JOIN uni ua ON ua.word = a
+            JOIN uni ub ON ub.word = b, tot
+            ORDER BY pmi DESC, a, b LIMIT 20
+        """,
+        "q58_anchor_rollup": """
+            WITH d AS (
+              SELECT (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST(event_id % 7 AS VARCHAR) AS url,
+                     '<html><body><nav><a href="' ||
+                     (__BASES__)[CAST((event_id + 3) % 7 + 1 AS INT)] ||
+                     '/nav">home</a></nav><p>story text</p><a href="' ||
+                     (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST((event_id + 1) % 7 AS VARCHAR) ||
+                     '">read</a><a href="' ||
+                     (__BASES__)[CAST((event_id * 5 + 1) % 7 + 1 AS INT)] ||
+                     '/tag/' || CAST(event_id % 11 AS VARCHAR) ||
+                     '">tag</a></body></html>' AS html
+              FROM events),
+            l AS (
+              SELECT url,
+                     regexp_extract_all(html,
+                       '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS us,
+                     regexp_extract_all(html,
+                       '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
+              FROM d),
+            p AS (
+              SELECT url, us[CAST(i AS INT)] AS out_url,
+                     ts[CAST(i AS INT)] AS anchor
+              FROM l, unnest(range(1, len(us) + 1)) AS r(i)),
+            h AS (
+              SELECT lower(regexp_replace(
+                       regexp_extract(out_url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host,
+                     anchor
+              FROM p)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_anchors,
+                   CAST(count(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors,
+                   string_agg(DISTINCT anchor, ',' ORDER BY anchor) AS anchors_csv
+            FROM h WHERE host <> '' GROUP BY host ORDER BY host
+        """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE
 
@@ -2318,7 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "__PHONE__": PHONE_RE,
     }
     for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin",
-                 "q55_outlink_indegree"):
+                 "q55_outlink_indegree", "q58_anchor_rollup"):
         for k, v in subs.items():
             sql[name] = sql[name].replace(k, v)
     # q53 is q43's physical-plan twin: identical semantics, identical oracle

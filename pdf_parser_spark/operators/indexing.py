@@ -116,3 +116,40 @@ def deterministic_shuffle(
         out_col=out_col,
     )
     return out.drop("_shuffle_key")
+
+
+def postings(docs: DataFrame, top_k: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Capped inverted-index postings: per term, its document frequency and
+    the top_k documents by term frequency (ties → smaller doc id).
+
+    The standard search-index build reduced to relational form (public
+    shape: Lucene/ES postings with impact-ordered truncation): explode
+    tokens → (term, doc, tf) hash aggregate with map-side partials →
+    per-term top-k. Returns (term, df_docs, rank, doc_id, tf).
+
+    Scale shape: the (term, doc) aggregate is the only full-corpus
+    exchange; df and the top-k both reuse its output keyed by term (one
+    more |vocab×docs|→|vocab| exchange), and the rank window carries a
+    WindowGroupLimit so each partition keeps only top_k candidates per
+    term before the shuffle. Zipfian terms spread first across the
+    (term, doc) composite key, which salting can't improve on.
+    """
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_docs = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return top.join(df_docs, "term").select(
+        "term", "df_docs", "rank", "doc_id", "tf"
+    )

@@ -176,3 +176,50 @@ def _pagerank_loop(nodes, edges_deg, dangling_nodes, n: int, n_iter: int,
             .localCheckpoint()
         )
     return ranks
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    id_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """(source page, href target, anchor text) triples — native, no DOM.
+
+    Pairs the href inventory with the anchor's inner text via two aligned
+    regexp_extract_all passes zipped positionally (the <a ...>text</a>
+    shape; nested markup inside an anchor is out of scope for the fast
+    path — the DOM extractor handles those pages).
+    """
+    html_str = F.col(html_col).cast("string")
+    pair_re = r'<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_str, F.lit(pair_re), F.lit(1)).alias("out_url"),
+        F.regexp_extract_all(html_str, F.lit(pair_re), F.lit(2)).alias("anchor"),
+    )
+    return pages.select(*id_cols, F.explode(pairs).alias("_p")).select(
+        *id_cols,
+        F.col("_p.out_url").alias("out_url"),
+        F.col("_p.anchor").alias("anchor"),
+    )
+
+
+def host_anchor_rollup(anchors: DataFrame, src_col: str = "url",
+                       out_col: str = "out_url",
+                       anchor_col: str = "anchor") -> DataFrame:
+    """Per target host: inbound anchor-text profile (the classic webgraph
+    signal — anchor text describes the TARGET, Craswell et al. 2001).
+
+    Returns (host, n_anchors, n_distinct_anchors, anchors_csv) where
+    anchors_csv is the sorted distinct anchor list — deterministic and
+    oracle-comparable. One hash exchange keyed by host; collect_set is
+    bounded by the distinct-anchor vocabulary per host (cap upstream for
+    adversarial hosts).
+    """
+    h = anchors.select(
+        weburls.host_col(F.col(out_col)).alias("host"),
+        F.col(anchor_col).alias("anchor"),
+    ).filter(F.col("host") != "")
+    return h.groupBy("host").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("anchor").alias("n_distinct_anchors"),
+        F.array_join(F.array_sort(F.collect_set("anchor")), ",").alias(
+            "anchors_csv"
+        ),
+    )

@@ -440,3 +440,69 @@ def repetition_signals(
             4,
         ).alias("top_bigram_frac"),
     )
+
+
+def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k adjacent-word pairs by pointwise mutual information.
+
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the corpus's bigram
+    and unigram totals (Church & Hanks 1990 — public methodology); the
+    collocation-mining staple for tokenizer/vocab construction over web
+    corpora. min_count drops the unstable low-frequency tail.
+
+    Scale shape: bigrams are built row-local (one Generate), counted with
+    map-side partials; the two unigram decorations join on single-word
+    keys against a |vocab|-sized side (AQE broadcasts it); top-k is a
+    TakeOrderedAndProject, never a full sort.
+    """
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    uni = (
+        toks.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("a"),
+                            F.element_at("_w", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c")).first()[0]
+    n_bi = toks.select(
+        F.sum(F.greatest(F.size("_w") - 1, F.lit(0))).alias("n")
+    ).first()[0]
+    out = (
+        bi.join(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b")), "b")
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.lit(float(n_bi)))
+                    / ((F.col("c_a") / F.lit(float(n_uni)))
+                       * (F.col("c_b") / F.lit(float(n_uni))))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), "a", "b").limit(top_k)

@@ -242,6 +242,27 @@ def main() -> None:
             forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas",
                     r"Join", r"CartesianProduct"],
         ),
+        # postings: per-term top-k must prune pre-shuffle (WindowGroupLimit),
+        # the (term, doc) aggregate must have map-side partials
+        "q56_postings": dict(
+            require=[r"WindowGroupLimit", r"partial_count"],
+            forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas"],
+        ),
+        # bigram PMI: row-local Generate + top-k as TakeOrdered, never a
+        # global sort; unigram decorations are joins but no row-Python
+        "q57_bigram_pmi": dict(
+            require=[r"Generate", r"TakeOrderedAndProject"],
+            forbid=[r"CartesianProduct", r"BatchEvalPython",
+                    r"ArrowEvalPython", r"MapInPandas"],
+        ),
+        # anchor rollup: aligned regexp pair extraction in codegen, one
+        # host-keyed aggregate, zero joins and zero Python
+        "q58_anchor_rollup": dict(
+            require=[r"Generate", r"partial_count"],
+            forbid=[r"Join", r"CartesianProduct", r"BatchEvalPython",
+                    r"ArrowEvalPython", r"MapInPandas"],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
