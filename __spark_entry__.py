@@ -1310,6 +1310,78 @@ def q58_anchor_rollup(spark, sf_dir):
     return linkgraph.host_anchor_rollup(anchors).orderBy("host")
 
 
+def q59_page_metadata(spark, sf_dir):
+    """Per-url page metadata (title / meta description / canonical link) —
+    the CC-index-style derivative — extracted with native regexps over
+    deterministically synthesized head sections; absent tags exercise the
+    empty-string default (operators/weburls.with_page_metadata)."""
+    from pdf_parser_spark.operators import weburls
+
+    e = _t(spark, sf_dir, "events")
+    pages = e.select(
+        "event_id",
+        F.concat(
+            F.lit("<html><head><title>Article "),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit("</title>"),
+            F.when(
+                F.col("event_id") % 3 != 0,
+                F.concat(
+                    F.lit('<meta name="description" content="summary '),
+                    (F.col("event_id") % 5).cast("string"),
+                    F.lit('">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("event_id") % 4 != 1,
+                F.concat(
+                    F.lit('<link rel="canonical" href="'),
+                    _pick(_Q40_BASES, F.col("event_id")),
+                    F.lit("/Articles/"),
+                    (F.col("event_id") % 7).cast("string"),
+                    F.lit('">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head><body><p>text</p></body></html>"),
+        ).alias("html"),
+    )
+    return weburls.with_page_metadata(pages).select(
+        "event_id", "title", "meta_description", "canonical_url"
+    ).orderBy("event_id")
+
+
+_Q60_RULE_HOSTS = [
+    "example.com", "news.site.org", "blog.example.com",
+    "shop.example.com", "docs.example.com",
+]
+_Q60_RULE_PREFIXES = ["/Articles/", "/Articles/1", "/tag/", "/"]
+
+
+def q60_robots_rules(spark, sf_dir):
+    """RFC 9309 robots evaluation as a relational argmax: per distinct
+    crawl url, the longest matching (host, prefix) rule decides allowed,
+    ties toward allow, no rule ⇒ allowed
+    (operators/weburls.robots_decisions — broadcast rules, residual
+    prefix predicate on the host equi-join, max_by winner)."""
+    from pdf_parser_spark.operators import weburls
+
+    e = _t(spark, sf_dir, "events")
+    urls = e.select(
+        F.concat(
+            _pick(_Q40_BASES, F.col("event_id")),
+            F.lit("/Articles/"),
+            (F.col("event_id") % 13).cast("string"),
+        ).alias("url")
+    ).distinct()
+    n = _t(spark, sf_dir, "nation")
+    rules = n.select(
+        _pick(_Q60_RULE_HOSTS, F.col("n_nationkey")).alias("host"),
+        _pick(_Q60_RULE_PREFIXES, F.col("n_nationkey")).alias("prefix"),
+        (F.col("n_nationkey") % 2 == 0).alias("allow"),
+    )
+    return weburls.robots_decisions(urls, rules).orderBy("url")
+
+
 def r18_warc_roundtrip(spark, sf_dir):
     """WARC source audit (sources/warc): synthesize pages, pack them into
     per-record-gzipped WARC archives EXECUTOR-side (one applyInPandas group
@@ -1481,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_postings": q56_postings,
         "q57_bigram_pmi": q57_bigram_pmi,
         "q58_anchor_rollup": q58_anchor_rollup,
+        "q59_page_metadata": q59_page_metadata,
+        "q60_robots_rules": q60_robots_rules,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -2424,19 +2498,89 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT anchor, ',' ORDER BY anchor) AS anchors_csv
             FROM h WHERE host <> '' GROUP BY host ORDER BY host
         """,
+        "q59_page_metadata": """
+            WITH d AS (
+              SELECT event_id,
+                     '<html><head><title>Article ' ||
+                     CAST(event_id % 7 AS VARCHAR) || '</title>' ||
+                     CASE WHEN event_id % 3 <> 0
+                          THEN '<meta name="description" content="summary ' ||
+                               CAST(event_id % 5 AS VARCHAR) || '">'
+                          ELSE '' END ||
+                     CASE WHEN event_id % 4 <> 1
+                          THEN '<link rel="canonical" href="' ||
+                               (__BASES__)[CAST(event_id % 7 + 1 AS INT)] ||
+                               '/Articles/' || CAST(event_id % 7 AS VARCHAR) ||
+                               '">'
+                          ELSE '' END ||
+                     '</head><body><p>text</p></body></html>' AS html
+              FROM events)
+            SELECT event_id,
+                   coalesce(regexp_extract(html,
+                     '<title[^>]*>([^<]*)</title>', 1), '') AS title,
+                   coalesce(regexp_extract(html,
+                     '<meta[^>]*name="description"[^>]*content="([^"]*)"', 1),
+                     '') AS meta_description,
+                   coalesce(regexp_extract(html,
+                     '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1),
+                     '') AS canonical_url
+            FROM d ORDER BY event_id
+        """,
+        "q60_robots_rules": """
+            WITH urls AS (
+              SELECT DISTINCT
+                     (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
+                     CAST(event_id % 13 AS VARCHAR) AS url
+              FROM events),
+            u AS (
+              SELECT url,
+                     lower(regexp_replace(
+                       regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host,
+                     CASE WHEN regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
+                          THEN '/'
+                          ELSE regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                     END AS path
+              FROM urls),
+            rules AS (
+              SELECT (__RULE_HOSTS__)[CAST(n_nationkey % 5 + 1 AS INT)] AS host,
+                     (__RULE_PREFIXES__)[CAST(n_nationkey % 4 + 1 AS INT)] AS prefix,
+                     n_nationkey % 2 = 0 AS allow
+              FROM nation),
+            cand AS (
+              SELECT u.url, u.path, r.prefix, r.allow
+              FROM u LEFT JOIN rules r
+                ON u.host = r.host AND starts_with(u.path, r.prefix)),
+            w AS (
+              SELECT url, path, prefix, allow,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY len(prefix) DESC NULLS LAST,
+                                                 allow DESC NULLS LAST) AS rn
+              FROM cand)
+            SELECT url, path,
+                   coalesce(prefix, '') AS matched_prefix,
+                   coalesce(allow, true) AS allowed
+            FROM w WHERE rn = 1 ORDER BY url
+        """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE
 
     subs = {
         "__SNIPPETS__": _sql_list(_Q39_SNIPPETS),
         "__BASES__": _sql_list(_Q40_BASES),
+        "__RULE_HOSTS__": _sql_list(_Q60_RULE_HOSTS),
+        "__RULE_PREFIXES__": _sql_list(_Q60_RULE_PREFIXES),
         "__SUFFIXES__": _sql_list(_Q40_SUFFIXES),
         "__BLOCKLIST__": ", ".join("'" + h + "'" for h in _Q43_BLOCKLIST),
         "__EMAIL__": EMAIL_RE,
         "__PHONE__": PHONE_RE,
     }
     for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin",
-                 "q55_outlink_indegree", "q58_anchor_rollup"):
+                 "q55_outlink_indegree", "q58_anchor_rollup",
+                 "q59_page_metadata", "q60_robots_rules"):
         for k, v in subs.items():
             sql[name] = sql[name].replace(k, v)
     # q53 is q43's physical-plan twin: identical semantics, identical oracle

@@ -47,6 +47,11 @@ def host_col(url: Column) -> Column:
     return F.lower(F.regexp_replace(authority, r":\d+$", ""))
 
 
+def path_col(url: Column) -> Column:
+    """The path component ('' when the url has none)."""
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
 def port_col(url: Column) -> Column:
     authority = F.regexp_extract(url, _AUTHORITY_RE, 1)
     return F.regexp_extract(authority, r":(\d+)$", 1)
@@ -117,4 +122,81 @@ def host_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
     return c.groupBy("host").agg(
         F.count("*").alias("n_fetches"),
         F.countDistinct("canonical_url").alias("n_pages"),
+    )
+
+
+def with_page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds title / meta-description / canonical-link columns — the
+    CC-index-style per-url metadata derivative, extracted with native
+    regexps (zero Python; the DOM extractor is reserved for body text).
+
+    Empty string when a field is absent. The regexes are deliberately
+    first-match (pages with duplicate tags keep the first, as browsers
+    effectively do for title/canonical).
+    """
+    h = F.col(html_col).cast("string")
+    return pages.withColumns(
+        {
+            "title": F.regexp_extract(h, r"<title[^>]*>([^<]*)</title>", 1),
+            "meta_description": F.regexp_extract(
+                h,
+                r'<meta[^>]*name="description"[^>]*content="([^"]*)"',
+                1,
+            ),
+            "canonical_url": F.regexp_extract(
+                h,
+                r'<link[^>]*rel="canonical"[^>]*href="([^"]*)"',
+                1,
+            ),
+        }
+    )
+
+
+def robots_decisions(urls: DataFrame, rules: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """RFC 9309 path matching as a relational argmax.
+
+    ``rules``: (host, prefix, allow) — one row per Allow/Disallow line of
+    a host's robots.txt. Per url: candidate rules share the url's host and
+    prefix-match its path; the winner is the LONGEST prefix, ties broken
+    toward allow (the RFC's most-specific-wins + allow-on-tie). Urls with
+    no matching rule are allowed. Returns the urls plus
+    (matched_prefix, allowed).
+
+    Scale shape: the rules side is small by nature (robots lines per host)
+    → broadcast join on host; the prefix match is a residual predicate on
+    that equi-join, never a cross product; the winner is a map-side-
+    combinable max_by over struct(len, allow), not a window.
+    """
+    path = F.coalesce(path_col(F.col(url_col)), F.lit(""))
+    u = urls.withColumn("_path", F.when(path == "", "/").otherwise(path))
+    u = u.withColumn("_host", host_col(F.col(url_col)))
+    r = rules.select(
+        F.col("host").alias("_host"),
+        F.col("prefix"),
+        F.col("allow").cast("boolean").alias("allow"),
+    )
+    cand = u.join(
+        F.broadcast(r),
+        (u["_host"] == r["_host"]) & F.col("_path").startswith(F.col("prefix")),
+        "left",
+    ).drop(r["_host"])
+    win = F.max_by(
+        F.struct(F.col("prefix"), F.col("allow")),
+        # longest prefix wins; equal lengths prefer allow=true
+        F.struct(
+            F.length("prefix").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    grouped = cand.groupBy(url_col).agg(win.alias("_w"))
+    return (
+        u.select(url_col, "_path")
+        .join(grouped, url_col)
+        .select(
+            url_col,
+            F.col("_path").alias("path"),
+            F.coalesce(F.col("_w.prefix"), F.lit("")).alias("matched_prefix"),
+            F.coalesce(F.col("_w.allow"), F.lit(True)).alias("allowed"),
+        )
     )

@@ -263,6 +263,20 @@ def main() -> None:
             forbid=[r"Join", r"CartesianProduct", r"BatchEvalPython",
                     r"ArrowEvalPython", r"MapInPandas"],
         ),
+        # page metadata: pure native-regexp projection, zero Python, no joins
+        "q59_page_metadata": dict(
+            forbid=[r"Join", r"CartesianProduct", r"BatchEvalPython",
+                    r"ArrowEvalPython", r"MapInPandas"],
+        ),
+        # robots rules: broadcast rules side with a residual prefix
+        # predicate on the host equi-join; the winner is a partial+final
+        # SortAggregate (max_by over struct), never a corpus-wide window
+        "q60_robots_rules": dict(
+            require=[r"BroadcastHashJoin LeftOuter"],
+            forbid=[r"SortMergeJoin", r"CartesianProduct",
+                    r"BroadcastNestedLoopJoin", r"BatchEvalPython",
+                    r"ArrowEvalPython", r"MapInPandas"],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(

@@ -175,3 +175,65 @@ def test_asof_join_is_partitioning_invariant(spark):
         "user_id", "ts", "ts", "event_id",
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_page_metadata_extraction(spark):
+    from pdf_parser_spark.operators import weburls
+
+    df = spark.createDataFrame(
+        [
+            ("a", '<head><title>Hi</title><meta name="description" '
+                  'content="sum"><link rel="canonical" href="https://x/y">'
+                  "</head>"),
+            ("b", "<head><title>Only title</title></head>"),
+            ("c", "<p>nothing</p>"),
+        ],
+        "url string, html string",
+    )
+    got = {
+        r["url"]: (r["title"], r["meta_description"], r["canonical_url"])
+        for r in weburls.with_page_metadata(df).collect()
+    }
+    assert got == {
+        "a": ("Hi", "sum", "https://x/y"),
+        "b": ("Only title", "", ""),
+        "c": ("", "", ""),
+    }
+
+
+def test_robots_decisions_rfc_semantics(spark):
+    from pdf_parser_spark.operators import weburls
+
+    urls = spark.createDataFrame(
+        [
+            ("https://e.com/a/b/c",),   # longest match /a/b (disallow)
+            ("https://e.com/a/x",),     # /a only (allow)
+            ("https://e.com/free",),    # no rule -> allowed
+            ("https://e.com/tie",),     # equal-length allow+disallow -> allow
+            ("https://other.org/a/b",), # rules are per host
+            ("https://e.com",),         # empty path treated as '/'
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("e.com", "/a", True),
+            ("e.com", "/a/b", False),
+            ("e.com", "/tie", True),
+            ("e.com", "/tie", False),
+            ("e.com", "/", True),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    got = {
+        r["url"]: (r["matched_prefix"], r["allowed"])
+        for r in weburls.robots_decisions(urls, rules).collect()
+    }
+    assert got == {
+        "https://e.com/a/b/c": ("/a/b", False),
+        "https://e.com/a/x": ("/a", True),
+        "https://e.com/free": ("/", True),
+        "https://e.com/tie": ("/tie", True),
+        "https://other.org/a/b": ("", True),
+        "https://e.com": ("/", True),
+    }
