@@ -254,6 +254,40 @@ class SnapshotTable:
         ]
         return self._publish("overwrite_partitions", kept + new, base, summary)
 
+    def merge_rows(self, df: DataFrame, key_cols: tuple[str, ...],
+                   summary: dict | None = None) -> int:
+        """MERGE (upsert): rows in df replace same-key rows, others append.
+
+        The copy-on-write formulation Iceberg calls MERGE INTO: only the
+        PARTITIONS df touches are rewritten — their current rows are
+        anti-joined on key_cols against df (drop the matched), unioned
+        with df, and committed as one overwrite_partitions snapshot.
+        Untouched partitions' files carry over by reference. df must
+        include the partition column, and keys are expected to be
+        partition-stable (a key that moves partitions is an insert in the
+        new one, not a delete in the old — same caveat as any
+        partition-scoped merge).
+        """
+        base = self.current_version()
+        touched = {
+            r[0]
+            for r in df.select(self.partition_col).distinct().collect()
+        }
+        old_entries = [
+            f
+            for f in self.snapshot(base)["files"]
+            if f["min"].get(self.partition_col) in touched
+        ]
+        if old_entries:
+            current = self._read_entries(old_entries)
+            keep = current.join(
+                df.select(*key_cols).distinct(), list(key_cols), "left_anti"
+            )
+            out = keep.unionByName(df, allowMissingColumns=True)
+        else:
+            out = df
+        return self.overwrite_partitions(out, summary)
+
     def rollback(self, version: int, summary: dict | None = None) -> int:
         """New snapshot re-publishing `version`'s file set (history kept)."""
         base = self.current_version()
@@ -295,7 +329,12 @@ class SnapshotTable:
         out = None
         for base, paths in sorted(by_base.items()):
             part = self.spark.read.option("basePath", base).parquet(*paths)
-            out = part if out is None else out.unionByName(part)
+            # additive schema evolution: snapshots written before a column
+            # existed read back with that column null (Iceberg's add-column
+            # semantics); readers always see the union schema
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
         return out
 
     def read(self, version: int | None = None,

@@ -146,3 +146,34 @@ def test_expire_keeps_files_rereferenced_by_rollback(spark, tmp_path):
     out = t.expire_snapshots(keep_last=1)
     assert out == {"snapshots": 2, "files": 1}  # only the 'oops' file dies
     assert _data(t) == {(0, "keep", 1)}
+
+
+def test_merge_rows_upsert(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a", 1), (0, "b", 2), (1, "c", 3)]))
+    # upsert: replace key 'b', insert 'd' (bucket 0); bucket 1 untouched
+    t.merge_rows(_df(spark, [(0, "b", 20), (0, "d", 4)]), key_cols=("k",))
+    assert _data(t) == {(0, "a", 1), (0, "b", 20), (0, "d", 4), (1, "c", 3)}
+    assert t.snapshot()["operation"] == "overwrite_partitions"
+    # bucket 1's file carried over by reference, not rewritten
+    b1 = [f for f in t.snapshot()["files"] if f["min"]["bucket"] == 1]
+    assert len(b1) == 1 and "snap-v1" in b1[0]["path"]
+    # merge into an empty partition is a plain insert
+    t.merge_rows(_df(spark, [(2, "e", 5)]), key_cols=("k",))
+    assert (2, "e", 5) in _data(t)
+    # idempotent re-merge
+    before = _data(t)
+    t.merge_rows(_df(spark, [(0, "b", 20)]), key_cols=("k",))
+    assert _data(t) == before
+
+
+def test_additive_schema_evolution_on_read(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a", 1)]))
+    t.append(
+        spark.createDataFrame(
+            [(1, "b", 2, "fresh")], "bucket int, k string, n long, extra string"
+        )
+    )
+    got = {(r["bucket"], r["k"], r["n"], r["extra"]) for r in t.read().collect()}
+    assert got == {(0, "a", 1, None), (1, "b", 2, "fresh")}
