@@ -223,3 +223,65 @@ def host_anchor_rollup(anchors: DataFrame, src_col: str = "url",
             "anchors_csv"
         ),
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iters: int = 25) -> DataFrame:
+    """Weakly connected components → (node, component).
+
+    Iterative min-label propagation (the standard large-graph WCC, e.g.
+    Kiveris et al. 2014 "Connected Components in MapReduce and Beyond" —
+    public methodology): every node starts labeled with itself; each round
+    it takes the minimum label among itself and its neighbors; fixpoint
+    when nothing changes. The label is the component's MINIMUM node id —
+    a deterministic canonical representative, for string or numeric ids.
+
+    Scale shape: each round is one equi-join of the (undirected,
+    deduplicated) edge table against the label table + one
+    map-side-combinable min aggregate; localCheckpoint per round keeps the
+    plan O(1)-deep; convergence costs O(component diameter) rounds,
+    bounded by max_iters (warns and returns a refinement if hit).
+    """
+    import warnings
+
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionByName(edges.select(F.col(dst).alias("_s"),
+                                  F.col(src).alias("_d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("_s").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            e.join(labels, e["_d"] == labels["node"])
+            .groupBy("_s")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["_s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("_nmin") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds; "
+            "labels are a refinement (over-segmented components)",
+            stacklevel=2,
+        )
+    e.unpersist()
+    return labels.select("node", F.col("comp").alias("component"))

@@ -27,8 +27,6 @@ lineage-truncated per iteration. Deterministic and order-free either way.
 
 from __future__ import annotations
 
-import warnings
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,61 +64,18 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def neardup_components(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
     """Connected components over a (a_id, b_id) pair graph → (doc_id, component).
 
-    Iterative min-label propagation: every vertex starts labeled with its
-    own id; each round every vertex takes the minimum label among itself
-    and its neighbors; fixpoint when no label changes. The component label
-    is therefore the MINIMUM doc_id in the component — a deterministic
-    canonical representative. Converges in O(diameter) rounds (near-dup
-    clusters are shallow; chains of length d need ~log/d rounds), bounded
-    by ``max_iters`` with a warning if the bound is hit.
-
-    Scale shape: operates only on vertices that appear in a pair (a small
-    fraction of the corpus); each round is one equi-join + one
-    map-side-combinable min aggregate; `localCheckpoint` truncates lineage
-    so the plan does not grow with rounds.
+    Delegates to operators/linkgraph.connected_components (min-label
+    propagation to fixpoint, localCheckpoint per round); the component
+    label is the MINIMUM doc_id — a deterministic canonical survivor.
+    Operates only on vertices that appear in a pair (a small fraction of
+    the corpus).
     """
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
-        .distinct()
-        .persist()
+    from pdf_parser_spark.operators import linkgraph
+
+    comp = linkgraph.connected_components(
+        pairs, src="a_id", dst="b_id", max_iters=max_iters
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        neigh_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    else:
-        warnings.warn(
-            f"neardup_components: not converged after {max_iters} rounds; "
-            "labels are a refinement (over-segmented components)",
-            stacklevel=2,
-        )
-    edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    return comp.select(F.col("node").alias("doc_id"), "component")
 
 
 def drop_near_duplicates(docs: DataFrame, threshold: float = 0.85,

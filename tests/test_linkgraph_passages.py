@@ -182,3 +182,32 @@ def test_passage_dedup_idempotent(spark):
         k=8,
     )
     assert {r["doc_id"]: r["dedup_text"] for r in again.collect()} == once
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),      # chain → one component
+        ("x", "y"),                                # pair
+        ("m", "m2"), ("m2", "m3"), ("m", "m3"),    # triangle
+    ]
+
+    def union_find(es):
+        parent = {}
+        def find(v):
+            parent.setdefault(v, v)
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+        for s, t in es:
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                parent[max(rs, rt)] = min(rs, rt)
+        return {v: find(v) for v in parent}
+
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in linkgraph.connected_components(edf).collect()}
+    assert got == union_find(edges)
+    # the canonical label is the minimum id in each component
+    assert got["d"] == "a" and got["y"] == "x" and got["m3"] == "m"
