@@ -124,10 +124,10 @@ def exact_duplicates(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
 
 
 def minhash_band_table(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH index table."""
     from pdf_parser_spark.operators.parallelism import ensure_parallelism
 
     docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-    """(doc_id, band, band_hash) — the LSH index table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,10 +185,10 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
 
 
 def simhash_table(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, simhash) — the signature table; banding happens natively."""
     from pdf_parser_spark.operators.parallelism import ensure_parallelism
 
     docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-    """(doc_id, simhash) — the signature table; banding happens natively."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -342,14 +342,19 @@ def duplicate_passage_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
     """
     from pdf_parser_spark.operators.decontam import with_kgrams
 
-    # three plan branches read the gram table (dup counts, the join back,
-    # per-doc totals): persist it serialized so gram construction runs
-    # once per action, not three times — the r01 barrier pattern; spills
-    # to disk at scale instead of re-deriving 10^12-row gram arrays
-    corpus = with_kgrams(docs, k, text_col, id_col).persist()
-    exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
+    # three plan branches read the gram stream (dup counts, the join
+    # back, per-doc totals): persist the NARROW exploded table — 16
+    # bytes/row hashed vs the fat per-doc gram arrays — so gram
+    # construction runs once per action (the r01 barrier pattern; spills
+    # to disk at scale). The cache lives until LRU eviction / session end:
+    # the returned DataFrame still references it, so there is no safe
+    # unpersist point inside this function.
+    exploded = with_kgrams(docs, k, text_col, id_col).select(
+        "doc_id", F.explode("_grams").alias("gram")
+    )
     if hash_grams:
         exploded = exploded.select("doc_id", F.xxhash64("gram").alias("gram"))
+    exploded = exploded.persist()
     dup_grams = (
         exploded.groupBy("gram")
         .agg(F.count("*").alias("_nd"))
@@ -361,7 +366,21 @@ def duplicate_passage_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup_grams"))
     )
-    totals = corpus.select("doc_id", F.size("_grams").cast("long").alias("n_grams"))
+    # per-doc totals from the SAME cached table (grams are distinct per
+    # doc); docs whose text is too short for any gram zero-fill from the
+    # raw id column — a cheap pruned scan
+    totals = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            exploded.groupBy("doc_id").agg(F.count("*").alias("n_grams")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )
     out = totals.join(matched, "doc_id", "left").select(
         "doc_id",
         "n_grams",

@@ -218,6 +218,10 @@ def with_winnowing(docs: DataFrame, text_col: str = "text",
 
     from pdf_parser_spark.operators.parallelism import ensure_parallelism
 
+    # deliberately UNPRUNED: this operator's contract is docs + fingerprint
+    # columns, so the guard materializes whole rows; callers with wide
+    # payload columns should project before calling (the dedupe builders
+    # pre-select (id, text) because their outputs replace the input)
     docs = ensure_parallelism(docs)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -252,6 +256,7 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    # unpruned guard, same rationale as with_winnowing: output = docs + col
     from pdf_parser_spark.operators.parallelism import ensure_parallelism
 
     return ensure_parallelism(docs).withColumn(
@@ -461,12 +466,17 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
         lambda w: w != "",
     )
     toks = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    # uni and bi are each ONE corpus scan; both are persisted (vocab- and
+    # unique-bigram-sized — far below the corpus) because the totals read
+    # them eagerly and the final join reads them again. Totals derive from
+    # the aggregated tables, never from a corpus rescan.
     uni = (
         toks.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
-    bi = (
+    bi_all = (
         toks.select(
             F.explode(
                 F.when(
@@ -484,12 +494,18 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
+        .persist()
     )
+    bi = bi_all.filter(F.col("c_ab") >= min_count)
     n_uni = uni.agg(F.sum("c")).first()[0]
-    n_bi = toks.select(
-        F.sum(F.greatest(F.size("_w") - 1, F.lit(0))).alias("n")
-    ).first()[0]
+    n_bi = bi_all.agg(F.sum("c_ab")).first()[0]
+    if not n_uni or not n_bi:
+        # empty/whitespace corpus: no tokens → no collocations
+        uni.unpersist()
+        bi_all.unpersist()
+        return docs.sparkSession.createDataFrame(
+            [], "a string, b string, c_ab long, pmi double"
+        )
     out = (
         bi.join(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a")), "a")
         .join(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b")), "b")

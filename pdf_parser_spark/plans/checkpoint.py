@@ -197,8 +197,9 @@ class SnapshotExtractionJob:
     riding in the snapshot SUMMARY (Iceberg snapshots carry exactly such a
     summary map). Resume = read which buckets any retained snapshot already
     committed; a crash between the data write and the snapshot publish
-    leaves only unreferenced debris files (GC'd by expire_snapshots), never
-    a half-committed bucket — the marker-file variant above
+    leaves only unreferenced debris files (removed by
+    SnapshotTable.vacuum_orphans — expire_snapshots only sees files a
+    snapshot once referenced), never a half-committed bucket — the marker-file variant above
     (ResumableExtractionJob) is this same pattern with the snapshot log
     replaced by per-bucket JSON markers.
     """

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,14 @@ def _publish_exclusive(path: str, payload: str) -> None:
         raise CommitConflict(f"version file already published: {path}") from exc
     finally:
         os.unlink(tmp)
+
+
+_HIVE_ESC = re.compile("%([0-9A-Fa-f]{2})")
+
+
+def _hive_unescape(raw: str) -> str:
+    """Undo partitionBy's Hive directory-name escaping (%XX per char)."""
+    return _HIVE_ESC.sub(lambda m: chr(int(m.group(1), 16)), raw)
 
 
 def _parquet_file_entry(path: str, stats_cols: tuple[str, ...]) -> dict:
@@ -176,12 +185,26 @@ class SnapshotTable:
         bucket values would make a later single-bucket overwrite either
         lose rows (drop the file) or duplicate them (keep it).
         """
-        sub = os.path.join(self.data_dir, f"snap-v{v}")
+        # the subdir is WRITER-unique (pid), not just version-unique: two
+        # optimistic committers racing from the same base must never share
+        # a directory, or the winner's os.walk would sweep the loser's
+        # files into its manifest (duplicated rows with no conflict error)
+        sub = os.path.join(self.data_dir, f"snap-v{v}-w{os.getpid()}")
         i = 0
         while os.path.exists(sub):  # failed earlier attempt left debris
             i += 1
-            sub = os.path.join(self.data_dir, f"snap-v{v}-r{i}")
+            sub = os.path.join(self.data_dir, f"snap-v{v}-w{os.getpid()}-r{i}")
         df.write.partitionBy(self.partition_col).mode("error").parquet(sub)
+        # parse the partition value back with the COLUMN'S type, not a
+        # guess from the digits: a string column holding '03' must stay
+        # '03' (int coercion would alias it with 3), and Hive %XX-escaped
+        # characters ('a:b' → a%3Ab) must unescape so manifest values
+        # compare equal to DataFrame values in merge/overwrite
+        from pyspark.sql.types import IntegralType
+
+        is_int = isinstance(
+            df.schema[self.partition_col].dataType, IntegralType
+        )
         marker = f"{self.partition_col}="
         entries = []
         for root, _, names in os.walk(sub):
@@ -189,7 +212,11 @@ class SnapshotTable:
             for seg in os.path.relpath(root, sub).split(os.sep):
                 if seg.startswith(marker):
                     raw = seg[len(marker):]
-                    part = int(raw) if raw.lstrip("-").isdigit() else raw
+                    if raw == "__HIVE_DEFAULT_PARTITION__":  # null value
+                        part = None
+                    else:
+                        raw = _hive_unescape(raw)
+                        part = int(raw) if is_int else raw
             for name in sorted(names):
                 if name.endswith(".parquet") and part is not None:
                     e = _parquet_file_entry(
@@ -375,6 +402,38 @@ class SnapshotTable:
             "compact", kept + rewritten, base,
             {"rewrote_files": len(frag_entries), "into": len(rewritten)},
         )
+
+    def vacuum_orphans(self, min_age_s: float = 3600.0) -> int:
+        """Delete data files referenced by NO snapshot at all — the debris
+        a writer leaves when it crashes (or loses a commit race) between
+        the data write and the snapshot publish. ``min_age_s`` guards
+        in-flight writers: only files older than it are removed. Returns
+        the number of files deleted. Complements expire_snapshots, which
+        only sees files some snapshot once referenced.
+        """
+        referenced = set()
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as fh:
+                    referenced.update(
+                        f["path"] for f in json.load(fh)["files"]
+                    )
+        now = time.time()
+        dropped = 0
+        for root, _, names in os.walk(self.data_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                if full in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) >= min_age_s:
+                        os.unlink(full)
+                        dropped += 1
+                except FileNotFoundError:
+                    pass
+        return dropped
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest `keep_last` snapshots; delete data files

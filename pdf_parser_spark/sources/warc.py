@@ -250,8 +250,11 @@ def sniff_charset(http_headers: dict[str, str], body: bytes) -> str:
         return "utf-8"
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "utf-16"
+    # header values may have been decoded as UTF-8 (non-latin-1 chars):
+    # 'replace' keeps a garbage charset param from killing the whole
+    # archive's task — the sniff just falls through to the next source
     m = _CHARSET_HTTP_RE.search(
-        http_headers.get("content-type", "").encode("latin-1")
+        http_headers.get("content-type", "").encode("latin-1", "replace")
     )
     if m:
         return m.group(1).decode("latin-1").lower()

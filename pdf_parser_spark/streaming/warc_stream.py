@@ -106,7 +106,12 @@ class WarcIngest:
         out.unpersist()
 
     def run_available_now(self, timeout_s: float = 120.0) -> dict:
-        """Drain everything currently in the directory, then stop."""
+        """Drain everything currently in the directory, then stop.
+
+        Raises TimeoutError if the drain does not finish within timeout_s
+        (after stopping the query) — returning stats for a half-finished
+        drain would let a caller read an incomplete table as complete.
+        """
         pages = read_warc_stream(self.spark, self.src_path, self.glob)
         q = (
             pages.writeStream.foreachBatch(self._commit_batch)
@@ -114,7 +119,12 @@ class WarcIngest:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"WARC drain still running after {timeout_s}s; committed "
+                f"batches so far: {sorted(self.committed_batches())}"
+            )
         return {
             "snapshot_version": self.table.current_version(),
             "batches_committed": len(self.committed_batches()),

@@ -86,3 +86,11 @@ def test_host_anchor_rollup(spark):
     r = rows[0]
     assert (r["host"], r["n_anchors"], r["n_distinct_anchors"]) == ("t.com", 3, 2)
     assert r["anchors_csv"] == "buy,sale"
+
+
+def test_bigram_pmi_empty_corpus(spark):
+    docs = spark.createDataFrame([(0, ""), (1, "   "), (2, None)],
+                                 "doc_id long, text string")
+    out = textstats.bigram_pmi(docs, top_k=5, min_count=1)
+    assert out.count() == 0
+    assert out.columns == ["a", "b", "c_ab", "pmi"]

@@ -177,3 +177,37 @@ def test_additive_schema_evolution_on_read(spark, tmp_path):
     )
     got = {(r["bucket"], r["k"], r["n"], r["extra"]) for r in t.read().collect()}
     assert got == {(0, "a", 1, None), (1, "b", 2, "fresh")}
+
+
+def test_string_partition_values_roundtrip(spark, tmp_path):
+    """Hive-escaped chars and digit-like strings must survive the
+    manifest round trip — '03' stays '03', 'a:b' matches itself."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_col="part")
+    df = spark.createDataFrame(
+        [("a:b", "x", 1), ("03", "y", 2), ("plain", "z", 3)],
+        "part string, k string, n long",
+    )
+    t.append(df)
+    vals = {f["min"]["part"] for f in t.snapshot()["files"]}
+    assert vals == {"a:b", "03", "plain"}
+    # merge into the escaped partition keeps its other rows
+    t.append(spark.createDataFrame([("a:b", "w", 4)], "part string, k string, n long"))
+    t.merge_rows(
+        spark.createDataFrame([("a:b", "x", 10)], "part string, k string, n long"),
+        key_cols=("k",),
+    )
+    got = {(r["part"], r["k"], r["n"]) for r in t.read().collect()}
+    assert got == {("a:b", "x", 10), ("a:b", "w", 4), ("03", "y", 2), ("plain", "z", 3)}
+
+
+def test_vacuum_orphans(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a", 1)]))
+    # simulate a crashed writer: data files written, snapshot never published
+    orphan_entries = t._write_data_files(_df(spark, [(1, "zzz", 9)]), 99)
+    assert all(os.path.exists(f["path"]) for f in orphan_entries)
+    assert t.vacuum_orphans(min_age_s=0.0) == len(orphan_entries)
+    assert not any(os.path.exists(f["path"]) for f in orphan_entries)
+    # referenced files untouched
+    assert _data(t) == {(0, "a", 1)}
+    assert t.vacuum_orphans(min_age_s=0.0) == 0
