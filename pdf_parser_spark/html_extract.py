@@ -266,7 +266,17 @@ def extract_main_text(html_bytes: bytes | None) -> tuple[str, list[dict]]:
     """
     if not html_bytes:
         return "", []
-    html = html_bytes.decode("utf-8", errors="replace")
+    # WHATWG-order charset sniff (BOM → <meta> → utf-8): real crawls carry
+    # iso-8859-1 / shift_jis / windows-1251 pages whose bytes are NOT
+    # utf-8; decoding them as such would silently mangle every non-ASCII
+    # char. errors='replace' keeps one bad byte from dropping a page.
+    from pdf_parser_spark.sources.warc import sniff_charset
+
+    enc = sniff_charset({}, bytes(html_bytes))
+    try:
+        html = html_bytes.decode(enc, errors="replace")
+    except LookupError:  # meta declared an unknown label
+        html = html_bytes.decode("utf-8", errors="replace")
     blocks = parse_blocks(html)
     keep = classify_blocks(blocks)
     out_parts: list[str] = []

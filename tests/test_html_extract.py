@@ -113,3 +113,33 @@ def test_block_features():
     keep = classify_blocks(blocks)
     kept = [b for b, k in zip(blocks, keep) if k]
     assert len(kept) == 1 and kept[0].tag == "p"
+
+
+def test_charset_sniffed_decode():
+    """Non-utf-8 pages decode through the declared charset instead of
+    mangling every non-ASCII char; unknown labels fall back to utf-8."""
+    from pdf_parser_spark.html_extract import extract_main_text
+
+    latin = (
+        '<html><head><meta charset="iso-8859-1"></head><body>'
+        "<p>Caf\xe9 au lait costs three euros fifty in the old quarter.</p>"
+        "</body></html>"
+    ).encode("iso-8859-1")
+    text, _ = extract_main_text(latin)
+    assert "Café au lait" in text
+
+    # same bytes WITHOUT the meta tag: utf-8 fallback replaces the byte
+    bare = (
+        "<html><body><p>Caf\xe9 au lait costs three euros fifty today."
+        "</p></body></html>"
+    ).encode("iso-8859-1")
+    text2, _ = extract_main_text(bare)
+    assert "Caf� au lait" in text2
+
+    # unknown charset label → utf-8 fallback, no crash
+    weird = (
+        '<html><head><meta charset="no-such-encoding"></head>'
+        "<body><p>plain ascii body long enough to keep</p></body></html>"
+    ).encode("ascii")
+    text3, _ = extract_main_text(weird)
+    assert "plain ascii body" in text3
