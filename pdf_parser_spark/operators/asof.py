@@ -45,11 +45,14 @@ def asof_join(
 
     l_cols = left.columns
     packed = F.struct(*[F.col(c) for c in payload_cols])
+    # the tie-break column keeps right_id's own type: any orderable type
+    # works, and a cast (e.g. a non-numeric string id to long) would null
+    # out and silently break the documented greatest-right_id total order
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_id).cast("long").alias("_rord"),
+        F.col(right_id).alias("_rord"),
         packed.alias("_payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
     ).select(on, "_ts", "_side", "_rord", "_payload", *[c for c in l_cols if c != on])
@@ -58,7 +61,7 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(0).cast("long").alias("_rord"),
+        F.lit(None).cast(right.schema[right_id].dataType).alias("_rord"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         *[F.col(c) for c in l_cols if c != on],
     )

@@ -9,8 +9,10 @@ row-group filtering uses, Kirsch–Mitzenmacher double hashing — public
 methodology):
 
 1. build the bitmap from the filter side DISTRIBUTED: each partition emits
-   its local bitmap, the driver ORs the handful of partials (a
-   treeReduce-shaped aggregation — no per-key collect);
+   its local bitmap, a √P-wide intermediate reduce level ORs those, and
+   the driver ORs only the ~√P survivors (true two-level tree reduction —
+   no per-key collect, and the driver's share is O(√P · n_bits/8) bytes
+   instead of O(P · n_bits/8));
 2. broadcast the bitmap; an Arrow-batched probe marks each big-side row
    "possibly in" / "definitely not in" — vectorized numpy, no join;
 3. rows that are definitely-not-in bypass the join entirely; ONLY the
@@ -48,13 +50,23 @@ def _positions(h: "np.ndarray", n_bits: int, k: int) -> "np.ndarray":
 
 
 def build_bloom(small: DataFrame, col: str, n_bits: int = 1 << 20,
-                k: int = 7) -> "np.ndarray":
+                k: int = 7, _stats: dict | None = None) -> "np.ndarray":
     """Bitmap (packed uint8 array of n_bits/8 bytes) over xxhash64(col).
 
-    Each partition reduces to ONE bitmap row (mapInPandas), the driver ORs
-    the ≤ num_partitions partials — the collect is O(partitions · n_bits/8)
-    bytes, independent of key count. Size n_bits ≈ 10 × expected distinct
-    keys for ~1% FPR (k=7 is optimal near that load factor).
+    Two-level tree reduction: each of the P input partitions reduces to ONE
+    bitmap row (mapInPandas), those partials are repartitioned to ~√P
+    intermediate reducers that each OR their share down to one row, and
+    the driver ORs only the ~√P survivors. The driver therefore receives
+    O(√P · n_bits/8) bytes instead of O(P · n_bits/8). At the module's
+    motivating scale (10^8 keys ⇒ 125 MB bitmap, P = 10^4 input
+    partitions): a flat collect would ship 10^4 × 125 MB = 1.25 TB to the
+    driver; the tree ships ≤ 100 partials × 125 MB = 12.5 GB, with each
+    intermediate reducer holding a single 125 MB accumulator while it
+    streams its ~100 inputs. Size n_bits ≈ 10 × expected distinct keys
+    for ~1% FPR (k=7 is optimal near that load factor).
+
+    ``_stats`` (tests only): records ``n_input_partitions`` and
+    ``n_partials_collected`` so sub-linearity is assertable.
     """
     if n_bits % 8 != 0:
         raise ValueError("n_bits must be a multiple of 8")
@@ -72,9 +84,30 @@ def build_bloom(small: DataFrame, col: str, n_bits: int = 1 << 20,
         if any_rows:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    parts = hashed.mapInPandas(partial, schema="bitmap binary").collect()
+    def or_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for batch in batches:
+            for buf in batch["bitmap"]:
+                any_rows = True
+                bits |= np.frombuffer(buf, dtype=np.uint8)
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = hashed.mapInPandas(partial, schema="bitmap binary")
+    n_parts = hashed.rdd.getNumPartitions()
+    fan_in = max(1, int(n_parts ** 0.5))
+    if fan_in < n_parts:
+        # intermediate OR level: ≤ fan_in rows reach the driver
+        partials = partials.repartition(fan_in).mapInPandas(
+            or_partials, schema="bitmap binary"
+        )
+    rows = partials.collect()
+    if _stats is not None:
+        _stats["n_input_partitions"] = n_parts
+        _stats["n_partials_collected"] = len(rows)
     out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in parts:
+    for row in rows:
         out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
     return out
 

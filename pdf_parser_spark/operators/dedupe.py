@@ -331,9 +331,11 @@ def duplicate_passage_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
       repeating its own boilerplate contributes each gram once);
     - with hash_grams=True the exchange carries xxhash64 keys (8 bytes)
       instead of raw k-word strings — ~10x narrower shuffles at k=8. A
-      collision needs two distinct grams on one 64-bit key: ~n_grams²/2⁶⁴
-      (negligible at 10^12 grams it's ~0.05, i.e. at most a handful of
-      miscounted grams corpus-wide; deterministic either way);
+      collision needs two distinct grams on one 64-bit key: any FIXED pair
+      collides w.p. 2⁻⁶⁴, so expect ~n_grams²/2⁶⁵ collisions corpus-wide —
+      at 10^12 grams that is ~2.7×10⁴ miscounted grams out of 10^12
+      (a 3×10⁻⁸ relative error, negligible for a ≥min_docs gate;
+      deterministic either way);
     - (gram, doc) rows are already distinct, so docs-per-gram is a plain
       count(*) hash aggregate — map-side partials absorb Zipfian grams;
     - the duplicated-gram table (count >= min_docs) is far smaller than the

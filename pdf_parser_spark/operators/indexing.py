@@ -41,7 +41,9 @@ def with_global_index(
     """Adds ``out_col``: the 1-based rank of each row in the total order
     ``(key asc|desc, tiebreaker asc)``.
 
-    ``key`` must be numeric (boundaries come from `approxQuantile`);
+    ``key`` must be numeric (boundaries come from `approxQuantile`); null
+    keys rank where Spark's window defaults put them (asc ⇒ first,
+    desc ⇒ last), preserving the row-for-row window parity;
     ``tiebreaker`` must make the order total (a unique id). Heavily-skewed
     keys (one value dominating) collapse into one bucket — the window then
     degrades toward the single-task sort for that value only.
@@ -50,11 +52,18 @@ def with_global_index(
     bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
     barr = F.array(*[F.lit(float(b)) for b in bounds])
     kcol = F.col(key).cast("double")
+    # null keys: approxQuantile ignores them and the filter lambda would
+    # drop every bound (null predicate), landing them in bucket 0 — wrong
+    # for desc. Route them where Spark's window defaults put them:
+    # asc ⇒ NULLS FIRST ⇒ bucket 0 (which asc already yields); desc ⇒
+    # NULLS LAST ⇒ the final bucket, explicitly.
     if ascending:
         bucket = F.size(F.filter(barr, lambda b: kcol > b))
         key_order = F.col(key).asc()
     else:
-        bucket = F.size(F.filter(barr, lambda b: kcol < b))
+        bucket = F.when(kcol.isNull(), F.lit(len(bounds))).otherwise(
+            F.size(F.filter(barr, lambda b: kcol < b))
+        )
         key_order = F.col(key).desc()
 
     with_b = df.withColumn("_bucket", bucket)

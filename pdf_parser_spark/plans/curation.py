@@ -64,16 +64,18 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def neardup_components(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
     """Connected components over a (a_id, b_id) pair graph → (doc_id, component).
 
-    Delegates to operators/linkgraph.connected_components (min-label
-    propagation to fixpoint, localCheckpoint per round); the component
-    label is the MINIMUM doc_id — a deterministic canonical survivor.
-    Operates only on vertices that appear in a pair (a small fraction of
-    the corpus).
+    Delegates to operators/linkgraph.connected_components (large-star/
+    small-star contraction, O(log n) rounds, localCheckpoint per round);
+    the component label is the MINIMUM doc_id — a deterministic canonical
+    survivor. Operates only on vertices that appear in a pair (a small
+    fraction of the corpus). strict=True: an unconverged refinement would
+    silently KEEP extra near-duplicates downstream, so exhaustion raises
+    instead of warning.
     """
     from pdf_parser_spark.operators import linkgraph
 
     comp = linkgraph.connected_components(
-        pairs, src="a_id", dst="b_id", max_iters=max_iters
+        pairs, src="a_id", dst="b_id", max_iters=max_iters, strict=True
     )
     return comp.select(F.col("node").alias("doc_id"), "component")
 

@@ -213,10 +213,20 @@ class SnapshotTable:
                 if seg.startswith(marker):
                     raw = seg[len(marker):]
                     if raw == "__HIVE_DEFAULT_PARTITION__":  # null value
-                        part = None
-                    else:
-                        raw = _hive_unescape(raw)
-                        part = int(raw) if is_int else raw
+                        # a null partition value has no manifest
+                        # representation here; skipping the file would
+                        # SILENTLY drop its rows from every read, so
+                        # refuse the commit instead (append/merge_rows
+                        # are public APIs — callers must derive a
+                        # non-null bucket, e.g. xxhash64 % n)
+                        raise ValueError(
+                            f"null {self.partition_col!r} partition value: "
+                            "rows with a null partition column cannot be "
+                            "committed; coalesce the partition column to a "
+                            "non-null bucket before append/merge"
+                        )
+                    raw = _hive_unescape(raw)
+                    part = int(raw) if is_int else raw
             for name in sorted(names):
                 if name.endswith(".parquet") and part is not None:
                     e = _parquet_file_entry(

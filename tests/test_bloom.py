@@ -114,3 +114,28 @@ def test_rejects_unsupported_join_type(spark):
         pass
     else:
         raise AssertionError("expected ValueError for how='inner'")
+
+
+def test_build_bloom_tree_reduce_sublinear_collect(spark):
+    """The driver must receive ~sqrt(P) partials, not P (VERDICT r3 #1)."""
+    members = [f"h{i}" for i in range(200)]
+    stats = {}
+    bitmap = bloom.build_bloom(
+        _keys(spark, members).repartition(64), "k", n_bits=1 << 12,
+        _stats=stats,
+    )
+    assert stats["n_input_partitions"] == 64
+    # sqrt(64) = 8 intermediate reducers; empties may yield fewer rows
+    assert stats["n_partials_collected"] <= 8
+    # and the tree-reduced bitmap is still exact
+    one = bloom.build_bloom(_keys(spark, members).coalesce(1), "k", n_bits=1 << 12)
+    assert np.array_equal(bitmap, one)
+
+
+def test_build_bloom_few_partitions_skips_tree_level(spark):
+    stats = {}
+    bloom.build_bloom(
+        _keys(spark, ["a", "b"]).coalesce(1), "k", n_bits=1 << 9, _stats=stats
+    )
+    assert stats["n_input_partitions"] == 1
+    assert stats["n_partials_collected"] == 1

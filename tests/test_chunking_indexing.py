@@ -67,3 +67,32 @@ def test_global_index_contiguous_and_partitioning_invariant(spark):
     ga = sorted(r["global_idx"] for r in a.collect())
     assert ga == list(range(1, 301))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_global_index_null_keys_match_window_null_ordering(spark):
+    """Null keys rank exactly where row_number() OVER (ORDER BY ...) puts
+    them: last for desc, first for asc (ADVICE r3)."""
+    rows = [(0, 10), (1, None), (2, 30), (3, None), (4, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, x long")
+
+    def window_want(asc):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        order = F.col("x").asc() if asc else F.col("x").desc()
+        w = Window.orderBy(order, F.col("doc_id").asc())
+        return {
+            r["doc_id"]: r["idx"]
+            for r in df.withColumn(
+                "idx", F.row_number().over(w)
+            ).collect()
+        }
+
+    for asc in (True, False):
+        got = {
+            r["doc_id"]: r["global_idx"]
+            for r in indexing.with_global_index(
+                df, key="x", tiebreaker="doc_id", ascending=asc, num_buckets=3
+            ).collect()
+        }
+        assert got == window_want(asc), f"ascending={asc}"

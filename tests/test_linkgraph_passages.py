@@ -211,3 +211,82 @@ def test_connected_components_vs_union_find(spark):
     assert got == union_find(edges)
     # the canonical label is the minimum id in each component
     assert got["d"] == "a" and got["y"] == "x" and got["m3"] == "m"
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Large-star/small-star: a 1000-node chain converges in O(log n)
+    rounds, not O(diameter) (VERDICT r3 #3)."""
+    n = 1000
+    edges = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in linkgraph.connected_components(
+               edf, max_iters=15, _stats=stats).collect()}
+    assert stats["converged"]
+    # ~log2(1000) = 10 contraction rounds + 1 round observing the fixpoint;
+    # plain label propagation would need ~1000
+    assert stats["n_rounds"] <= 12
+    assert len(got) == n
+    assert set(got.values()) == {"n0000"}
+
+
+def test_connected_components_strict_raises_on_exhaustion(spark):
+    import pytest as _pytest
+
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(99)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    with _pytest.raises(RuntimeError, match="not converged"):
+        linkgraph.connected_components(edf, max_iters=1, strict=True)
+
+
+def test_connected_components_numeric_ids_and_empty(spark):
+    edf = spark.createDataFrame([(5, 3), (3, 1), (10, 12)], "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in linkgraph.connected_components(edf).collect()}
+    assert got == {1: 1, 3: 1, 5: 1, 10: 10, 12: 10}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert linkgraph.connected_components(empty).count() == 0
+
+
+def test_extract_outlinks_quote_styles(spark):
+    """Double-quoted, single-quoted, and unquoted hrefs extract identical
+    link sets (VERDICT r3 #4)."""
+    df = spark.createDataFrame(
+        [
+            ("s1", '<a href="https://t.com/a">x</a>'),
+            ("s2", "<a href='https://t.com/a'>x</a>"),
+            ("s3", "<a href=https://t.com/a>x</a>"),
+            ("s4", '<a class="c" href = "https://t.com/a" rel="y">x</a>'),
+        ],
+        "url string, html string",
+    )
+    rows = linkgraph.extract_outlinks(df).collect()
+    assert {r["out_url"] for r in rows} == {"https://t.com/a"}
+    assert len(rows) == 4
+    anchors = linkgraph.extract_anchors(df).collect()
+    assert {(r["out_url"], r["anchor"]) for r in anchors} == {
+        ("https://t.com/a", "x")
+    }
+    assert len(anchors) == 4
+
+
+def test_host_anchor_rollup_topk_bounds_row_width(spark):
+    """One host x 10^4 distinct anchors: the rollup row carries only the
+    top_k most frequent, while the counts stay exact (VERDICT r3 #2)."""
+    from pyspark.sql import functions as F
+
+    rows = [("s", "https://t.com/p", f"anchor{i:05d}") for i in range(10_000)]
+    rows += [("s", "https://t.com/p", "popular")] * 5
+    anchors = spark.createDataFrame(rows, "url string, out_url string, anchor string")
+    got = linkgraph.host_anchor_rollup(anchors, top_k=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_anchors"] == 10_005
+    assert r["n_distinct_anchors"] == 10_001
+    csv = r["anchors_csv"].split(",")
+    assert len(csv) == 8
+    assert "popular" in csv                      # count 5 beats count 1
+    assert csv == sorted(csv)                    # alphabetical presentation
+    # ties broken toward the smaller string: anchor00000..anchor00006
+    assert csv[:7] == [f"anchor{i:05d}" for i in range(7)]

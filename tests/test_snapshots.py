@@ -211,3 +211,20 @@ def test_vacuum_orphans(spark, tmp_path):
     # referenced files untouched
     assert _data(t) == {(0, "a", 1)}
     assert t.vacuum_orphans(min_age_s=0.0) == 0
+
+
+def test_append_refuses_null_partition_values(spark, tmp_path):
+    """Rows with a null partition value must fail the commit loudly, not
+    vanish from the manifest (ADVICE r3)."""
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = spark.createDataFrame(
+        [(0, "a", 1), (None, "b", 2), (1, "c", 3)], "bucket int, k string, n long"
+    )
+    with _pytest.raises(ValueError, match="null"):
+        t.append(rows)
+    # nothing was published; the table is still empty and writable
+    assert t.current_version() == 0
+    t.append(_df(spark, [(0, "a", 1)]))
+    assert _data(t) == {(0, "a", 1)}

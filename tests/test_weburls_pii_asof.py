@@ -237,3 +237,24 @@ def test_robots_decisions_rfc_semantics(spark):
         "https://other.org/a/b": ("", True),
         "https://e.com": ("/", True),
     }
+
+
+def test_asof_join_string_right_id_tie_break(spark):
+    """Non-numeric right ids must keep the greatest-right_id tie-break
+    (ADVICE r3: a cast-to-long nulled them out)."""
+    left = spark.createDataFrame(
+        [(1, 7, _t(3))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("sig-b", 7, _t(3)), ("sig-a", 7, _t(3)), ("sig-c", 7, _t(3))],
+        "sig_id string, user_id long, ts timestamp",
+    )
+    out = asof.asof_join(
+        left,
+        right.select("user_id", "ts", "sig_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="sig_id",
+    )
+    assert out.collect()[0]["asof_sig_id"] == "sig-c"
