@@ -126,25 +126,33 @@ def q01_flagship_rollup(spark, sf_dir):
     )
 
 
-def q02_pagination(spark, sf_dir):
-    """B12/F2 — order by + offset/limit (ref: main.py:202-213)."""
+def q02_order_listing(spark, sf_dir):
+    """B12/F1/F2 — order-by + offset/limit pagination UNION top-k listing
+    (ref: main.py:202-213, main.py:167; round-4 merge of q02+q03 so both
+    stay on the driver's 50-entry correctness record)."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    page = (
         o.orderBy("o_orderdate", "o_orderkey")
-        .select("o_orderkey", "o_totalprice")
+        .select(
+            F.lit("page").alias("src"),
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+        )
         .offset(100)
         .limit(50)
     )
-
-
-def q03_topk(spark, sf_dir):
-    """F1 — top-k listing (ref: main.py:167)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
+    topk = (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .select(
+            F.lit("topk").alias("src"),
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+        )
         .limit(10)
     )
+    return page.unionByName(topk)
 
 
 def q04_keep_latest(spark, sf_dir):
@@ -166,12 +174,43 @@ def q05_union_dedupe(spark, sf_dir):
     return a.unionByName(b).dropDuplicates(["event_id"])
 
 
-def q06_max_date_group(spark, sf_dir):
-    """E3 — max-date within keyword group (ref: (pyc) parse.remove_old_interest_charges)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return li.groupBy("l_orderkey").agg(
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
-        F.count("*").alias("n_lines"),
+def q06_order_windows(spark, sf_dir):
+    """E3 + B8 + B7 — per-order window suite on one orderkey-grain spine
+    (round-4 merge of q06+q18+q19): max-date within the R group, latest
+    A-flag line, and the 45-day closing-window count (ref: (pyc)
+    parse.remove_old_interest_charges, semantic_extractor
+    .extract_transactions). Three aggregates over ONE lineitem scan, all
+    keyed by l_orderkey — the joins reuse the same exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    w45 = W.partitionBy("l_orderkey")
+    spine = (
+        li.withColumn("_max_ship", F.max("l_shipdate").over(w45))
+        .filter(F.col("l_shipdate") >= F.date_sub(F.col("_max_ship"), 45))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+    r_group = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship_r"),
+            F.count("*").alias("n_lines_r"),
+        )
+    )
+    wa = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    )
+    latest_a = (
+        li.filter(F.col("l_returnflag") == "A")
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", F.col("l_linenumber").alias("latest_a_line"))
+    )
+    return (
+        spine.join(r_group, "l_orderkey", "left")
+        .join(latest_a, "l_orderkey", "left")
+        .select("l_orderkey", "n_in_window", "last_ship_r", "n_lines_r",
+                "latest_a_line")
     )
 
 
@@ -271,26 +310,41 @@ def q10_account_type(spark, sf_dir):
     )
 
 
-def q11_datekey(spark, sf_dir):
-    """G4/G5 — date key & US-date formatting (ref: main.py:90-99, plaid.py:108-113)."""
+def q11_txn_scalars(spark, sf_dir):
+    """G4/G5 + B9 + B10 — event-grain scalar suite (round-4 merge of
+    q11+q29+q30): date key & US-date formatting (ref: main.py:90-99,
+    plaid.py:108-113), the statement-summary interest heuristic (ref:
+    (pyc) parse.looks_like_summary_interest_row), and the
+    abs(amount) >= 0.01 sanity predicate as a value column (ref: (pyc)
+    parse.is_valid_amount). One projection, zero exchanges, all codegen."""
+    from pdf_parser_spark.functions import scalar as fns
+
     e = _t(spark, sf_dir, "events")
-    return e.select(
+    d = e.select(
         "event_id",
         F.date_format("ts", "yyyyMMdd").alias("dateKey"),
         F.date_format("ts", "MM/dd/yyyy").alias("us_date"),
+        _pick(_Q29_MEMOS, F.col("event_id")).alias("memo"),
+        F.date_format(
+            F.date_sub(F.to_date("ts"), ((F.col("event_id") * 37) % 700).cast("int")),
+            "MM/dd/yyyy",
+        ).alias("date"),
+        F.round(F.col("value") - 150.0, 2).alias("amount"),
+        F.round((F.col("event_id") % 401 - 200) / 100.0, 2).alias("amount2"),
     )
-
-
-def q12_bank_match_exists(spark, sf_dir):
-    """C2 — bank-match existence probe as a banded semi-join
-    (ref: utils/display_amount.py:41-55)."""
-    from pdf_parser_spark.operators import normalize as normalize_op
-
-    txns = _event_txns(spark, sf_dir)
-    flagged = normalize_op.with_bank_match(txns)
-    return flagged.filter(
-        (F.col("sourceType") == "card") & (F.col("amount") < 0) & F.col("has_bank_match")
-    ).select("txn_id")
+    return d.select(
+        "event_id",
+        "dateKey",
+        "us_date",
+        "memo",
+        "date",
+        "amount",
+        fns.summary_interest_col(
+            F.col("memo"), F.col("date"), F.col("amount")
+        ).alias("is_summary"),
+        "amount2",
+        fns.valid_amount_col(F.col("amount2")).alias("amount2_valid"),
+    )
 
 
 def q13_transfer_pairing(spark, sf_dir):
@@ -315,7 +369,9 @@ def q14_dedup_exact(spark, sf_dir):
 
 
 def q15_token_stats(spark, sf_dir):
-    """Text quality/statistics + md5 fingerprint (training-data op)."""
+    """Text quality/statistics + md5 fingerprint + BPE-ish pre-tokenizer
+    counts (round-4 merge of q15+q20; shared Java/RE2 regex). Still one
+    doc-grain projection, zero exchanges."""
     from pdf_parser_spark.operators import textstats as textstats_op
 
     d = _t(spark, sf_dir, "documents")
@@ -329,6 +385,7 @@ def q15_token_stats(spark, sf_dir):
         "punct_ratio",
         "stopword_ratio",
         "fingerprint",
+        textstats_op.bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -341,51 +398,22 @@ def q16_similarity_topk(spark, sf_dir):
 
 
 def q17_display_amount(spark, sf_dir):
-    """G10 — display-amount sign logic over the C2 probe result
-    (ref: utils/display_amount.py:57-79)."""
+    """G10 + C2 — display-amount sign logic over the bank-match probe, with
+    the probe's own verdict exposed as a column (round-4 merge of q17+q12;
+    ref: utils/display_amount.py:41-79). card_neg_matched is q12's filter
+    as a boolean: card outflows with a bank txn within ±5 days / ±$0.01."""
     from pdf_parser_spark.operators import normalize as normalize_op
 
     txns = _event_txns(spark, sf_dir)
     out = normalize_op.with_display_amount(normalize_op.with_bank_match(txns))
-    return out.select("txn_id", F.round("displayAmount", 2).alias("displayAmount"))
-
-
-def q18_keep_latest_interest(spark, sf_dir):
-    """B8 — max-date-within-keyword-group filter
-    (ref: (pyc) parse.remove_old_interest_charges)."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
-    )
-    return (
-        li.filter(F.col("l_returnflag") == "A")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber")
-    )
-
-
-def q19_date_window(spark, sf_dir):
-    """B7 — closing-date window filter (keep rows within 45 days of the max)
-    (ref: (pyc) semantic_extractor.extract_transactions)."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey")
-    return (
-        li.withColumn("_max_ship", F.max("l_shipdate").over(w))
-        .filter(F.col("l_shipdate") >= F.date_sub(F.col("_max_ship"), 45))
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_in_window"))
-    )
-
-
-def q20_bpe_tokens(spark, sf_dir):
-    """BPE-ish pre-tokenizer counts (training-data op; shared Java/RE2 regex)."""
-    from pdf_parser_spark.operators import textstats as textstats_op
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textstats_op.bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    return out.select(
+        "txn_id",
+        F.round("displayAmount", 2).alias("displayAmount"),
+        (
+            (F.col("sourceType") == "card")
+            & (F.col("amount") < 0)
+            & F.col("has_bank_match")
+        ).alias("card_neg_matched"),
     )
 
 
@@ -584,44 +612,6 @@ def _pick(values: list[str], key, modulus: int | None = None):
     )
 
 
-def q29_summary_interest(spark, sf_dir):
-    """B9 — statement-summary interest heuristic as a native expression
-    (ref: (pyc) parse.looks_like_summary_interest_row)."""
-    from pdf_parser_spark.functions import scalar as fns
-
-    e = _t(spark, sf_dir, "events")
-    d = e.select(
-        "event_id",
-        _pick(_Q29_MEMOS, F.col("event_id")).alias("memo"),
-        F.date_format(
-            F.date_sub(F.to_date("ts"), ((F.col("event_id") * 37) % 700).cast("int")),
-            "MM/dd/yyyy",
-        ).alias("date"),
-        F.round(F.col("value") - 150.0, 2).alias("amount"),
-    )
-    return d.select(
-        "event_id",
-        "memo",
-        "date",
-        "amount",
-        fns.summary_interest_col(
-            F.col("memo"), F.col("date"), F.col("amount")
-        ).alias("is_summary"),
-    )
-
-
-def q30_amount_sanity(spark, sf_dir):
-    """B10 — abs(amount) >= 0.01 sanity filter (ref: (pyc) parse.is_valid_amount)."""
-    from pdf_parser_spark.functions import scalar as fns
-
-    e = _t(spark, sf_dir, "events")
-    d = e.select(
-        "event_id",
-        F.round((F.col("event_id") % 401 - 200) / 100.0, 2).alias("amount"),
-    )
-    return d.filter(fns.valid_amount_col(F.col("amount"))).select("event_id", "amount")
-
-
 def q31_account_mapping(spark, sf_dir):
     """D4 — best-token-overlap mapping onto the chart of accounts as a
     broadcast join + argmax window (ref: utils/classify_transaction.py:15-37)."""
@@ -636,27 +626,23 @@ def q31_account_mapping(spark, sf_dir):
     )
 
 
-def q32_clean_contra(spark, sf_dir):
-    """G12 — contra-label cleaning as native regexp expressions
-    (ref: routes/coa.py:33-59)."""
+def q32_scalar_cleaners(spark, sf_dir):
+    """G12 + G13/G13b — contra-label cleaning, numeric coercion, and the
+    (..)-negated fragment parser as native regexp expressions (round-4
+    merge of q32+q33; ref: routes/coa.py:33-59, routes/journal.py:7-18,
+    journal_detail.py:45-58). One event-grain projection."""
     from pdf_parser_spark.functions import scalar as fns
 
     e = _t(spark, sf_dir, "events")
-    d = e.select("event_id", _pick(_Q32_LABELS, F.col("event_id")).alias("label"))
-    return d.select(
-        "event_id", "label", fns.clean_contra_col(F.col("label")).alias("cleaned")
+    d = e.select(
+        "event_id",
+        _pick(_Q32_LABELS, F.col("event_id")).alias("label"),
+        _pick(_Q33_STRINGS, F.col("event_id")).alias("raw"),
     )
-
-
-def q33_to_number(spark, sf_dir):
-    """G13/G13b — numeric coercion + (..)-negated fragment parsing as native
-    expressions (ref: routes/journal.py:7-18, journal_detail.py:45-58)."""
-    from pdf_parser_spark.functions import scalar as fns
-
-    e = _t(spark, sf_dir, "events")
-    d = e.select("event_id", _pick(_Q33_STRINGS, F.col("event_id")).alias("raw"))
     return d.select(
         "event_id",
+        "label",
+        fns.clean_contra_col(F.col("label")).alias("cleaned"),
         "raw",
         fns.to_number_col(F.col("raw")).alias("num"),
         fns.amount_fragment_col(F.col("raw")).alias("fragment"),
@@ -785,13 +771,6 @@ def _q40_urls(spark, sf_dir):
     )
 
 
-def q40_url_canonicalize(spark, sf_dir):
-    """URL canonicalization (case, default ports, fragments, tracking
-    params) + per-host crawl rollup over deterministically synthesized messy
-    urls (operators/weburls)."""
-    from pdf_parser_spark.operators import weburls
-
-    return weburls.host_rollup(_q40_urls(spark, sf_dir))
 
 
 def q42_length_percentiles(spark, sf_dir):
@@ -812,43 +791,49 @@ def q42_length_percentiles(spark, sf_dir):
 _Q43_BLOCKLIST = ["example.com", "news.site.org"]
 
 
-def q43_blocklist_antijoin(spark, sf_dir):
-    """Host-blocklist filtering as a broadcast LEFT ANTI join over the q40
-    canonicalized crawl (operators/weburls.filter_blocked_hosts)."""
+def q43_host_crawl(spark, sf_dir):
+    """URL canonicalization (case, default ports, fragments, tracking
+    params) + per-host crawl rollup + host-blocklist filtering as a
+    broadcast LEFT ANTI join (round-4 merge of q40+q43;
+    operators/weburls). Host grain: the full crawl rollup left-joined with
+    the post-blocklist kept counts — blocked hosts read NULL n_kept, so
+    the anti-join's verdict is value-checked per host."""
     from pdf_parser_spark.operators import weburls
 
-    c = weburls.with_canonical_url(_q40_urls(spark, sf_dir))
+    urls = _q40_urls(spark, sf_dir)
+    rollup = weburls.host_rollup(urls)
+    c = weburls.with_canonical_url(urls)
     bl = spark.createDataFrame([(h,) for h in _Q43_BLOCKLIST], "host string")
-    kept = weburls.filter_blocked_hosts(c, bl)
-    return kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+    kept = weburls.filter_blocked_hosts(c, bl).groupBy("host").agg(
+        F.count("*").alias("n_kept")
+    )
+    return rollup.join(kept, "host", "left").select(
+        "host", "n_fetches", "n_pages", "n_kept"
+    )
 
 
-def q44_chunking(spark, sf_dir):
-    """Sliding-window token chunking (50 tokens, 10 overlap) — one Generate,
-    zero shuffles (operators/chunking.chunk_documents)."""
-    from pdf_parser_spark.operators import chunking
+def q44_chunk_index(spark, sf_dir):
+    """Sliding-window token chunking (50 tokens, 10 overlap — one Generate,
+    zero shuffles) + the doc's contiguous global row id via the two-phase
+    range scheme (round-4 merge of q44+q45; operators/chunking +
+    operators/indexing). Chunk grain, each chunk annotated with its doc's
+    global index — identical to row_number() OVER (ORDER BY …) without
+    the single-partition window bottleneck."""
+    from pdf_parser_spark.operators import chunking, indexing
 
     d = _t(spark, sf_dir, "documents")
-    ch = chunking.chunk_documents(d, chunk_tokens=50, overlap=10)
-    return ch.select(
+    ch = chunking.chunk_documents(d, chunk_tokens=50, overlap=10).select(
         "doc_id",
         "chunk_idx",
         "n_chunk_tokens",
         F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
     )
-
-
-def q45_global_index(spark, sf_dir):
-    """Contiguous global row ids in a total order via the two-phase range
-    scheme — identical to row_number() OVER (ORDER BY …) but without the
-    single-partition window bottleneck (operators/indexing)."""
-    from pdf_parser_spark.operators import indexing
-
-    d = _t(spark, sf_dir, "documents")
-    out = indexing.with_global_index(
+    idx = indexing.with_global_index(
         d, key="n_chars", tiebreaker="doc_id", ascending=False, num_buckets=8
+    ).select("doc_id", "global_idx")
+    return ch.join(idx, "doc_id").select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5", "global_idx"
     )
-    return out.select("doc_id", "n_chars", "global_idx")
 
 
 def q41_asof_join(spark, sf_dir):
@@ -889,14 +874,23 @@ def q46_decontamination(spark, sf_dir):
     return out.withColumn("is_contaminated", F.col("is_contaminated").cast("int"))
 
 
-def q47_unigram_logprob(spark, sf_dir):
-    """Unigram-LM quality scores (CCNet-shaped perplexity gate): add-one
-    smoothed self-fit model, mean token log-prob + perplexity per doc
-    (operators/lm_quality)."""
+def q47_lm_quality(spark, sf_dir):
+    """Unigram-LM quality scores + CCNet head/middle/tail perplexity
+    buckets per language (round-4 merge of q47+q51;
+    operators/lm_quality). Doc grain: add-one smoothed self-fit model,
+    mean token log-prob + perplexity, and the exact ntile bucket (the
+    approximate percentile mode is the 10^12-row shape)."""
     from pdf_parser_spark.operators import lm_quality
 
     d = _t(spark, sf_dir, "documents")
-    return lm_quality.unigram_scores(d)
+    scores = lm_quality.unigram_scores(d).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+    buckets = lm_quality.ppl_buckets(d, n_buckets=3, by=("lang",))
+    return buckets.join(scores, "doc_id").select(
+        "doc_id", "lang", "n_tokens", "avg_logprob", "ppl", "bucket_id",
+        "bucket"
+    )
 
 
 def q48_mixing_weights(spark, sf_dir):
@@ -937,16 +931,6 @@ def q50_weighted_sample(spark, sf_dir):
     return out.select(
         "doc_id", "n_chars", F.round(F.col("priority"), 4).alias("priority")
     )
-
-
-def q51_ppl_buckets(spark, sf_dir):
-    """CCNet head/middle/tail perplexity buckets per language (exact ntile
-    mode; the approximate percentile mode is the 10^12-row shape —
-    operators/lm_quality.ppl_buckets)."""
-    from pdf_parser_spark.operators import lm_quality
-
-    d = _t(spark, sf_dir, "documents")
-    return lm_quality.ppl_buckets(d, n_buckets=3, by=("lang",))
 
 
 def q52_corpus_shuffle(spark, sf_dir):
@@ -1252,15 +1236,24 @@ def _q55_pages(spark, sf_dir):
     )
 
 
-def q55_outlink_indegree(spark, sf_dir):
-    """Outlink extraction + per-host in-degree over synthetic web pages:
-    native regexp_extract_all over the html string (zero Python, zero
-    shuffles until the host aggregate), canonical host via operators/weburls
-    (operators/linkgraph.extract_outlinks + host_indegree)."""
+def q55_linkgraph_hosts(spark, sf_dir):
+    """Outlink extraction + per-host in-degree + inbound anchor-text
+    profile over synthetic web pages (round-4 merge of q55+q58;
+    operators/linkgraph): native regexp extraction (zero Python), one
+    host-keyed exchange per aggregate, anchors capped at top_k per host
+    (the round-4 WindowGroupLimit cap — the oracle expresses the same
+    top-k-by-count contract)."""
     from pdf_parser_spark.operators import linkgraph
 
-    links = linkgraph.extract_outlinks(_q55_pages(spark, sf_dir))
-    return linkgraph.host_indegree(links).orderBy("host")
+    pages = _q55_pages(spark, sf_dir)
+    indeg = linkgraph.host_indegree(linkgraph.extract_outlinks(pages))
+    anchors = linkgraph.host_anchor_rollup(
+        linkgraph.extract_anchors(pages), top_k=64
+    )
+    return indeg.join(anchors, "host").orderBy("host").select(
+        "host", "n_links", "n_src_pages", "n_anchors", "n_distinct_anchors",
+        "anchors_csv"
+    )
 
 
 def r17_pagerank(spark, sf_dir):
@@ -1300,14 +1293,24 @@ def q57_bigram_pmi(spark, sf_dir):
     return textstats_op.bigram_pmi(d, top_k=20, min_count=5)
 
 
-def q58_anchor_rollup(spark, sf_dir):
-    """Inbound anchor-text profile per target host over the q55 synthetic
-    web pages (operators/linkgraph.extract_anchors + host_anchor_rollup):
-    aligned regexp pair extraction (zero Python), one host-keyed exchange."""
+def q61_neardup_components(spark, sf_dir):
+    """Weakly connected components over a deterministic doc-pair graph —
+    the transitive near-dup clustering step, now oracle-checked (round-4:
+    the large-star/small-star rewrite of
+    operators/linkgraph.connected_components vs a DuckDB recursive-CTE
+    closure). Pairs chain doc_id → doc_id+1 inside 20-id blocks, so
+    components are short chains with min-id canonical labels."""
     from pdf_parser_spark.operators import linkgraph
 
-    anchors = linkgraph.extract_anchors(_q55_pages(spark, sf_dir))
-    return linkgraph.host_anchor_rollup(anchors).orderBy("host")
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.col("doc_id").alias("a_id"))
+        .filter(F.col("a_id") % 20 < 7)
+        .select("a_id", (F.col("a_id") + 1).alias("b_id"))
+    )
+    return linkgraph.connected_components(
+        pairs, src="a_id", dst="b_id", strict=True
+    ).select("node", "component")
 
 
 def q59_page_metadata(spark, sf_dir):
@@ -1494,27 +1497,28 @@ def r20_span_invariants(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 49 oracle-checked entries — the driver's correctness record caps at
+    # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
+    # round-3 q's were consolidated by merging same-grain queries
+    # (q02+q03, q06+q18+q19, q11+q29+q30, q12+q17, q15+q20, q32+q33,
+    # q40+q43, q44+q45, q47+q51, q55+q58 — every merged operator keeps its
+    # oracle-checked columns) and q61 adds WCC to the oracle set.
     return {
         "q01_flagship_rollup": q01_flagship_rollup,
-        "q02_pagination": q02_pagination,
-        "q03_topk": q03_topk,
+        "q02_order_listing": q02_order_listing,
         "q04_keep_latest": q04_keep_latest,
         "q05_union_dedupe": q05_union_dedupe,
-        "q06_max_date_group": q06_max_date_group,
+        "q06_order_windows": q06_order_windows,
         "q07_memory_cascade": q07_memory_cascade,
         "q08_learning_aggregate": q08_learning_aggregate,
         "q09_journal_explode": q09_journal_explode,
         "q10_account_type": q10_account_type,
-        "q11_datekey": q11_datekey,
-        "q12_bank_match_exists": q12_bank_match_exists,
+        "q11_txn_scalars": q11_txn_scalars,
         "q13_transfer_pairing": q13_transfer_pairing,
         "q14_dedup_exact": q14_dedup_exact,
         "q15_token_stats": q15_token_stats,
         "q16_similarity_topk": q16_similarity_topk,
         "q17_display_amount": q17_display_amount,
-        "q18_keep_latest_interest": q18_keep_latest_interest,
-        "q19_date_window": q19_date_window,
-        "q20_bpe_tokens": q20_bpe_tokens,
         "q21_embedding_neardup": q21_embedding_neardup,
         "q22_journal_typed": q22_journal_typed,
         "q23_salted_hoststats": q23_salted_hoststats,
@@ -1523,38 +1527,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_derived_uid_join": q26_derived_uid_join,
         "q27_windowed_stats": q27_windowed_stats,
         "q28_account_map_join": q28_account_map_join,
-        "q29_summary_interest": q29_summary_interest,
-        "q30_amount_sanity": q30_amount_sanity,
         "q31_account_mapping": q31_account_mapping,
-        "q32_clean_contra": q32_clean_contra,
-        "q33_to_number": q33_to_number,
+        "q32_scalar_cleaners": q32_scalar_cleaners,
         "q34_quality_gate": q34_quality_gate,
         "q35_tfidf_terms": q35_tfidf_terms,
         "q36_stratified_sample": q36_stratified_sample,
         "q37_sessionization": q37_sessionization,
         "q38_repetition_signals": q38_repetition_signals,
         "q39_pii_scrub": q39_pii_scrub,
-        "q40_url_canonicalize": q40_url_canonicalize,
         "q41_asof_join": q41_asof_join,
         "q42_length_percentiles": q42_length_percentiles,
-        "q43_blocklist_antijoin": q43_blocklist_antijoin,
-        "q44_chunking": q44_chunking,
-        "q45_global_index": q45_global_index,
+        "q43_host_crawl": q43_host_crawl,
+        "q44_chunk_index": q44_chunk_index,
         "q46_decontamination": q46_decontamination,
-        "q47_unigram_logprob": q47_unigram_logprob,
+        "q47_lm_quality": q47_lm_quality,
         "q48_mixing_weights": q48_mixing_weights,
         "q49_dup_passages": q49_dup_passages,
         "q50_weighted_sample": q50_weighted_sample,
-        "q51_ppl_buckets": q51_ppl_buckets,
         "q52_corpus_shuffle": q52_corpus_shuffle,
         "q53_bloom_antijoin": q53_bloom_antijoin,
         "q54_passage_dedup": q54_passage_dedup,
-        "q55_outlink_indegree": q55_outlink_indegree,
+        "q55_linkgraph_hosts": q55_linkgraph_hosts,
         "q56_postings": q56_postings,
         "q57_bigram_pmi": q57_bigram_pmi,
-        "q58_anchor_rollup": q58_anchor_rollup,
         "q59_page_metadata": q59_page_metadata,
         "q60_robots_rules": q60_robots_rules,
+        "q61_neardup_components": q61_neardup_components,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -1606,13 +1604,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        "q02_pagination": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100
-        """,
-        "q03_topk": """
-            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        "q02_order_listing": """
+            SELECT 'page' AS src, o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderstatus
+            FROM (SELECT o_orderkey, o_totalprice FROM orders
+                  ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100)
+            UNION ALL
+            SELECT 'topk' AS src, o_orderkey, o_totalprice, o_orderstatus
+            FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
         """,
         "q04_keep_latest": """
             SELECT user_id, event_id, event_type FROM (
@@ -1625,10 +1625,31 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT event_id FROM events WHERE value > 400)
         """,
-        "q06_max_date_group": """
-            SELECT l_orderkey, strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
-                   CAST(count(*) AS BIGINT) AS n_lines
-            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        "q06_order_windows": """
+            WITH spine AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_in_window FROM (
+                SELECT l_orderkey, l_shipdate,
+                       max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+                FROM lineitem)
+              WHERE l_shipdate >= max_ship - INTERVAL 45 DAY
+              GROUP BY l_orderkey),
+            r_group AS (
+              SELECT l_orderkey,
+                     strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship_r,
+                     CAST(count(*) AS BIGINT) AS n_lines_r
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+            latest_a AS (
+              SELECT l_orderkey, l_linenumber AS latest_a_line FROM (
+                SELECT l_orderkey, l_linenumber,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_shipdate DESC, l_linenumber DESC) rn
+                FROM lineitem WHERE l_returnflag = 'A')
+              WHERE rn = 1)
+            SELECT s.l_orderkey, s.n_in_window, r.last_ship_r, r.n_lines_r,
+                   a.latest_a_line
+            FROM spine s
+            LEFT JOIN r_group r USING (l_orderkey)
+            LEFT JOIN latest_a a USING (l_orderkey)
         """,
         "q07_memory_cascade": """
             WITH user_mem AS (
@@ -1694,18 +1715,29 @@ def oracle_sql() -> dict[str, str]:
                    {_ACCOUNT_TYPE_SQL.format(col='acct_none')} AS type_none
             FROM p
         """,
-        "q11_datekey": """
-            SELECT event_id, strftime(ts, '%Y%m%d') AS dateKey,
-                   strftime(ts, '%m/%d/%Y') AS us_date
-            FROM events
-        """,
-        "q12_bank_match_exists": f"""
-            WITH {_EVENT_TXNS_SQL}
-            SELECT t.txn_id FROM keyed t
-            WHERE t.sourceType = 'card' AND t.amount < 0
-              AND EXISTS (SELECT 1 FROM keyed b
-                          WHERE b.sourceType = 'bank' AND b.txn_id <> t.txn_id
-                            AND abs(b.cents - t.cents) <= 1 AND abs(b.day - t.day) <= 5)
+        "q11_txn_scalars": f"""
+            WITH d AS (
+              SELECT event_id,
+                     strftime(ts, '%Y%m%d') AS dateKey,
+                     strftime(ts, '%m/%d/%Y') AS us_date,
+                     ({_sql_list(_Q29_MEMOS)})[CAST(event_id % 6 + 1 AS INT)] AS memo,
+                     strftime(CAST(ts AS DATE) - to_days(CAST((event_id * 37) % 700 AS INT)),
+                              '%m/%d/%Y') AS date,
+                     round(value - 150.0, 2) AS amount,
+                     round((event_id % 401 - 200) / 100.0, 2) AS amount2
+              FROM events)
+            SELECT event_id, dateKey, us_date, memo, date, amount,
+                   CASE WHEN (lower(memo) LIKE '%interest%'
+                           OR lower(memo) LIKE '%pay over time%'
+                           OR lower(memo) LIKE '%apr%'
+                           OR lower(memo) LIKE '%summary%')
+                         AND len(string_split_regex(trim(lower(memo)), '\\s+')) <= 6
+                         AND abs(amount) >= 100.0
+                         AND try_strptime(date, '%m/%d/%Y') < TIMESTAMP '2023-10-01'
+                        THEN TRUE ELSE FALSE END AS is_summary,
+                   amount2,
+                   abs(amount2) >= 0.01 AS amount2_valid
+            FROM d
         """,
         "q13_transfer_pairing": f"""
             WITH {_EVENT_TXNS_SQL},
@@ -1761,7 +1793,10 @@ def oracle_sql() -> dict[str, str]:
                          THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
                                               x -> x IN ({stop_list}))) * 1.0 / n_tokens
                          ELSE 0.0 END, 4) AS stopword_ratio,
-                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                        AS INT) AS n_bpe_tokens
             FROM s
         """,
         "q16_similarity_topk": """
@@ -1773,45 +1808,26 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "q17_display_amount": f"""
-            WITH {_EVENT_TXNS_SQL}
-            SELECT t.txn_id,
+            WITH {_EVENT_TXNS_SQL},
+            flagged AS (
+              SELECT t.*,
+                     (t.sourceType = 'card' AND t.amount < 0
+                      AND EXISTS (SELECT 1 FROM keyed b
+                                  WHERE b.sourceType = 'bank' AND b.txn_id <> t.txn_id
+                                    AND abs(b.cents - t.cents) <= 1
+                                    AND abs(b.day - t.day) <= 5)) AS card_neg_matched
+              FROM keyed t)
+            SELECT txn_id,
                    round(CASE
-                     WHEN t.sourceType = 'bank' THEN
-                       CASE WHEN t.amount >= 0 THEN abs(t.amount) ELSE -abs(t.amount) END
-                     WHEN t.sourceType = 'card' THEN
-                       CASE WHEN t.amount > 0 THEN abs(t.amount)
-                            WHEN EXISTS (SELECT 1 FROM keyed b
-                                         WHERE b.sourceType = 'bank' AND b.txn_id <> t.txn_id
-                                           AND abs(b.cents - t.cents) <= 1
-                                           AND abs(b.day - t.day) <= 5)
-                            THEN abs(t.amount) ELSE -abs(t.amount) END
-                     ELSE t.amount END, 2) AS displayAmount
-            FROM keyed t
-        """,
-        "q18_keep_latest_interest": """
-            SELECT l_orderkey, l_linenumber FROM (
-              SELECT l_orderkey, l_linenumber,
-                     row_number() OVER (PARTITION BY l_orderkey
-                                        ORDER BY l_shipdate DESC, l_linenumber DESC) rn
-              FROM lineitem WHERE l_returnflag = 'A')
-            WHERE rn = 1
-        """,
-        "q19_date_window": """
-            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_in_window FROM (
-              SELECT l_orderkey, l_shipdate,
-                     max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
-              FROM lineitem)
-            WHERE l_shipdate >= max_ship - INTERVAL 45 DAY
-            GROUP BY l_orderkey
-        """,
-        # same pre-tokenizer regex as BPE_TOKEN_PATTERN (Java/RE2-portable
-        # subset; '' doubles the quote for SQL)
-        "q20_bpe_tokens": r"""
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(coalesce(text, ''),
-                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
-                        AS INT) AS n_bpe_tokens
-            FROM documents
+                     WHEN sourceType = 'bank' THEN
+                       CASE WHEN amount >= 0 THEN abs(amount) ELSE -abs(amount) END
+                     WHEN sourceType = 'card' THEN
+                       CASE WHEN amount > 0 THEN abs(amount)
+                            WHEN card_neg_matched THEN abs(amount)
+                            ELSE -abs(amount) END
+                     ELSE amount END, 2) AS displayAmount,
+                   card_neg_matched
+            FROM flagged
         """,
         "q21_embedding_neardup": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1900,31 +1916,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, m.display_name, m.sourceType
             FROM events e JOIN acct_map m ON e.user_id % 20 = m.account_id
         """,
-        "q29_summary_interest": f"""
-            WITH d AS (
-              SELECT event_id,
-                     ({_sql_list(_Q29_MEMOS)})[CAST(event_id % 6 + 1 AS INT)] AS memo,
-                     strftime(CAST(ts AS DATE) - to_days(CAST((event_id * 37) % 700 AS INT)),
-                              '%m/%d/%Y') AS date,
-                     round(value - 150.0, 2) AS amount
-              FROM events)
-            SELECT event_id, memo, date, amount,
-                   CASE WHEN (lower(memo) LIKE '%interest%'
-                           OR lower(memo) LIKE '%pay over time%'
-                           OR lower(memo) LIKE '%apr%'
-                           OR lower(memo) LIKE '%summary%')
-                         AND len(string_split_regex(trim(lower(memo)), '\\s+')) <= 6
-                         AND abs(amount) >= 100.0
-                         AND try_strptime(date, '%m/%d/%Y') < TIMESTAMP '2023-10-01'
-                        THEN TRUE ELSE FALSE END AS is_summary
-            FROM d
-        """,
-        "q30_amount_sanity": """
-            WITH d AS (
-              SELECT event_id, round((event_id % 401 - 200) / 100.0, 2) AS amount
-              FROM events)
-            SELECT event_id, amount FROM d WHERE abs(amount) >= 0.01
-        """,
         "q31_account_mapping": f"""
             WITH allowed(idx, account) AS (VALUES {allowed_values}),
             inp AS (
@@ -1953,38 +1944,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE account END AS mapped_account
             FROM ranked WHERE rn = 1
         """,
-        "q32_clean_contra": f"""
+        "q32_scalar_cleaners": f"""
             WITH d AS (
               SELECT event_id,
-                     ({_sql_list(_Q32_LABELS)})[CAST(event_id % 8 + 1 AS INT)] AS label
+                     ({_sql_list(_Q32_LABELS)})[CAST(event_id % 8 + 1 AS INT)] AS label,
+                     ({_sql_list(_Q33_STRINGS)})[CAST(event_id % 10 + 1 AS INT)] AS raw
               FROM events),
             pass1 AS (
-              SELECT event_id, label,
+              SELECT event_id, label, raw,
                      regexp_replace(regexp_replace(label, {contra_re}, ' ', 'gi'),
                                     {contra_re}, ' ', 'gi') AS t
               FROM d),
             dashed AS (
-              SELECT event_id, label,
+              SELECT event_id, label, raw,
                      CASE WHEN strpos(t, ' - ') > 0
                            AND contains(lower(substr(t, strpos(t, ' - ') + 3)), 'contra')
                           THEN rtrim(substr(t, 1, strpos(t, ' - ') - 1))
                           ELSE t END AS t
               FROM pass1)
             SELECT event_id, label,
-                   trim(regexp_replace(t, ' {{2,}}', ' ', 'g')) AS cleaned
-            FROM dashed
-        """,
-        "q33_to_number": f"""
-            WITH d AS (
-              SELECT event_id,
-                     ({_sql_list(_Q33_STRINGS)})[CAST(event_id % 10 + 1 AS INT)] AS raw
-              FROM events)
-            SELECT event_id, raw,
+                   trim(regexp_replace(t, ' {{2,}}', ' ', 'g')) AS cleaned,
+                   raw,
                    {q33_num} AS num,
                    CASE WHEN contains(raw, '(') AND contains(raw, ')')
                          AND {q33_num} > 0
                         THEN -{q33_num} ELSE {q33_num} END AS fragment
-            FROM d
+            FROM dashed
         """,
         # quality formula over the SAME rounded intermediates as the Spark
         # columns (with_text_stats rounds to 4 before the composite score)
@@ -2107,7 +2092,7 @@ def oracle_sql() -> dict[str, str]:
                                       '__PHONE__', '[PHONE]', 'g')) AS redacted_md5
             FROM d
         """,
-        "q40_url_canonicalize": """
+        "q43_host_crawl": """
             WITH d AS (
               SELECT event_id,
                      (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
@@ -2140,10 +2125,16 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN path = '' THEN '/' ELSE path END ||
                      CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
                        AS canonical_url
-              FROM s)
-            SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
-                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages
-            FROM c GROUP BY host
+              FROM s),
+            roll AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+                     CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages
+              FROM c GROUP BY host),
+            kept AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_kept
+              FROM c WHERE host NOT IN (__BLOCKLIST__) GROUP BY host)
+            SELECT r.host, r.n_fetches, r.n_pages, k.n_kept
+            FROM roll r LEFT JOIN kept k USING (host)
         """,
         "q41_asof_join": """
             WITH l AS (SELECT event_id, user_id, ts FROM events),
@@ -2166,7 +2157,9 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.99), 4) AS p99
             FROM documents GROUP BY lang
         """,
-        "q43_blocklist_antijoin": """
+        # q53 keeps the plain blocklist anti-join contract (it is the
+        # Bloom-pruned physical twin of q43's kept-host leg)
+        "q53_bloom_antijoin": """
             WITH d AS (
               SELECT event_id,
                      (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
@@ -2184,7 +2177,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h WHERE host NOT IN (__BLOCKLIST__)
             GROUP BY host
         """,
-        "q44_chunking": """
+        "q44_chunk_index": """
             WITH w AS (
               SELECT doc_id,
                      list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
@@ -2194,16 +2187,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                      ws[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)] AS chunk
               FROM w, unnest(range(0, CAST(floor((len(ws) - 1) / 40) AS BIGINT) + 1)) AS r(i)
-              WHERE len(ws) > 0)
-            SELECT doc_id, chunk_idx,
-                   CAST(len(chunk) AS INT) AS n_chunk_tokens,
-                   md5(array_to_string(chunk, ' ')) AS chunk_md5
-            FROM c
-        """,
-        "q45_global_index": """
-            SELECT doc_id, n_chars,
-                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_idx
-            FROM documents
+              WHERE len(ws) > 0),
+            gi AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_idx
+              FROM documents)
+            SELECT c.doc_id, c.chunk_idx,
+                   CAST(len(c.chunk) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(c.chunk, ' ')) AS chunk_md5,
+                   gi.global_idx
+            FROM c JOIN gi USING (doc_id)
         """,
         "q46_decontamination": """
             WITH base AS (
@@ -2231,7 +2224,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END, 4) >= 0.2 AS INT) AS is_contaminated
             FROM base b LEFT JOIN tot USING (doc_id) LEFT JOIN m USING (doc_id)
         """,
-        "q47_unigram_logprob": """
+        "q47_lm_quality": """
             WITH w AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
@@ -2245,12 +2238,22 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                      avg(logp) AS a
-              FROM tok JOIN model USING (word) GROUP BY 1)
-            SELECT d.doc_id,
-                   coalesce(n_tokens, 0) AS n_tokens,
-                   round(coalesce(a, 0.0), 4) AS avg_logprob,
-                   round(exp(-coalesce(a, 0.0)), 4) AS ppl
-            FROM documents d LEFT JOIN scored USING (doc_id)
+              FROM tok JOIN model USING (word) GROUP BY 1),
+            s AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(n_tokens, 0) AS n_tokens,
+                     round(coalesce(a, 0.0), 4) AS avg_logprob,
+                     round(exp(-coalesce(a, 0.0)), 4) AS ppl
+              FROM documents d LEFT JOIN scored USING (doc_id))
+            SELECT doc_id, lang, n_tokens, avg_logprob, ppl, bucket_id,
+                   CASE WHEN bucket_id = 1 THEN 'head'
+                        WHEN bucket_id = 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (SELECT *,
+                         CAST(ntile(3) OVER (PARTITION BY lang
+                                             ORDER BY ppl, doc_id) AS INT)
+                           AS bucket_id
+                  FROM s)
         """,
         "q48_mixing_weights": """
             WITH t AS (
@@ -2308,34 +2311,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, round(priority, 4) AS priority
             FROM p ORDER BY p.priority DESC, doc_id LIMIT 100
         """,
-        "q51_ppl_buckets": """
-            WITH w AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-                                 x -> x <> '') AS ws
-              FROM documents),
-            tok AS (SELECT doc_id, x AS word FROM w, unnest(ws) AS u(x)),
-            counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
-            tv AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts),
-            model AS (SELECT word, ln((cnt + 1) * 1.0 / (n + v)) AS logp
-                      FROM counts, tv),
-            scored AS (
-              SELECT doc_id, avg(logp) AS a
-              FROM tok JOIN model USING (word) GROUP BY 1),
-            s AS (
-              SELECT d.doc_id, d.lang,
-                     round(exp(-coalesce(a, 0.0)), 4) AS ppl
-              FROM documents d LEFT JOIN scored USING (doc_id))
-            SELECT doc_id, lang, ppl, bucket_id,
-                   CASE WHEN bucket_id = 1 THEN 'head'
-                        WHEN bucket_id = 2 THEN 'middle'
-                        ELSE 'tail' END AS bucket
-            FROM (SELECT doc_id, lang, ppl,
-                         CAST(ntile(3) OVER (PARTITION BY lang
-                                             ORDER BY ppl, doc_id) AS INT)
-                           AS bucket_id
-                  FROM s)
-        """,
         "q52_corpus_shuffle": """
             WITH k AS (
               SELECT doc_id,
@@ -2385,7 +2360,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t USING (doc_id) LEFT JOIN reasm USING (doc_id)
             ORDER BY doc_id
         """,
-        "q55_outlink_indegree": """
+        "q55_linkgraph_hosts": """
             WITH d AS (
               SELECT (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
                      CAST(event_id % 7 AS VARCHAR) AS url,
@@ -2409,10 +2384,49 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract(out_url,
                          '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
                        ':[0-9]+$', '')) AS host
-              FROM l)
-            SELECT host, CAST(count(*) AS BIGINT) AS n_links,
-                   CAST(count(DISTINCT _src) AS BIGINT) AS n_src_pages
-            FROM h WHERE host <> '' GROUP BY host ORDER BY host
+              FROM l),
+            indeg AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+                     CAST(count(DISTINCT _src) AS BIGINT) AS n_src_pages
+              FROM h WHERE host <> '' GROUP BY host),
+            la AS (
+              SELECT url,
+                     regexp_extract_all(html,
+                       '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS us,
+                     regexp_extract_all(html,
+                       '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
+              FROM d),
+            p AS (
+              SELECT url, us[CAST(i AS INT)] AS out_url,
+                     ts[CAST(i AS INT)] AS anchor
+              FROM la, unnest(range(1, len(us) + 1)) AS r(i)),
+            ha AS (
+              SELECT lower(regexp_replace(
+                       regexp_extract(out_url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host,
+                     anchor
+              FROM p),
+            per AS (
+              SELECT host, anchor, count(*) AS n
+              FROM ha WHERE host <> '' GROUP BY 1, 2),
+            tot AS (
+              SELECT host, CAST(sum(n) AS BIGINT) AS n_anchors,
+                     CAST(count(*) AS BIGINT) AS n_distinct_anchors
+              FROM per GROUP BY host),
+            topk AS (
+              SELECT host, anchor FROM (
+                SELECT host, anchor,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY n DESC, anchor) AS rk
+                FROM per) WHERE rk <= 64),
+            csv AS (
+              SELECT host, string_agg(anchor, ',' ORDER BY anchor) AS anchors_csv
+              FROM topk GROUP BY host)
+            SELECT i.host, i.n_links, i.n_src_pages,
+                   t.n_anchors, t.n_distinct_anchors, c.anchors_csv
+            FROM indeg i JOIN tot t USING (host) JOIN csv c USING (host)
+            ORDER BY host
         """,
         "q56_postings": """
             WITH w AS (
@@ -2460,43 +2474,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ua ON ua.word = a
             JOIN uni ub ON ub.word = b, tot
             ORDER BY pmi DESC, a, b LIMIT 20
-        """,
-        "q58_anchor_rollup": """
-            WITH d AS (
-              SELECT (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
-                     CAST(event_id % 7 AS VARCHAR) AS url,
-                     '<html><body><nav><a href="' ||
-                     (__BASES__)[CAST((event_id + 3) % 7 + 1 AS INT)] ||
-                     '/nav">home</a></nav><p>story text</p><a href="' ||
-                     (__BASES__)[CAST(event_id % 7 + 1 AS INT)] || '/Articles/' ||
-                     CAST((event_id + 1) % 7 AS VARCHAR) ||
-                     '">read</a><a href="' ||
-                     (__BASES__)[CAST((event_id * 5 + 1) % 7 + 1 AS INT)] ||
-                     '/tag/' || CAST(event_id % 11 AS VARCHAR) ||
-                     '">tag</a></body></html>' AS html
-              FROM events),
-            l AS (
-              SELECT url,
-                     regexp_extract_all(html,
-                       '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS us,
-                     regexp_extract_all(html,
-                       '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
-              FROM d),
-            p AS (
-              SELECT url, us[CAST(i AS INT)] AS out_url,
-                     ts[CAST(i AS INT)] AS anchor
-              FROM l, unnest(range(1, len(us) + 1)) AS r(i)),
-            h AS (
-              SELECT lower(regexp_replace(
-                       regexp_extract(out_url,
-                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
-                       ':[0-9]+$', '')) AS host,
-                     anchor
-              FROM p)
-            SELECT host, CAST(count(*) AS BIGINT) AS n_anchors,
-                   CAST(count(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors,
-                   string_agg(DISTINCT anchor, ',' ORDER BY anchor) AS anchors_csv
-            FROM h WHERE host <> '' GROUP BY host ORDER BY host
         """,
         "q59_page_metadata": """
             WITH d AS (
@@ -2565,6 +2542,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(allow, true) AS allowed
             FROM w WHERE rn = 1 ORDER BY url
         """,
+        # WCC as a DuckDB recursive-CTE transitive closure: every node's
+        # component is the MIN over its closure — tractable because the
+        # q61 pair graph is short chains by construction
+        "q61_neardup_components": """
+            WITH RECURSIVE
+            pairs AS (
+              SELECT doc_id AS a_id, doc_id + 1 AS b_id
+              FROM documents WHERE doc_id % 20 < 7),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION
+              SELECT b_id AS u, a_id AS v FROM pairs),
+            reach(node, comp) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node)
+            SELECT node, CAST(min(comp) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE
 
@@ -2578,14 +2574,11 @@ def oracle_sql() -> dict[str, str]:
         "__EMAIL__": EMAIL_RE,
         "__PHONE__": PHONE_RE,
     }
-    for name in ("q39_pii_scrub", "q40_url_canonicalize", "q43_blocklist_antijoin",
-                 "q55_outlink_indegree", "q58_anchor_rollup",
+    for name in ("q39_pii_scrub", "q43_host_crawl", "q53_bloom_antijoin",
+                 "q55_linkgraph_hosts",
                  "q59_page_metadata", "q60_robots_rules"):
         for k, v in subs.items():
             sql[name] = sql[name].replace(k, v)
-    # q53 is q43's physical-plan twin: identical semantics, identical oracle
-    # (assigned after substitution so the blocklist literal is resolved)
-    sql["q53_bloom_antijoin"] = sql["q43_blocklist_antijoin"]
     return sql
 
 

@@ -60,26 +60,28 @@ def main() -> None:
             ],
         ),
         # pushdown: the filter must reach the parquet scan
-        "q06_max_date_group": dict(
-            require=[r"PushedFilters: \[IsNotNull\(l_returnflag\), EqualTo\(l_returnflag,R\)\]"],
+        # the merged window suite still pushes the R filter to its branch scan
+        "q06_order_windows": dict(
+            # the join adds IsNotNull(l_orderkey) to the pushed list
+            require=[r"PushedFilters: \[IsNotNull\(l_returnflag\), EqualTo\(l_returnflag,R\)"],
         ),
         # memory cascade: both dimension joins broadcast
         "q07_memory_cascade": dict(require=[r"BroadcastHashJoin.*\n(.|\n)*BroadcastHashJoin"]),
         # banded pairing: equi-joins only, no cartesian/nested-loop
         "q13_transfer_pairing": dict(require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"]),
-        # bank-match probe: banded equi-join, no cartesian
-        "q12_bank_match_exists": dict(require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"]),
+        # bank-match probe inside the display-amount merge: banded
+        # equi-join, no cartesian
+        "q17_display_amount": dict(require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                                   forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
         # journal explode: pure generate, single stage, codegen
         "q09_journal_explode": dict(require=[r"Generate", r"codegen id : \d"]),
         # exact dedupe: partial agg on md5 before shuffle
         "q14_dedup_exact": dict(require=[r"partial_min|partial_first|partial_count"]),
-        # BPE tokens: native regexp in codegen, no python udf
-        "q20_bpe_tokens": dict(require=[r"codegen id : \d"], forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        # scalar-function queries: fully native, zero Python in the plan
-        "q29_summary_interest": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        "q30_amount_sanity": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        "q32_clean_contra": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        "q33_to_number": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # text stats + BPE tokens: native regexps in codegen, no python udf
+        "q15_token_stats": dict(require=[r"codegen id : \d"], forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # scalar-function suites: fully native, zero Python in the plan
+        "q11_txn_scalars": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        "q32_scalar_cleaners": dict(forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         # D4 mapping: cascade computed once per DISTINCT normalized input
         # (higher-order-function projection is interpreted, so per-row cost
         # must be paid #distinct times, not #rows times), then an equi-join
@@ -133,34 +135,26 @@ def main() -> None:
         "q39_pii_scrub": dict(
             forbid=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
         ),
-        # URL canonicalize + host rollup: map-side partials, no Python
-        "q40_url_canonicalize": dict(
-            require=[r"partial_count"],
-            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
-        ),
+
         # exact percentiles: map-side sketch partials before the exchange
         "q42_length_percentiles": dict(
             require=[r"partial_percentile"],
             forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
         ),
-        # blocklist filter: broadcast LEFT ANTI — corpus never shuffles
-        # through the join
-        "q43_blocklist_antijoin": dict(
-            require=[r"BroadcastHashJoin", r"LeftAnti"],
-            forbid=[r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython"],
+        # canonicalize + rollup + blocklist merge: map-side partials and a
+        # broadcast LEFT ANTI — the corpus never shuffles through the join
+        "q43_host_crawl": dict(
+            require=[r"partial_count", r"BroadcastHashJoin", r"LeftAnti"],
+            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
         ),
-        # chunking: one Generate, zero exchanges, zero Python
-        "q44_chunking": dict(
-            require=[r"Generate"],
-            forbid=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
-        ),
-        # global index: hash-bucketed window + broadcast offset join — and
+        # chunking + global index merge: one Generate for the chunks, the
+        # index via hash-bucketed window + broadcast offset join — and
         # NEVER the single-partition window the naive form would emit
-        "q45_global_index": dict(
-            require=[r"hashpartitioning\(_bucket", r"BroadcastHashJoin"],
+        "q44_chunk_index": dict(
+            require=[r"Generate", r"hashpartitioning\(_bucket", r"BroadcastHashJoin"],
             forbid=[
                 r"SinglePartition", r"rangepartitioning",
-                r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
+                r"BatchEvalPython", r"ArrowEvalPython",
             ],
         ),
         # decontamination: eval grams broadcast to the corpus side — the
@@ -169,10 +163,11 @@ def main() -> None:
             require=[r"BroadcastHashJoin", r"Generate"],
             forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
         ),
-        # unigram LM: vocab-sized model broadcast back to the token stream;
-        # corpus never shuffled by word beyond the partial-agg count
-        "q47_unigram_logprob": dict(
-            require=[r"BroadcastHashJoin", r"partial_count"],
+        # unigram LM + ppl buckets merge: vocab-sized model broadcast back
+        # to the token stream (corpus never shuffled by word beyond the
+        # partial-agg count); the bucket ntile is the only per-lang window
+        "q47_lm_quality": dict(
+            require=[r"BroadcastHashJoin", r"partial_count", r"Window"],
             forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
         ),
         # mixing weights: corpus collapses to |domains| rows via map-side
@@ -197,12 +192,7 @@ def main() -> None:
                 r"BatchEvalPython", r"ArrowEvalPython",
             ],
         ),
-        # ppl buckets (exact mode): model broadcast back, the only corpus
-        # exchanges are doc_id agg + the per-lang window; no Python
-        "q51_ppl_buckets": dict(
-            require=[r"BroadcastHashJoin", r"Window"],
-            forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
-        ),
+
         # corpus shuffle: same bucket-ranked shape as q45 — no
         # single-partition window, no range partitioning
         "q52_corpus_shuffle": dict(
@@ -235,12 +225,13 @@ def main() -> None:
             forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
                     r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas"],
         ),
-        # outlink extraction + host in-degree: pure codegen until the host
-        # aggregate — regexp_extract_all + explode, zero Python, no joins
-        "q55_outlink_indegree": dict(
-            require=[r"Generate", r"partial_count"],
+        # linkgraph host merge: regexp extraction in codegen, host-keyed
+        # aggregates with partials, and the anchor top-k prunes pre-shuffle
+        # (WindowGroupLimit, the round-4 cap); zero Python
+        "q55_linkgraph_hosts": dict(
+            require=[r"Generate", r"partial_count", r"WindowGroupLimit"],
             forbid=[r"BatchEvalPython", r"ArrowEvalPython", r"MapInPandas",
-                    r"Join", r"CartesianProduct"],
+                    r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         # postings: per-term top-k must prune pre-shuffle (WindowGroupLimit),
         # the (term, doc) aggregate must have map-side partials
@@ -256,13 +247,7 @@ def main() -> None:
             forbid=[r"CartesianProduct", r"BatchEvalPython",
                     r"ArrowEvalPython", r"MapInPandas"],
         ),
-        # anchor rollup: aligned regexp pair extraction in codegen, one
-        # host-keyed aggregate, zero joins and zero Python
-        "q58_anchor_rollup": dict(
-            require=[r"Generate", r"partial_count"],
-            forbid=[r"Join", r"CartesianProduct", r"BatchEvalPython",
-                    r"ArrowEvalPython", r"MapInPandas"],
-        ),
+
         # page metadata: pure native-regexp projection, zero Python, no joins
         "q59_page_metadata": dict(
             forbid=[r"Join", r"CartesianProduct", r"BatchEvalPython",
