@@ -109,7 +109,13 @@ def run_level(cpus: int, n_docs: int) -> dict:
     )
     for line in out.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
-            return json.loads(line[len("CHILD_RESULT "):])
+            res = json.loads(line[len("CHILD_RESULT "):])
+            # stream each child's result immediately: a killed parent then
+            # loses at most the in-flight child, not the whole session
+            print("CHILD_DONE " + json.dumps(res), flush=True)
+            with open(os.path.join(REPO, "BENCH_scaling_partial.jsonl"), "a") as fh:
+                fh.write(json.dumps(res) + "\n")
+            return res
     raise RuntimeError(f"child local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -123,26 +129,47 @@ def main() -> None:
     n, four_n = 4, 16
 
     # the sandbox host's effective CPU speed drifts over time (shared VM);
-    # interleaving the levels and keeping each level's best run removes the
-    # drift bias a single A-then-B ordering would bake into the ratio
-    def best(a: dict, b: dict) -> dict:
-        return a if a["extract_docs_per_sec"] >= b["extract_docs_per_sec"] else b
+    # run the levels in interleaved PASSES (N, 4N, N, 4N) and compute the
+    # efficiency per pass — mixing children across passes (e.g. keeping
+    # each level's best extract number) can pair a fast-window 4N child
+    # with a slow-window N child and report a ratio no single consistent
+    # host window ever produced (round-4 lesson: that selection yielded
+    # extract efficiency 1.05 in a drifted pass, a physical impossibility).
+    # The headline is the pass with the LOWER extract efficiency —
+    # conservative: drift inflates ratios, so the minimum is the defensible
+    # number; both passes' raw arrays are recorded either way.
+    def pass_eff(lo: dict, hi: dict) -> dict:
+        return {
+            "low": lo,
+            "high": hi,
+            "scaling_efficiency_extract": round(
+                hi["extract_docs_per_sec"] / lo["extract_docs_per_sec"] / 4, 3
+            ),
+            "scaling_efficiency_full_pipeline": round(
+                hi["full_docs_per_sec"] / lo["full_docs_per_sec"] / 4, 3
+            ),
+        }
 
-    lo = run_level(n, n_docs)
-    hi = run_level(four_n, n_docs)
+    passes = [pass_eff(run_level(n, n_docs), run_level(four_n, n_docs))]
     # BENCH_SINGLE_PASS=1 skips the second interleaved pass (one child per
     # level, still median-of-3 within the child) — for time-boxed runs
     if not os.environ.get("BENCH_SINGLE_PASS"):
-        lo = best(lo, run_level(n, n_docs))
-        hi = best(hi, run_level(four_n, n_docs))
-    eff_extract = round(hi["extract_docs_per_sec"] / lo["extract_docs_per_sec"] / 4, 3)
-    eff_full = round(hi["full_docs_per_sec"] / lo["full_docs_per_sec"] / 4, 3)
+        passes.append(pass_eff(run_level(n, n_docs), run_level(four_n, n_docs)))
+    headline = min(passes, key=lambda p: p["scaling_efficiency_extract"])
+    lo, hi = headline["low"], headline["high"]
+    eff_extract = headline["scaling_efficiency_extract"]
+    eff_full = headline["scaling_efficiency_full_pipeline"]
     result = {
         "n_docs": n_docs,
         "low": lo,
         "high": hi,
         "scaling_efficiency_extract": eff_extract,
         "scaling_efficiency_full_pipeline": eff_full,
+        "all_passes": [
+            {k: p[k] for k in
+             ("scaling_efficiency_extract", "scaling_efficiency_full_pipeline")}
+            for p in passes
+        ],
         "criterion": ">= 0.8",
         "pass": eff_extract >= 0.8,
     }

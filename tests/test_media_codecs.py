@@ -1,0 +1,138 @@
+"""From-scratch PNG/WAV codecs + the multimodal operators' REAL decode
+branch (round 4: previously env-gated behind absent PIL/ffmpeg, now
+executed for image/audio via stdlib codecs; video stays gated)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark import media_codecs
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (5, 7, 1), (4, 6, 2), (8, 3, 3), (2, 2, 4)])
+def test_png_round_trip(shape):
+    arr = _rng(1).integers(0, 256, size=shape, dtype=np.uint8)
+    out = media_codecs.decode_png(media_codecs.encode_png(arr))
+    want = arr if arr.ndim == 3 else arr[:, :, None]
+    assert np.array_equal(out, want)
+
+
+def test_png_rejects_non_png():
+    with pytest.raises(ValueError, match="signature"):
+        media_codecs.decode_png(b"JFIF not a png")
+
+
+def test_png_decodes_all_filter_types():
+    """Hand-build an IDAT using every filter type; verify against a scalar
+    reference reconstruction of the spec's recurrences."""
+    h, w, ch = 5, 4, 3
+    arr = _rng(2).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+
+    # reference filtering (spec 'filter' direction), one type per row
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raws = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        up = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = up[x]
+            c = up[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        raws.append(bytes([ftype]) + bytes(line.astype(np.uint8)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + media_codecs._chunk(b"IHDR", ihdr)
+        + media_codecs._chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + media_codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(media_codecs.decode_png(data), arr)
+
+
+def test_png_rejects_unsupported_features():
+    arr = _rng(3).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    good = media_codecs.encode_png(arr)
+    # flip the interlace byte inside IHDR (offset: sig 8 + len 4 + tag 4 + 12)
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 12] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        media_codecs.decode_png(bytes(bad))
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_round_trip(channels):
+    samples = _rng(4).integers(-(1 << 15), 1 << 15, size=(300, channels)).astype(np.int16)
+    data = media_codecs.encode_wav(samples, sample_rate=22050)
+    out, rate = media_codecs.decode_wav(data)
+    assert rate == 22050
+    assert np.array_equal(out, samples)
+
+
+def test_wav_rejects_non_wav():
+    with pytest.raises(ValueError, match="RIFF"):
+        media_codecs.decode_wav(b"\x89PNG not audio")
+
+
+# --- Spark: the multimodal operators' real branch -------------------------
+
+
+def test_extract_features_real_branch(spark):
+    from pdf_parser_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, n_rows=24, real_payloads=True)
+    rows = {r["media_id"]: r for r in multimodal.extract_features(media, fake=False).collect()}
+    kinds = {i: ("image", "audio", "video")[i % 3] for i in range(24)}
+    for i, r in rows.items():
+        if kinds[i] == "video":  # genuinely gated: no stdlib demuxer
+            assert not r["decoded"] and r["feature"] is None
+        else:
+            assert r["decoded"], f"{kinds[i]} {i} failed real decode"
+            assert len(r["feature"]) == multimodal.FEATURE_DIM
+    # features are real functions of the pixel/sample content: distinct
+    # payloads must not collapse to one vector
+    img_feats = {tuple(r["feature"]) for i, r in rows.items() if kinds[i] == "image"}
+    assert len(img_feats) > 1
+
+
+def test_resize_images_real_produces_decodable_png(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, n_rows=12, real_payloads=True)
+    out = multimodal.resize_images(media, width=16, height=10, fake=False)
+    imgs = out.filter(F.col("kind") == "image").select("media_id", "payload").collect()
+    assert imgs
+    for r in imgs:
+        arr = media_codecs.decode_png(bytes(r["payload"]))
+        assert arr.shape[:2] == (10, 16)
+    # non-image rows pass through byte-identical
+    audio_in = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter(F.col("kind") == "audio").collect()}
+    audio_out = {r["media_id"]: bytes(r["payload"])
+                 for r in out.filter(F.col("kind") == "audio").collect()}
+    assert audio_in == audio_out
