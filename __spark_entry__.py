@@ -883,11 +883,11 @@ def q47_lm_quality(spark, sf_dir):
     from pdf_parser_spark.operators import lm_quality
 
     d = _t(spark, sf_dir, "documents")
-    scores = lm_quality.unigram_scores(d).select(
-        "doc_id", "n_tokens", "avg_logprob"
+    out = lm_quality.ppl_buckets(
+        d, n_buckets=3, by=("lang",),
+        keep_score_cols=("n_tokens", "avg_logprob"),
     )
-    buckets = lm_quality.ppl_buckets(d, n_buckets=3, by=("lang",))
-    return buckets.join(scores, "doc_id").select(
+    return out.select(
         "doc_id", "lang", "n_tokens", "avg_logprob", "ppl", "bucket_id",
         "bucket"
     )

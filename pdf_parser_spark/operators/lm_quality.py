@@ -99,7 +99,8 @@ def unigram_scores(docs: DataFrame, model: DataFrame | None = None,
 
 def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
                 by: tuple[str, ...] = ("lang",), text_col: str = "text",
-                id_col: str = "doc_id", approximate: bool = False) -> DataFrame:
+                id_col: str = "doc_id", approximate: bool = False,
+                keep_score_cols: tuple[str, ...] = ()) -> DataFrame:
     """CCNet-style perplexity bucketing: split each language's documents
     into equal head / middle / tail thirds by LM perplexity (Wenzek et al.
     2020 keep the head/middle for training — public methodology).
@@ -120,9 +121,15 @@ def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
       shuffled by group. Boundary rows may land one bucket off the exact
       split — the documented sketch trade.
     """
+    # keep_score_cols: extra unigram_scores columns (e.g. n_tokens,
+    # avg_logprob) carried through the bucketing — callers that need both
+    # scores and buckets get them from ONE model fit instead of running
+    # the token-aggregate twice (q47_lm_quality's shape)
     scores = unigram_scores(docs, text_col=text_col, id_col=id_col)
     keys = docs.select(F.col(id_col).alias("doc_id"), *by)
-    joined = keys.join(scores.select("doc_id", "ppl"), "doc_id")
+    joined = keys.join(
+        scores.select("doc_id", "ppl", *keep_score_cols), "doc_id"
+    )
     if approximate:
         probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
         cuts = joined.groupBy(*by).agg(
@@ -148,4 +155,7 @@ def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
         )
     else:
         name = F.concat(F.lit("b"), F.col("bucket_id").cast("string"))
-    return out.select("doc_id", *by, "ppl", "bucket_id", name.alias("bucket"))
+    return out.select(
+        "doc_id", *by, *keep_score_cols, "ppl", "bucket_id",
+        name.alias("bucket"),
+    )
