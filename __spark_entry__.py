@@ -1456,6 +1456,24 @@ def r19_snapshot_log(spark, sf_dir):
     ).orderBy("version")
 
 
+def r21_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus
+    (operators/bpe_train.learn_bpe): ONE corpus aggregate to the word-
+    frequency table, then every merge round is a |vocab|-table pair count
+    + a 1-row TakeOrdered + a native fold — the corpus is read once.
+    Iterative driver loop ⇒ rows-only; parity with a pure-Python
+    reference BPE is asserted in tests/test_bpe_train.py. Returns the
+    learned merge table in order."""
+    from pdf_parser_spark.operators import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train.learn_bpe(d, n_merges=12, min_count=5)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, a string, b string, merged string",
+    )
+
+
 def r20_span_invariants(spark, sf_dir):
     """Span-audit of the extraction output: the Python engines PRODUCE
     (text, spans); a fully NATIVE expression audits them — per doc, every
@@ -1573,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r18_warc_roundtrip": r18_warc_roundtrip,
         "r19_snapshot_log": r19_snapshot_log,
         "r20_span_invariants": r20_span_invariants,
+        "r21_bpe_train": r21_bpe_train,
     }
 
 

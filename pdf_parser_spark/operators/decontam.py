@@ -59,13 +59,28 @@ def with_kgrams(docs: DataFrame, k: int, text_col: str = "text",
 
 def contamination(docs: DataFrame, eval_docs: DataFrame, k: int = 5,
                   threshold: float = 0.2, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  bloom_bits: int | None = None) -> DataFrame:
     """Per-document contamination vs the eval set's k-gram inventory.
 
     Returns (doc_id, n_grams, n_matched, contamination_frac,
     is_contaminated). ``n_grams`` counts the doc's distinct k-grams;
     ``n_matched`` those also present in ANY eval document;
     ``is_contaminated`` applies the fraction threshold.
+
+    Two physical shapes for the gram membership test:
+    - bloom_bits=None (default): the eval gram inventory broadcasts as a
+      hash table — right whenever the eval set is benchmark-sized (the
+      common case: a few million grams).
+    - bloom_bits=N: the HUGE-eval-set path (an eval inventory of 10^9
+      grams overflows a broadcast hash table): a Bloom bitmap over the
+      eval grams is built with the tree-reduced distributed OR
+      (operators/bloom, ~10 bits/gram for 1% FPR), corpus grams that are
+      definitely-not-in drop BEFORE any join, and only possible hits
+      (true matches + FPR stragglers) go through the exact — now
+      shuffle-shaped — gram join. Result-identical (the filter is
+      conservative and the exact join decides); pytest asserts parity
+      with a deliberately tiny, collision-heavy bitmap.
     """
     corpus = with_kgrams(docs, k, text_col, id_col)
     eval_grams = (
@@ -74,11 +89,24 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, k: int = 5,
         .distinct()
     )
     exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
-    matched = (
-        exploded.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
-    )
+    if bloom_bits is not None:
+        from pdf_parser_spark.operators import bloom
+
+        bitmap = bloom.build_bloom(eval_grams, "gram", n_bits=bloom_bits)
+        exploded = bloom.with_bloom_probe(exploded, "gram", bitmap).filter(
+            F.col("_bloom_maybe")
+        ).drop("_bloom_maybe")
+        matched = (
+            exploded.join(eval_grams, "gram")  # exact; no broadcast hint
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matched"))
+        )
+    else:
+        matched = (
+            exploded.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matched"))
+        )
     totals = corpus.select("doc_id", F.size("_grams").cast("long").alias("n_grams"))
     out = totals.join(matched, "doc_id", "left").select(
         "doc_id",
