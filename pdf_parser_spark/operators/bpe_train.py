@@ -133,3 +133,48 @@ def segment_words(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     for a, b in merges:
         vocab = _apply_merge(vocab, a, b)
     return vocab.select("word", "count", F.col("syms").alias("pieces"))
+
+
+def tokenize_corpus(docs: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pieces, n_pieces): every document tokenized with the
+    learned merge table — the train→tokenize loop closed.
+
+    Scale shape: segmentation is computed ONCE PER DISTINCT WORD (the
+    word-frequency table again, not the corpus) and joined back — the
+    corpus-side cost is one explode + one join + one doc-keyed reassembly,
+    and AQE broadcasts the piece map when the vocabulary is small. Word
+    order is preserved via posexplode + a position-sorted rebuild.
+    """
+    pieces = segment_words(word_counts(docs, text_col), merges).select(
+        "word", "pieces"
+    )
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(words).alias("pos", "word"),
+    )
+    joined = exploded.join(pieces, "word", "left")
+    rebuilt = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces")
+        )
+        .withColumn(
+            "pieces",
+            F.coalesce(F.col("pieces"), F.expr("CAST(array() AS array<string>)")),
+        )
+        .withColumn("n_pieces", F.size("pieces"))
+    )
+    return rebuilt

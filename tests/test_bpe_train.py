@@ -114,3 +114,27 @@ def test_overlapping_pair_merges_left_to_right(spark):
     wc = bpe_train.word_counts(docs)
     seg = bpe_train.segment_words(wc, [("a", "a")]).collect()[0]
     assert tuple(seg["pieces"]) == ("aa", "a", bpe_train.END)
+
+
+def test_tokenize_corpus_reconstructs_and_orders(spark, docs):
+    merges = bpe_train.learn_bpe(docs, n_merges=12)
+    out = {r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+           for r in bpe_train.tokenize_corpus(docs, merges).collect()}
+    assert set(out) == set(range(len(CORPUS)))
+    for i, text in enumerate(CORPUS):
+        pieces, n = out[i]
+        assert n == len(pieces)
+        # lossless: joining the pieces reproduces the words in order
+        rebuilt = "".join(pieces).replace(bpe_train.END, " ").strip()
+        assert rebuilt == " ".join(text.lower().split())
+
+
+def test_tokenize_corpus_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    merges = bpe_train.learn_bpe(docs, n_merges=4)
+    out = {r["doc_id"]: list(r["pieces"])
+           for r in bpe_train.tokenize_corpus(docs, merges).collect()}
+    assert out[1] == [] and out[2] == []
+    assert "".join(out[0]).count(bpe_train.END) == 2
