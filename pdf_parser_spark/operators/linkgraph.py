@@ -346,18 +346,20 @@ def connected_components(edges: DataFrame, src: str = "src",
     """
     import warnings
 
+    oriented = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    )
     e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
+        oriented.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    # node set comes from the UNFILTERED input: a node whose only edge is a
+    # self-loop is a singleton component and must still receive a label
     all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        oriented.select(F.col("u").alias("node"))
+        .unionByName(oriented.select(F.col("v").alias("node")))
         .distinct()
         .persist()
     )

@@ -290,3 +290,14 @@ def test_host_anchor_rollup_topk_bounds_row_width(spark):
     assert csv == sorted(csv)                    # alphabetical presentation
     # ties broken toward the smaller string: anchor00000..anchor00006
     assert csv[:7] == [f"anchor{i:05d}" for i in range(7)]
+
+
+def test_connected_components_self_loop_singleton(spark):
+    """A node whose only edge is a self-loop is a singleton component —
+    it must still be labeled (round-4 regression guard)."""
+    edf = spark.createDataFrame(
+        [("a", "b"), ("z", "z")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"]
+           for r in linkgraph.connected_components(edf).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
