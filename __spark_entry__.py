@@ -1313,6 +1313,18 @@ def q61_neardup_components(spark, sf_dir):
     ).select("node", "component")
 
 
+def q62_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality scores — the word-ORDER-aware step up from q47's
+    unigram gate (operators/lm_quality.bigram_scores): self-fit add-one
+    conditional model, mean adjacent-pair log-prob + perplexity per doc.
+    Row-local bigram Generate; the (a, b) model aggregate has map-side
+    partials; scoring is one equi-join on the pair key."""
+    from pdf_parser_spark.operators import lm_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_quality.bigram_scores(d)
+
+
 def q59_page_metadata(spark, sf_dir):
     """Per-url page metadata (title / meta description / canonical link) —
     the CC-index-style derivative — extracted with native regexps over
@@ -1571,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_page_metadata": q59_page_metadata,
         "q60_robots_rules": q60_robots_rules,
         "q61_neardup_components": q61_neardup_components,
+        "q62_bigram_logprob": q62_bigram_logprob,
         "r01_pipeline_flagship": r01_pipeline_flagship,
         "r02_extraction_identity": r02_extraction_identity,
         "r03_minhash_neardup": r03_minhash_neardup,
@@ -2579,6 +2592,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node)
             SELECT node, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node
+        """,
+        "q62_bigram_logprob": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            bi AS (
+              SELECT doc_id, ws[CAST(i AS INT)] AS a, ws[CAST(i + 1 AS INT)] AS b
+              FROM w, unnest(range(1, len(ws))) AS r(i)
+              WHERE len(ws) >= 2),
+            uni AS (
+              SELECT x AS a, count(*) AS c_a
+              FROM w, unnest(ws) AS u(x) GROUP BY 1),
+            v AS (SELECT count(DISTINCT x) AS v FROM w, unnest(ws) AS u(x)),
+            model AS (
+              SELECT bi.a, bi.b,
+                     ln((count(*) + 1) * 1.0 / (any_value(uni.c_a) + any_value(v.v))) AS logp
+              FROM bi JOIN uni USING (a), v
+              GROUP BY bi.a, bi.b),
+            scored AS (
+              SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     avg(m.logp) AS a
+              FROM bi JOIN model m ON bi.a = m.a AND bi.b = m.b
+              GROUP BY bi.doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   round(coalesce(s.a, 0.0), 4) AS avg_logprob2,
+                   round(exp(-coalesce(s.a, 0.0)), 4) AS ppl2
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
     }
     from pdf_parser_spark.operators.pii import EMAIL_RE, PHONE_RE

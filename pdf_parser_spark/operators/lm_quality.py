@@ -97,6 +97,70 @@ def unigram_scores(docs: DataFrame, model: DataFrame | None = None,
     )
 
 
+def bigram_scores(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob2, ppl2) — mean ADJACENT-PAIR
+    conditional log-prob per doc, the next step up from the unigram gate
+    (CCNet's production filter is an n-gram LM; the bigram is the smallest
+    model that scores word ORDER, so shuffled-word spam that fools the
+    unigram gate scores badly here).
+
+    Self-fit add-one model: P(b|a) = (c(a,b) + 1) / (c(a) + V) with V the
+    distinct unigram vocabulary. Docs with < 2 tokens score 0 / ppl 1
+    (the empty product).
+
+    Scale shape: bigrams are row-local (two aligned slices zipped — one
+    Generate); the model is one (a, b) hash aggregate with map-side
+    partials decorated by the |vocab|-sized unigram counts; scoring joins
+    the doc bigram stream to the model on (a, b) — an equi-join AQE
+    broadcasts when the model is small and shuffles by the pair key when
+    it is not (never a cross product, never Python).
+    """
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    n = F.size("_w")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_w"), 1, n - 1).alias("a"),
+        F.expr("slice(_w, 2, size(_w) - 1)").alias("b"),
+    )
+    bi = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    tok = _tokens(docs, text_col, id_col)
+    uni = tok.groupBy(F.col("word").alias("a")).agg(F.count("*").alias("c_a"))
+    # V as a one-row broadcast, not a driver-side count() — keeps the whole
+    # operator lazy/plan-pure
+    vdf = tok.agg(F.countDistinct("word").alias("_v"))
+    model = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .join(uni, "a")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "a", "b",
+            F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("_v"))).alias("logp"),
+        )
+    )
+    scored = (
+        bi.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.avg("logp").alias("_avg"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    avg = F.coalesce(F.col("_avg"), F.lit(0.0))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(avg, 4).alias("avg_logprob2"),
+        F.round(F.exp(-avg), 4).alias("ppl2"),
+    )
+
+
 def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
                 by: tuple[str, ...] = ("lang",), text_col: str = "text",
                 id_col: str = "doc_id", approximate: bool = False,

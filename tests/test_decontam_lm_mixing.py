@@ -210,3 +210,51 @@ def test_contamination_bloom_path_parity(spark, contam_docs, eval_docs):
         )
     )
     assert bloomed == plain
+
+
+def test_bigram_scores_hand_computed(spark):
+    """Three-doc corpus small enough to fold by hand: P(b|a) =
+    (c(a,b)+1)/(c(a)+V), doc score = mean ln P over adjacent pairs."""
+    import math
+    from collections import Counter
+
+    texts = {0: "a b a b c", 1: "a b", 2: "x"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    words = {i: t.split() for i, t in texts.items()}
+    uni = Counter(w for ws in words.values() for w in ws)
+    bi = Counter(
+        (ws[j], ws[j + 1]) for ws in words.values() for j in range(len(ws) - 1)
+    )
+    v = len(uni)
+
+    def want(ws):
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            return (0, 0.0, 1.0)
+        a = sum(
+            math.log((bi[p] + 1) / (uni[p[0]] + v)) for p in pairs
+        ) / len(pairs)
+        return (len(pairs), round(a, 4), round(math.exp(-a), 4))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob2"], r["ppl2"])
+        for r in lm_quality.bigram_scores(docs).collect()
+    }
+    assert got == {i: want(ws) for i, ws in words.items()}
+
+
+def test_bigram_scores_rank_orders_shuffled_spam_below_natural(spark):
+    """A doc whose words are an unnatural ordering of the corpus vocab must
+    score worse than the natural ordering the rest of the corpus repeats —
+    the word-order signal the unigram gate cannot see."""
+    natural = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, natural) for i in range(8)] + [(8, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl2"] for r in lm_quality.bigram_scores(docs).collect()}
+    assert got[8] > got[0]
+    # unigram scores are IDENTICAL for the shuffle (same bag of words)
+    u = {r["doc_id"]: r["ppl"] for r in lm_quality.unigram_scores(docs).collect()}
+    assert u[8] == u[0]
