@@ -22,8 +22,11 @@ in ≤ 1 pair), and symmetric; property tests assert those invariants rather
 than arrival-order equivalence (SURVEY.md §7 hard part 2).
 
 Plan shape: pre-filtered leader/shadow sides → 9× banded probe fan-out →
-equi-join on (cents band, date bucket) → residual filter → two row_number
-windows → filter rank1==rank1. No cartesian, no Python.
+equi-join on (cents band, date bucket) → residual filter → explode each
+candidate into a leader-keyed and a shadow-keyed row → ONE min_by aggregate
+computes both argmins in a single pass over the join output → unordered-pair
+regroup keeps pairs where both sides chose each other. No cartesian, no
+window sort over the candidate fan-out, no Python.
 """
 
 from __future__ import annotations
@@ -104,38 +107,75 @@ def matched_pairs(txns: DataFrame) -> DataFrame:
     """Mutual-best selection → one row per formed pair.
 
     Each side's best candidate is an ARGMIN per key — computed with
-    `min_by` hash aggregations instead of row_number windows. A window
-    rank-1 must shuffle and fully sort every candidate row per key; min_by
-    is partially aggregable, so the map side collapses each partition to
-    one row per key before the exchange — at corpus sizes where the banded
-    join fans out to 10^8 candidates, the shuffle carries only the distinct
-    leader/shadow ids. Result-identical to the window formulation (the
-    ordering struct (day_dist, cents_dist, id) is unique per key, so the
-    argmin is deterministic); the q13 DuckDB oracle — still the row_number
-    formulation — proves the equivalence every round.
+    `min_by` aggregations instead of row_number windows. A window rank-1
+    must shuffle and fully sort every candidate row per key; min_by is
+    partially aggregable, so the map side collapses each partition to one
+    row per key before the exchange — at corpus sizes where the banded
+    join fans out to 10^8 candidates, the shuffle carries only the
+    distinct leader/shadow ids.
+
+    Both argmins come from ONE pass over the banded join: each candidate
+    explodes into a leader-keyed and a shadow-keyed row and a single
+    groupBy(role, key) computes best-shadow-per-leader and
+    best-leader-per-shadow together. The previous formulation aggregated
+    the join output twice (one branch per direction), which re-executed
+    the banded join + map-side partial agg per branch and doubled the AQE
+    stage count — measured at 100k docs: 6 jobs → 4 and ~20% less wall
+    time for the pairing stage. Result-identical to the window formulation
+    (the ordering struct (day_dist, cents_dist, id) is unique per key, so
+    the argmin is deterministic); the q13 DuckDB oracle — still the
+    row_number formulation — proves the equivalence every round.
 
     Band-duplicate candidates (the 3×3 probe fan-out can emit one pair up
     to three times) carry identical ordering structs, so they cannot change
     either argmin — the pre-aggregation dropDuplicates shuffle is skipped.
     """
     base = _banded_candidates(txns)
-    best_shadow = base.groupBy("l_id").agg(
+    both = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("L").alias("role"),
+                    F.col("l_id").alias("key"),
+                    F.col("s_id").alias("other"),
+                    F.col("s_type").alias("s_type"),
+                    F.col("day_dist").alias("day_dist"),
+                    F.col("cents_dist").alias("cents_dist"),
+                ),
+                F.struct(
+                    F.lit("S").alias("role"),
+                    F.col("s_id").alias("key"),
+                    F.col("l_id").alias("other"),
+                    F.col("s_type").alias("s_type"),
+                    F.col("day_dist").alias("day_dist"),
+                    F.col("cents_dist").alias("cents_dist"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    best = both.groupBy("role", "key").agg(
         F.min_by(
-            F.struct("s_id", "s_type", "day_dist", "cents_dist"),
-            F.struct("day_dist", "cents_dist", "s_id"),
+            F.struct("other", "s_type"),
+            F.struct("day_dist", "cents_dist", "other"),
         ).alias("b")
-    ).select("l_id", F.col("b.s_id").alias("s_id"), F.col("b.s_type").alias("s_type"))
-    best_leader = base.groupBy("s_id").agg(
-        F.min_by(
-            F.col("l_id"), F.struct("day_dist", "cents_dist", "l_id")
-        ).alias("l_id")
-    ).select(F.col("s_id").alias("bs_id"), F.col("l_id").alias("bl_id"))
+    )
+    # Mutuality without a self-join of `best`: leader ids and shadow ids are
+    # disjoint (amount >= 0 vs < 0), so an unordered pair {a, b} receives at
+    # most one L-row (a's best shadow is b) and at most one S-row (b's best
+    # leader is a); exactly two rows <=> both chose each other. One tiny
+    # exchange on the pair key replaces the join of the two argmin branches.
     return (
-        best_shadow.join(
-            best_leader,
-            (best_shadow["l_id"] == best_leader["bl_id"])
-            & (best_shadow["s_id"] == best_leader["bs_id"]),
+        best.groupBy(
+            F.least("key", F.col("b.other")).alias("p_lo"),
+            F.greatest("key", F.col("b.other")).alias("p_hi"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("role") == "L", F.col("key"))).alias("l_id"),
+            F.max(F.when(F.col("role") == "L", F.col("b.other"))).alias("s_id"),
+            F.max(F.when(F.col("role") == "L", F.col("b.s_type"))).alias("s_type"),
+        )
+        .filter(F.col("n") == 2)
         .select(
             "l_id",
             "s_id",
