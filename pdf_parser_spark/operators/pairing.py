@@ -199,21 +199,31 @@ def pair_transfers(txns: DataFrame, broadcast_decorations: bool | None = None) -
     Unpaired rows keep NULLs (nullable decoration, FIXTURES.md F3).
     """
     pairs = matched_pairs(txns)
-    leader_side = pairs.select(
-        F.col("l_id").alias("txn_id"),
-        "pairId",
-        F.lit(True).alias("eventLeader"),
-        F.col("s_id").alias("pairedWith"),
-        "pairReason",
-    )
-    shadow_side = pairs.select(
-        F.col("s_id").alias("txn_id"),
-        "pairId",
-        F.lit(False).alias("eventLeader"),
-        F.col("l_id").alias("pairedWith"),
-        F.lit("shadow").alias("pairReason"),
-    )
-    decorations = leader_side.unionByName(shadow_side)
+    # One generator pass instead of a 2-branch union: a union of two
+    # projections of `pairs` makes Catalyst re-execute the whole pairing
+    # subtree once per branch (only the last exchange is AQE-reusable);
+    # exploding each pair into its leader and shadow legs keeps the
+    # decoration build a single linear plan.
+    decorations = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("l_id").alias("txn_id"),
+                    F.col("pairId").alias("pairId"),
+                    F.lit(True).alias("eventLeader"),
+                    F.col("s_id").alias("pairedWith"),
+                    F.col("pairReason").alias("pairReason"),
+                ),
+                F.struct(
+                    F.col("s_id").alias("txn_id"),
+                    F.col("pairId").alias("pairId"),
+                    F.lit(False).alias("eventLeader"),
+                    F.col("l_id").alias("pairedWith"),
+                    F.lit("shadow").alias("pairReason"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
     # Default is NO hint: AQE broadcasts the decorations only when their
     # runtime size is actually small. A forced broadcast is a driver-serial
     # collect+rebroadcast (identical cost at N and 4N executors — an Amdahl
