@@ -125,8 +125,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     )
     e.count()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist()
     )
@@ -270,9 +269,14 @@ def host_anchor_rollup(anchors: DataFrame, src_col: str = "url",
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al. 2014): every node u connects its
     strictly-LARGER neighbors to m(u) = min(Γ(u) ∪ {u})."""
-    nb = e.select("u", "v").unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    nb = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
     mins = nb.groupBy("u").agg(F.min("v").alias("_mn"))
     mins = mins.select("u", F.least(F.col("_mn"), F.col("u")).alias("_m"))
     out = (
@@ -356,10 +360,12 @@ def connected_components(edges: DataFrame, src: str = "src",
         .localCheckpoint()
     )
     # node set comes from the UNFILTERED input: a node whose only edge is a
-    # self-loop is a singleton component and must still receive a label
+    # self-loop is a singleton component and must still receive a label.
+    # One explode pass, not a union of two projections — the union shape
+    # re-executed the caller's edge derivation (often a banded candidate
+    # join) once per branch.
     all_nodes = (
-        oriented.select(F.col("u").alias("node"))
-        .unionByName(oriented.select(F.col("v").alias("node")))
+        oriented.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
         .persist()
     )

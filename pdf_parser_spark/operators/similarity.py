@@ -150,15 +150,37 @@ def cosine_near_duplicates_lsh(embeddings: DataFrame, threshold: float = 0.95,
     is exact-verified, so precision is 1.0 regardless. Candidate generation
     is an equi-join on (table, bucket): O(n·R) shuffled rows, never the
     O(n²) cross product.
+
+    All R tables' buckets come from ONE pass over the embeddings: the R
+    plane sets concatenate into a single (R·n_planes, dim) matrix, so each
+    Arrow batch pays one transfer and one matmul and emits (id, table,
+    bucket) rows for every table. The previous per-table union ran the
+    bucket UDF R times per join side (R separate Arrow transfers of the
+    full vector column); bucket values are identical — each table still
+    uses its own seeded planes.
     """
-    tables = [
-        lsh_bucket_table(embeddings, dim, n_planes, seed + 1009 * t, id_col, vec_col)
-        .withColumn("table", F.lit(t))
-        for t in range(n_tables)
-    ]
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    plane_sets = np.concatenate(
+        [_planes(dim, n_planes, seed + 1009 * t) for t in range(n_tables)]
+    )  # (R * n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+
+    def bucket_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ plane_sets.T) > 0  # (n, R * planes)
+            bucket_mat = signs.reshape(len(mat), n_tables, n_planes).dot(weights)
+            ids = pdf[id_col].values
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype="int32"), len(ids)),
+                    "bucket": bucket_mat.astype("int64").ravel(),
+                }
+            )
+
+    buckets = embeddings.select(id_col, vec_col).mapInPandas(
+        bucket_all, schema=f"`{id_col}` long, table int, bucket long"
+    )
     a = buckets.select(F.col("table"), F.col("bucket"), F.col(id_col).alias("a_id"))
     b = buckets.select(F.col("table"), F.col("bucket"), F.col(id_col).alias("b_id"))
     cand = (

@@ -265,3 +265,38 @@ def test_flagship_summary(txns):
     s = pipeline.flagship_summary(txns).collect()
     assert len(s) > 0
     assert sum(r["n_txns"] for r in s) == txns.count()
+
+
+def test_pairing_plan_single_join_subtree(spark):
+    """Regression guard for the one-pass argmin formulation: the physical
+    plan of matched_pairs must contain exactly ONE banded join (the
+    candidate self-join) — the old two-branch argmin re-executed it once
+    per direction — and no row_number window over the candidate fan-out.
+
+    Input is a fresh createDataFrame (not the cached pipeline output) so
+    the formatted plan contains only pairing's own operators, not the
+    cached upstream chain's."""
+    import io
+    from contextlib import redirect_stdout
+
+    txns = spark.createDataFrame(
+        [
+            ("t1", 50.0, "20240101", "bank"),
+            ("t2", -50.0, "20240102", "card"),
+            ("t3", 20.0, "20240105", "bank"),
+            ("t4", -20.0, "20240104", "loan"),
+        ],
+        "txn_id string, amount double, dateKey string, sourceType string",
+    )
+    df = pairing_op.matched_pairs(txns)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue().split("\n\n")[0]
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "Reused" not in ln
+    ]
+    assert len(joins) == 1, f"expected 1 join in matched_pairs plan, got:\n{plan}"
+    assert "Window" not in plan
