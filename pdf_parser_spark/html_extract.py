@@ -217,8 +217,228 @@ class _Extractor(HTMLParser):
         self._flush()
 
 
+# --- fast tokenizer ---------------------------------------------------------
+#
+# stdlib html.parser spends most of its time in goahead/parse_starttag
+# machinery the extractor never consumes (line/offset tracking via
+# updatepos on every chunk, starttag-text capture, feed-boundary charref
+# buffering, per-construct method dispatch). _fast_feed is a single-shot
+# reimplementation of HTMLParser.goahead(end=1) for the callbacks the
+# extractor actually uses (handle_starttag/handle_endtag/handle_data with
+# convert_charrefs=True; comments/decls/PIs discarded). The tokenizer
+# regexes below are byte-for-byte the tolerant patterns of CPython 3.11
+# html/parser.py:36-59 and _markupbase.py:10-18, and the control flow
+# mirrors goahead/parse_starttag/check_for_whole_start_tag/parse_endtag/
+# parse_html_declaration case by case, so the emitted callback stream is
+# identical — pinned by a differential pytest (stdlib vs fast) over the
+# fixture corpus plus an adversarial battery. Any fast-path exception
+# falls back to the stdlib parser at runtime (parse_blocks below).
+
+_TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_RE = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_LOCATESTARTTAGEND_RE = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_ENDTAGFIND_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENTCLOSE_RE = re.compile(r"--\s*>")
+_DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKEDSECTIONCLOSE_RE = re.compile(r"]\s*]\s*>")
+_MSMARKEDSECTIONCLOSE_RE = re.compile(r"]\s*>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _fast_feed(p: _Extractor, rawdata: str) -> None:
+    """Single-pass tokenizer emitting the stdlib parser's callback stream."""
+    i, n = 0, len(rawdata)
+    handle_data = p.handle_data
+    cdata_elem: str | None = None
+
+    def _parse_starttag(i: int) -> int:
+        # parse_starttag + check_for_whole_start_tag (html/parser.py:300-377)
+        m = _LOCATESTARTTAGEND_RE.match(rawdata, i)
+        j = m.end()
+        nxt = rawdata[j : j + 1]
+        if nxt == ">":
+            endpos = j + 1
+        elif nxt == "/":
+            if rawdata.startswith("/>", j):
+                endpos = j + 2
+            else:
+                return -1
+        elif nxt == "":
+            return -1
+        elif nxt in _ASCII_LETTERS or nxt in "=/":
+            return -1
+        else:
+            endpos = j if j > i else i + 1
+        tm = _TAGFIND_RE.match(rawdata, i + 1)
+        tag = tm.group(1).lower()
+        k = tm.end()
+        attrs: list[tuple[str, str | None]] = []
+        while k < endpos:
+            am = _ATTRFIND_RE.match(rawdata, k)
+            if not am:
+                break
+            attrname, rest, attrvalue = am.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+            k = am.end()
+        end = rawdata[k:endpos].strip()
+        if end not in (">", "/>"):
+            handle_data(rawdata[i:endpos])
+            return endpos
+        if end.endswith("/>"):
+            p.handle_starttag(tag, attrs)
+            p.handle_endtag(tag)
+        else:
+            p.handle_starttag(tag, attrs)
+            if tag in ("script", "style"):
+                nonlocal cdata_elem
+                cdata_elem = tag
+        return endpos
+
+    def _parse_endtag(i: int) -> int:
+        # parse_endtag (html/parser.py:381-415); cdata handled by caller
+        gt = rawdata.find(">", i + 1)
+        if gt < 0:
+            return -1
+        gtpos = gt + 1
+        m = _ENDTAGFIND_RE.match(rawdata, i)
+        if not m:
+            nm = _TAGFIND_RE.match(rawdata, i + 2)
+            if not nm:
+                if rawdata[i : i + 3] == "</>":
+                    return i + 3
+                pos = rawdata.find(">", i + 2)  # bogus comment, not reported
+                return -1 if pos == -1 else pos + 1
+            tagname = nm.group(1).lower()
+            gtpos = rawdata.find(">", nm.end()) + 1
+            p.handle_endtag(tagname)
+            return gtpos
+        p.handle_endtag(m.group(1).lower())
+        return gtpos
+
+    def _parse_html_declaration(i: int) -> int:
+        # parse_html_declaration + parse_marked_section/_scan_name
+        # (html/parser.py:252-269, _markupbase.py:160-184)
+        if rawdata[i : i + 3] == "<![":
+            if i + 3 == n:
+                return -1  # _scan_name at end of buffer
+            nm = _DECLNAME_RE.match(rawdata, i + 3)
+            if not nm:
+                raise ValueError("malformed marked section")  # stdlib error()s
+            if nm.end() == n:
+                return -1
+            name = nm.group().strip().lower()
+            if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                m = _MARKEDSECTIONCLOSE_RE.search(rawdata, i + 3)
+            elif name in ("if", "else", "endif"):
+                m = _MSMARKEDSECTIONCLOSE_RE.search(rawdata, i + 3)
+            else:
+                raise ValueError("unknown status keyword")  # stdlib error()s
+            return -1 if not m else m.end()
+        if rawdata[i : i + 9].lower() == "<!doctype":
+            gt = rawdata.find(">", i + 9)
+            return -1 if gt == -1 else gt + 1
+        pos = rawdata.find(">", i + 2)  # bogus comment, not reported
+        return -1 if pos == -1 else pos + 1
+
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                data = rawdata[i:j]
+                handle_data(unescape(data) if "&" in data else data)
+            i = j
+            if i == n:
+                break
+        else:
+            # CDATA content mode (script/style): only the matching close tag
+            # is markup; trailing unterminated content is dropped, exactly as
+            # goahead does (html/parser.py:152-157 with the cdata interesting)
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if m is None:
+                return
+            if i < m.start():
+                handle_data(rawdata[i : m.start()])
+            p.handle_endtag(cdata_elem)
+            cdata_elem = None
+            i = m.end()
+            continue
+        c2 = rawdata[i + 1 : i + 2]
+        if c2 in _ASCII_LETTERS:
+            k = _parse_starttag(i)
+        elif c2 == "/":
+            k = _parse_endtag(i)
+        elif rawdata.startswith("<!--", i):
+            cm = _COMMENTCLOSE_RE.search(rawdata, i + 4)
+            k = -1 if not cm else cm.end()
+        elif c2 == "?":
+            gt = rawdata.find(">", i + 2)
+            k = -1 if gt == -1 else gt + 1
+        elif c2 == "!":
+            k = _parse_html_declaration(i)
+        elif i + 1 < n:
+            handle_data("<")
+            k = i + 1
+        else:
+            break
+        if k < 0:
+            # incomplete construct at end of input (goahead's end=1 branch,
+            # html/parser.py:185-198): emit through the next > / < as data
+            k = rawdata.find(">", i + 1)
+            if k < 0:
+                k = rawdata.find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            data = rawdata[i:k]
+            handle_data(unescape(data) if "&" in data else data)
+        i = k
+    if i < n and cdata_elem is None:
+        data = rawdata[i:n]
+        handle_data(unescape(data) if "&" in data else data)
+
+
 def parse_blocks(html: str) -> list[Block]:
     """DOM → scored candidate blocks (single streaming pass)."""
+    try:
+        p = _Extractor()
+        _fast_feed(p, html)
+        p._flush()
+        return p.blocks
+    except Exception:
+        pass
     p = _Extractor()
     try:
         p.feed(html)

@@ -143,3 +143,120 @@ def test_charset_sniffed_decode():
     ).encode("ascii")
     text3, _ = extract_main_text(weird)
     assert "plain ascii body" in text3
+
+
+def _stdlib_blocks(html: str):
+    from pdf_parser_spark.html_extract import _Extractor
+
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+def _fast_blocks(html: str):
+    from pdf_parser_spark.html_extract import _Extractor, _fast_feed
+
+    p = _Extractor()
+    _fast_feed(p, html)
+    p._flush()
+    return p.blocks
+
+
+def test_fast_feed_matches_stdlib_parser_battery():
+    """The fast tokenizer's callback stream is pinned to stdlib html.parser:
+    identical Block lists (or identical exception outcomes) on an
+    adversarial battery covering every goahead construct — tolerant start
+    tags, raw-text (CDATA) script/style, comments/decls/PIs/marked
+    sections, incomplete constructs at EOF, charref conversion."""
+    battery = [
+        '<div class="nav">x</div><p>hello &amp; goodbye</p>',
+        "<p>unclosed",
+        "plain text only & < > stray",
+        '<script>var a = "<div>not a tag</div>";</script><p>after</p>',
+        "<style>p > a { color: red }</style><p>content here</p>",
+        "<SCRIPT SRC=x>ignored</SCRIPT><P CLASS=MENU>caps</P>",
+        '<br/><br /><hr><div/>text<div a="1"/>more',
+        "<div class=nav/>odd</div>",
+        "<!-- comment <p>not parsed</p> --><p>real</p>",
+        "<!DOCTYPE html><html><body><p>doc</p></body></html>",
+        "<![CDATA[ <p>raw</p> ]]><p>post</p>",
+        '<?php echo "<p>hi</p>"; ?><p>after pi</p>',
+        '<a href="x">link text</a> outside',
+        '<p title="class=nav">tricky attr</p>',
+        "<div class=\"a\" ' broken>text</div>",
+        "<input type=checkbox checked/><p>after void</p>",
+        "<td>a<td>b<tr>c",
+        "<pre>  spaced   text\nline2  </pre>",
+        "<p>&lt;escaped&gt; &#65; &#x42; &nbsp;x</p>",
+        "<!-- unterminated comment <p>x</p>",
+        '<div class="a',
+        "<p>text<",
+        "<",
+        "</",
+        "</>",
+        "<!",
+        "<![",
+        "<![CDATA[ unterminated",
+        "<![if gte IE 8]><p>ie</p><![endif]>",
+        "<?unterminated pi",
+        "<!doctype unterminated",
+        '<p class="x > y">gt in quoted attr</p>',
+        '<p "x > y">gt in bare quoted junk</p>',
+        "<div =junk>eq start</div>",
+        "<div/ class=nav>slash not end</div>",
+        "<script>a</script junk><p>after</p>",
+        "<script>a</scriptx></script><p>b</p>",
+        '<style>@import "a.css";</style  ><p>c</p>',
+        "<p>&#9731; &#x2603; &#badref; &unknownentity; &amp</p>",
+        "<p>a &am",
+        "<div class=>empty val</div>",
+        "<div class>no val</div>",
+        "<p>x</p><!--->short comment--><p>y</p>",
+        "</ div><p>after sloppy end</p>",
+        "<p>a</p junk><p>b</p>",
+        "<script><!-- </script> --></script><p>tail</p>",
+    ]
+    from pdf_parser_spark import fixtures
+
+    for i in range(100):
+        h = fixtures.page_row(i)["html"]
+        battery.append(h.decode("utf-8", errors="replace"))
+    for h in battery:
+        try:
+            a = _stdlib_blocks(h)
+        except Exception as e:
+            a = ("EXC", type(e).__name__)
+        try:
+            b = _fast_blocks(h)
+        except Exception as e:
+            b = ("EXC", type(e).__name__)
+        assert a == b, f"fast tokenizer diverged on {h[:80]!r}"
+
+
+def test_fast_feed_matches_stdlib_parser_fuzz():
+    """Deterministic tag-soup fuzz: 1500 random atom concatenations parse
+    to identical Block lists under both tokenizers."""
+    import random
+
+    rng = random.Random(20260818)
+    atoms = [
+        "<div>", "</div>", "<p ", 'class="nav"', "id='x'", ">", "text ",
+        "&amp;", "&#65;", "&", "<", '"', "'", "/", "<!--", "-->",
+        "<script>", "</script>", "<style>", "</style>", "<br/>",
+        "<a href=x>", "</a>", "<![CDATA[", "]]>", "<!doctype html>",
+        "<?pi?>", "=", " ", "\n", "tag", "<p>longer content chunk here ",
+        "</ p>", "<!", "<![if]>", "<td>", "\t", "é", "&#x1F600;",
+        "&bogus;", "<DIV CLASS=MENU>", "<input checked/>", "<pre>", "</pre>",
+    ]
+    for _ in range(1500):
+        h = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 40)))
+        try:
+            a = _stdlib_blocks(h)
+        except Exception as e:
+            a = ("EXC", type(e).__name__)
+        try:
+            b = _fast_blocks(h)
+        except Exception as e:
+            b = ("EXC", type(e).__name__)
+        assert a == b, f"fast tokenizer diverged on {h!r}"
