@@ -27,8 +27,14 @@ def assign_source_type(txns: DataFrame, default: str = "bank") -> DataFrame:
     return txns.withColumn("sourceType", F.lit(default))
 
 
-def with_bank_match(txns: DataFrame, broadcast_matches: bool | None = None) -> DataFrame:
-    """C2 — has_bank_match: a *bank* txn within ±5 days and ±$0.01 exists.
+def bank_match_flags(txns: DataFrame) -> DataFrame:
+    """C2 probe output as a standalone keyed table: (txn_id, has_bank_match).
+
+    The banded probe itself, without the decoration join — callers that
+    fuse several txn_id-keyed decorations into one wide join (the
+    single-barrier pipeline, plans/pipeline.py) build each flag table
+    independently from the SAME cached base and pay the wide txn_id
+    exchange once, not once per decoration.
 
     Ref: utils/display_amount.py:41-55 (_has_bank_match). Batch re-spec
     (FIXTURES.md): the probe sees the whole dataset except the row itself
@@ -37,9 +43,9 @@ def with_bank_match(txns: DataFrame, broadcast_matches: bool | None = None) -> D
 
     Plan shape: bank-side build table is aggregated to distinct
     (cents, bucket, txn ids) keys; probe side fans out 9×; the join is a
-    plain equi-join + residual; output is a boolean joined back by txn_id.
-    Only card-outflow rows need the probe (G10 uses it only there), so the
-    probe side is pre-filtered — at scale this is a small fraction of rows.
+    plain equi-join + residual. Only card-outflow rows need the probe (G10
+    uses it only there), so the probe side is pre-filtered — at scale this
+    is a small fraction of rows.
     """
     need = txns.filter((F.col("sourceType") == "card") & (F.col("amount") < 0))
     probe = banding.with_probe_keys(
@@ -55,7 +61,7 @@ def with_bank_match(txns: DataFrame, broadcast_matches: bool | None = None) -> D
         F.col("_bucket").alias("b_bucket"),
     )
 
-    matched = (
+    return (
         probe.join(
             bank,
             (probe["_cents_p"] == bank["b_cents"])
@@ -71,6 +77,15 @@ def with_bank_match(txns: DataFrame, broadcast_matches: bool | None = None) -> D
         .distinct()
         .withColumn("has_bank_match", F.lit(True))
     )
+
+
+def with_bank_match(txns: DataFrame, broadcast_matches: bool | None = None) -> DataFrame:
+    """C2 — has_bank_match: a *bank* txn within ±5 days and ±$0.01 exists.
+
+    `bank_match_flags` builds the keyed flag table; this decorates every
+    row with it (missing rows → False).
+    """
+    matched = bank_match_flags(txns)
     # matched ids are the card-outflow rows with a bank twin. Default is NO
     # hint: AQE sees the true built size at runtime and broadcasts only when
     # the set is genuinely small — a forced broadcast is a driver-serial

