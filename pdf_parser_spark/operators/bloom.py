@@ -162,3 +162,40 @@ def bloom_pruned_join(big: DataFrame, small: DataFrame, on: str,
         clean = probed.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
         return clean.unionByName(joined).select(*order)
     return joined.select(*order)
+
+
+def bloom_pruned_left_join(big: DataFrame, small: DataFrame, on: str,
+                           n_bits: int = 1 << 20, k: int = 7) -> DataFrame:
+    """Exact ``big.join(small, on, 'left')`` when most big rows have no match.
+
+    The sparse-decoration shape: a 10^12-row table left-joins a keyed
+    side-table covering a small fraction of its keys (pairing legs,
+    bank-match flags, any per-row annotation). The plain left join
+    shuffles EVERY wide row by the key to discover that most of them match
+    nothing. Here, definitely-not-in rows take the no-shuffle branch and
+    get NULLs for `small`'s columns as a projection; only possible hits
+    (true members + FPR·|big| stragglers) reach the exact left join —
+    false positives come out NULL-decorated there, so the union is
+    byte-identical to the plain join while the shuffle carries
+    |matches| + FPR·|big| wide rows instead of |big|.
+
+    The trade is one extra scan of `big` (both branches read it) for the
+    removal of its shuffle — scans are columnar and local, shuffles are
+    network+disk, so this wins whenever the match density is low. At high
+    density the hot branch approaches |big| and the plain join is better;
+    callers choose (the pipeline exposes it as an opt-in).
+    """
+    bitmap = build_bloom(small, on, n_bits, k)
+    probed = with_bloom_probe(big, on, bitmap, k)
+    maybe = probed.filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
+    joined = maybe.join(small, on, "left")
+    cold = probed.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+    for f in small.schema.fields:
+        if f.name != on:
+            cold = cold.withColumn(f.name, F.lit(None).cast(f.dataType))
+    order = (
+        [on]
+        + [c for c in big.columns if c != on]
+        + [f.name for f in small.schema.fields if f.name != on]
+    )
+    return joined.select(*order).unionByName(cold.select(*order))

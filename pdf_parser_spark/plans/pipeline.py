@@ -46,6 +46,7 @@ def transactions_pipeline(
     repartition: int | None = None,
     keep_text: bool = False,
     cache: bool = True,
+    sparse_decorations: bool = False,
 ) -> DataFrame:
     """pages → fully-decorated transactions table (FIXTURES.md F3 shape).
 
@@ -100,11 +101,31 @@ def transactions_pipeline(
     # table; after both joins it is a plain per-row projection. It also
     # keeps the wide exchange narrower — account/vendor columns are
     # computed post-shuffle.
-    out = (
-        base.join(flags, "txn_id", "left")
-        .join(decorations, "txn_id", "left")
-        .withColumn("has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False)))
-    )
+    if sparse_decorations:
+        # Low-match-density corpora: Bloom-prune both decoration joins so
+        # rows matching NEITHER side-table never cross an exchange at all
+        # (operators/bloom.bloom_pruned_left_join — byte-identical output,
+        # shuffle carries |matches| + FPR·n wide rows instead of n). The
+        # bloom builds are driver actions, so this path is EAGER: it
+        # materializes the cached base when called. Worth it when pairing /
+        # bank-match density is a few percent or less; at high density the
+        # hot branch approaches the full table and the plain single-
+        # exchange pass below is better.
+        from pdf_parser_spark.operators import bloom as bloom_op
+
+        out = bloom_op.bloom_pruned_left_join(base, flags, "txn_id")
+        out = bloom_op.bloom_pruned_left_join(out, decorations, "txn_id")
+        out = out.withColumn(
+            "has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False))
+        )
+    else:
+        out = (
+            base.join(flags, "txn_id", "left")
+            .join(decorations, "txn_id", "left")
+            .withColumn(
+                "has_bank_match", F.coalesce(F.col("has_bank_match"), F.lit(False))
+            )
+        )
     out = normalize_op.with_display_amount(out)
     out = classify_op.classify(out, user_memory, global_memory)
     # restore the FIXTURES.md F3 column order (pair legs last)

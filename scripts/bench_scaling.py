@@ -234,9 +234,22 @@ which a real 4x resize would not.
 """
     # BENCH.md is hand-curated (decomposition + per-round accounting);
     # record the raw result in BENCH_scaling.json and print the markdown
-    # section for manual folding into BENCH.md
-    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as fh:
-        fh.write(json.dumps(result) + "\n")
+    # section for manual folding into BENCH.md. If the file already has the
+    # structured layout (headline from the corpus-size curve + size_curve
+    # evidence, see scripts/bench_extract_sizes.py), merge this run into its
+    # protocol slot instead of clobbering the structure.
+    path = os.path.join(REPO, "BENCH_scaling.json")
+    payload = result
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (OSError, ValueError):
+        existing = None
+    if isinstance(existing, dict) and "headline" in existing:
+        existing[f"protocol_{n_docs // 1000}k_full_chain"] = result
+        payload = existing
+    with open(path, "w") as fh:
+        fh.write(json.dumps(payload) + "\n")
     print(md)
 
 

@@ -139,3 +139,45 @@ def test_build_bloom_few_partitions_skips_tree_level(spark):
     )
     assert stats["n_input_partitions"] == 1
     assert stats["n_partials_collected"] == 1
+
+
+def _left_parity(spark, n_bits):
+    big = _corpus(spark)
+    small = spark.createDataFrame(
+        [(f"h{i}", f"tag{i}") for i in range(0, 50, 7)] + [("absent", "tagx")],
+        "k string, tag string",
+    )
+    got = (
+        bloom.bloom_pruned_left_join(big, small, on="k", n_bits=n_bits)
+        .orderBy("id")
+        .collect()
+    )
+    want = big.join(small, "k", "left").orderBy("id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_left_join_parity_roomy_bitmap(spark):
+    _left_parity(spark, 1 << 14)
+
+
+def test_left_join_parity_heavy_false_positives(spark):
+    # 64-bit bitmap → nearly all rows are "maybe"; FPs must come out of the
+    # exact join NULL-decorated, keeping parity with the plain left join.
+    _left_parity(spark, 64)
+
+
+def test_left_join_null_keys_null_decorated(spark):
+    big = _corpus(spark)
+    small = spark.createDataFrame([("h0", "t")], "k string, tag string")
+    got = bloom.bloom_pruned_left_join(big, small, on="k")
+    nulls = got.filter(F.col("k").isNull())
+    assert nulls.count() == 3
+    assert nulls.filter(F.col("tag").isNotNull()).count() == 0
+
+
+def test_left_join_empty_small_side(spark):
+    big = _corpus(spark)
+    small = spark.createDataFrame([], "k string, tag string")
+    got = bloom.bloom_pruned_left_join(big, small, on="k")
+    assert got.count() == big.count()
+    assert got.filter(F.col("tag").isNotNull()).count() == 0

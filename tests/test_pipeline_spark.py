@@ -300,3 +300,15 @@ def test_pairing_plan_single_join_subtree(spark):
     ]
     assert len(joins) == 1, f"expected 1 join in matched_pairs plan, got:\n{plan}"
     assert "Window" not in plan
+
+
+def test_sparse_decorations_identical(pages_tiny, txns):
+    """sparse_decorations=True (Bloom-pruned decoration joins) must produce
+    exactly the dense pipeline's output — same columns, same rows."""
+    sparse = pipeline.transactions_pipeline(pages_tiny, sparse_decorations=True)
+    assert sparse.columns == txns.columns
+    key = sorted(txns.columns)
+    a = txns.select(*key)
+    b = sparse.select(*key)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
