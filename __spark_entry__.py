@@ -1574,6 +1574,41 @@ def r23_dsir_resample(spark, sf_dir):
     return kept.select("doc_id", "n_tokens", F.round("log_ratio", 4).alias("log_ratio"))
 
 
+def r24_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-cut sequence packing
+    (operators/chunking.pack_sequences): documents → token chunks →
+    deterministic corpus shuffle (indexing.deterministic_shuffle, no
+    SinglePartition window) → fixed-length packs via the order-aligned
+    bucket prefix sum (exact long arithmetic). Every pack but the last
+    carries exactly seq_len tokens; the mapping is a pure function of
+    (ids, lengths, order) — python-twin parity + tiling + partition
+    invariance in tests/test_chunking_indexing.py. Returns a stable
+    per-pack summary of the first 50 packs."""
+    from pdf_parser_spark.operators import chunking, indexing
+
+    d = _t(spark, sf_dir, "documents").limit(1000)
+    chunks = chunking.chunk_documents(d, chunk_tokens=40, overlap=0)
+    chunks = chunks.withColumn(
+        "chunk_uid",
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).cast("long"),
+    )
+    shuffled = indexing.deterministic_shuffle(chunks, "chunk_uid", seed=17, num_buckets=8)
+    packed = chunking.pack_sequences(
+        shuffled, seq_len=256, order_col="shuffle_idx", id_col="chunk_uid",
+        num_buckets=8,
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_slices"),
+            F.sum("slice_len").alias("n_tokens"),
+            F.min("offset_in_pack").alias("first_offset"),
+        )
+        .orderBy("pack_id")
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1655,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r21_bpe_train": r21_bpe_train,
         "r22_quality_classifier": r22_quality_classifier,
         "r23_dsir_resample": r23_dsir_resample,
+        "r24_sequence_packing": r24_sequence_packing,
     }
 
 

@@ -56,3 +56,66 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    len_col: str = "n_chunk_tokens",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """GPT-style concat-and-cut sequence packing → one row per
+    (chunk, pack) assignment.
+
+    Pretraining loaders consume FIXED-length sequences; the standard
+    packing concatenates the corpus in a canonical order (pass
+    ``order_col`` = e.g. indexing.deterministic_shuffle's shuffle_idx)
+    into one token stream and cuts it every ``seq_len`` tokens — chunks
+    may straddle a cut, so a chunk can land in several packs. For each
+    assignment the output carries:
+
+      pack_id         which sequence (0-based)
+      offset_in_pack  where the slice starts inside the pack
+      slice_start     0-based first token of the slice within the chunk
+      slice_len       tokens contributed to this pack
+
+    Every pack except the last holds exactly seq_len tokens (asserted in
+    the pytest suite), the slices of one pack tile it exactly, and the
+    whole mapping is a pure function of (ids, lengths, order) —
+    partition-layout invariant.
+
+    Scale shape: the only exchange is the order-aligned bucket window
+    inside indexing.with_global_prefix_sum (never a SinglePartition
+    window); the pack fan-out is a native sequence+explode Generate with
+    per-row fan-out 1 + len/seq_len. Zero-length chunks contribute no
+    tokens and are dropped.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pdf_parser_spark.operators.indexing import with_global_prefix_sum
+
+    base = chunks.filter(F.col(len_col) > 0)
+    pos = with_global_prefix_sum(
+        base, len_col, key=order_col, tiebreaker=id_col,
+        num_buckets=num_buckets, out_col="_start", sum_type="long",
+    )
+    L = F.lit(seq_len).cast("long")
+    start = F.col("_start").cast("long")
+    length = F.col(len_col).cast("long")
+    end = start + length
+    p0 = F.floor(start / L).cast("long")
+    p1 = F.floor((end - 1) / L).cast("long")
+    exploded = pos.select(
+        "*", F.explode(F.sequence(p0, p1)).alias("pack_id")
+    )
+    pack_start = F.col("pack_id") * L
+    slice_start = F.greatest(F.lit(0).cast("long"), pack_start - start)
+    slice_end = F.least(length, pack_start + L - start)
+    return (
+        exploded.withColumn("offset_in_pack", F.greatest(F.lit(0).cast("long"), start - pack_start))
+        .withColumn("slice_start", slice_start)
+        .withColumn("slice_len", slice_end - slice_start)
+        .drop("_start")
+    )

@@ -89,6 +89,74 @@ def with_global_index(
     )
 
 
+def with_global_prefix_sum(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    tiebreaker: str,
+    ascending: bool = True,
+    num_buckets: int = 32,
+    out_col: str = "prefix_sum",
+    sum_type: str = "double",
+) -> DataFrame:
+    """Adds ``out_col``: the EXCLUSIVE global prefix sum of ``weight_col``
+    in the total order ``(key asc|desc, tiebreaker asc)`` — the sum of the
+    weights of all strictly-preceding rows (first row gets 0).
+
+    Same order-aligned bucket scheme as with_global_index — the naive
+    ``sum() OVER (ORDER BY …)`` with no partition is a SinglePartition
+    window: per-bucket running-sum window (the one hash exchange),
+    per-bucket weight totals prefix-folded on the driver (≤ num_buckets
+    tiny rows), broadcast-joined back. Row-for-row equal to the global
+    window at any cluster size. ``key`` must be numeric and non-null;
+    ``weight_col`` numeric, summed as ``sum_type`` — pass "long" for
+    integer weights whose running totals must stay EXACT (token
+    positions: a double sum loses integer precision past 2^53, which a
+    10^12-doc corpus's token count can exceed).
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    kcol = F.col(key).cast("double")
+    if ascending:
+        bucket = F.size(F.filter(barr, lambda b: kcol > b))
+        key_order = F.col(key).asc()
+    else:
+        bucket = F.size(F.filter(barr, lambda b: kcol < b))
+        key_order = F.col(key).desc()
+
+    with_b = df.withColumn("_bucket", bucket)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(key_order, F.col(tiebreaker).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wsum = F.col(weight_col).cast(sum_type)
+    local = with_b.withColumn("_incl", F.sum(wsum).over(w))
+
+    totals = sorted(
+        (r["_bucket"], r["t"])
+        for r in with_b.groupBy("_bucket")
+        .agg(F.sum(wsum).alias("t"))
+        .collect()
+    )
+    integral = sum_type in ("long", "int", "bigint")
+    zero = 0 if integral else 0.0
+    offsets, acc = [], zero
+    for b, t in totals:
+        offsets.append((b, acc))
+        acc += (t or zero)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"_bucket int, _woff {'bigint' if integral else 'double'}"
+    )
+
+    return (
+        local.join(F.broadcast(off_df), "_bucket")
+        .withColumn(out_col, F.col("_woff") + F.col("_incl") - wsum)
+        .drop("_bucket", "_incl", "_woff")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

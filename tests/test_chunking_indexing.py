@@ -96,3 +96,109 @@ def test_global_index_null_keys_match_window_null_ordering(spark):
             ).collect()
         }
         assert got == window_want(asc), f"ascending={asc}"
+
+
+def _pack_twin(rows, seq_len):
+    """Pure-Python concat-and-cut twin: rows = [(id, order, length)]."""
+    out = []
+    pos = 0
+    for cid, _order, ln in sorted(rows, key=lambda r: (r[1], r[0])):
+        if ln <= 0:
+            continue
+        start, end = pos, pos + ln
+        p = start // seq_len
+        while p * seq_len < end:
+            s = max(0, p * seq_len - start)
+            e = min(ln, (p + 1) * seq_len - start)
+            out.append((cid, p, max(0, start - p * seq_len), s, e - s))
+            p += 1
+        pos = end
+    return sorted(out)
+
+
+def _pack_rows(spark, rows, seq_len, partitions=5):
+    df = spark.createDataFrame(
+        rows, "doc_id long, ord long, n_chunk_tokens long"
+    ).repartition(partitions)
+    got = chunking.pack_sequences(
+        df, seq_len, order_col="ord", id_col="doc_id", num_buckets=4
+    )
+    return sorted(
+        (
+            r["doc_id"], r["pack_id"], r["offset_in_pack"],
+            r["slice_start"], r["slice_len"],
+        )
+        for r in got.collect()
+    )
+
+
+def test_pack_sequences_matches_python_twin(spark):
+    # lengths 1..13 incl. one chunk longer than seq_len (straddles >= 2
+    # packs) and zero-length chunks (dropped)
+    rows = [(i, (i * 7) % 41, (i * 5) % 13 + (20 if i == 9 else 0)) for i in range(40)]
+    rows += [(100, 999, 0), (101, 1000, 0)]
+    assert _pack_rows(spark, rows, seq_len=16) == _pack_twin(rows, 16)
+
+
+def test_pack_sequences_packs_tile_exactly(spark):
+    rows = [(i, i, (i * 3) % 9 + 1) for i in range(60)]
+    got = _pack_rows(spark, rows, seq_len=16)
+    by_pack: dict[int, list] = {}
+    for cid, pid, off, s, ln in got:
+        by_pack.setdefault(pid, []).append((off, ln))
+    total = sum(r[2] for r in rows)
+    last = total // 16 if total % 16 else total // 16 - 1
+    for pid, slices in by_pack.items():
+        slices.sort()
+        cursor = 0
+        for off, ln in slices:
+            assert off == cursor, (pid, slices)
+            cursor += ln
+        if pid < last:
+            assert cursor == 16, (pid, cursor)
+        else:
+            assert cursor == total - 16 * last
+
+
+def test_pack_sequences_partition_invariant(spark):
+    rows = [(i, (i * 11) % 29, (i * 5) % 12 + 1) for i in range(50)]
+    assert _pack_rows(spark, rows, 10, partitions=1) == _pack_rows(
+        spark, rows, 10, partitions=9
+    )
+
+
+def test_prefix_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 13) % 37, float((i * 7) % 11)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, k long, w double").repartition(7)
+    got = indexing.with_global_prefix_sum(
+        df, "w", key="k", tiebreaker="id", num_buckets=5, out_col="ps"
+    )
+    win = Window.orderBy(F.col("k").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("ps", F.sum("w").over(win) - F.col("w"))
+    g = {r["id"]: r["ps"] for r in got.collect()}
+    w_ = {r["id"]: r["ps"] for r in want.collect()}
+    assert g == w_
+
+
+def test_prefix_sum_long_mode_exact_longs(spark):
+    rows = [(i, i, (1 << 40) + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, k long, w long")
+    got = indexing.with_global_prefix_sum(
+        df, "w", key="k", tiebreaker="id", num_buckets=3,
+        out_col="ps", sum_type="long",
+    )
+    vals = {r["id"]: r["ps"] for r in got.collect()}
+    acc = 0
+    for i in range(10):
+        assert vals[i] == acc and isinstance(vals[i], int)
+        acc += (1 << 40) + i
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([(1, 1, 5)], "doc_id long, ord long, n_chunk_tokens long")
+    with pytest.raises(ValueError):
+        chunking.pack_sequences(df, 0, order_col="ord")
