@@ -6,9 +6,11 @@ operator this package ships and tests individually:
 
     documents → quality gate + language filter          (curation)
               → exact dedup → MinHash near-dup removal  (curation)
+              → trained-classifier quality gate [opt]   (quality_train, r22)
               → duplicate-passage gate                  (dedupe, q49 shape)
               → benchmark decontamination               (decontam, q46 shape)
               → perplexity bucketing, keep head+middle  (lm_quality, CCNet)
+              → DSIR importance selection [opt]         (quality_train, r23)
               → domain mixing weights                   (sampling, q48 shape)
               → deterministic shuffle + contiguous ids  (indexing, q52 shape)
               → sliding-window token chunks             (chunking, q44 shape)
@@ -53,6 +55,12 @@ def pretrain_corpus(
     k_gram: int = 8,
     contamination_threshold: float = 0.2,
     ppl_keep_buckets: tuple[int, ...] = (1, 2),
+    quality_weights: DataFrame | None = None,
+    classifier_min_prob: float = 0.5,
+    classifier_n_features: int | None = None,
+    classifier_binary: bool = True,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
     mixing_alpha: float = 0.5,
     chunk_tokens: int = 50,
     overlap: int = 10,
@@ -85,6 +93,29 @@ def pretrain_corpus(
         docs, min_quality, allowed_langs, neardup_threshold, id_col, text_col
     ).localCheckpoint()
     funnel.append(("curated", curated.count()))
+
+    # optional trained-classifier gate (the C4/GPT-3-style quality filter):
+    # callers pass PRETRAINED weights (quality_train.train_quality_classifier
+    # output — training is its own offline step, as in production pipelines);
+    # scoring is a broadcast join + doc-keyed sum over hashed features.
+    # the featurization MUST match training's (same n_features, same
+    # binary flag) — hashed feature ids are a function of n_features, so a
+    # mismatch scores against a scrambled feature space.
+    if quality_weights is not None:
+        from pdf_parser_spark.operators import quality_train as qt_op
+
+        feats = qt_op.hashed_features(
+            curated, text_col=text_col, id_col=id_col,
+            n_features=classifier_n_features or qt_op.DEFAULT_FEATURES,
+            binary=classifier_binary,
+        )
+        good = qt_op.score_documents(feats, quality_weights).filter(
+            F.col("prob") >= classifier_min_prob
+        )
+        curated = curated.join(
+            good.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        ).localCheckpoint()
+        funnel.append(("classifier_kept", curated.count()))
 
     # duplicate-passage gate: drop docs dominated by cross-doc boilerplate
     passage = dedupe_op.duplicate_passage_stats(
@@ -141,6 +172,21 @@ def pretrain_corpus(
         buckets.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     ).localCheckpoint()
     funnel.append(("ppl_kept", kept.count()))
+
+    # optional DSIR importance selection toward a target corpus (r23):
+    # hashed-unigram likelihood-ratio weights + deterministic priority
+    # resample down to dsir_keep docs.
+    if dsir_target is not None and dsir_keep is not None:
+        from pdf_parser_spark.operators import quality_train as qt_op
+
+        chosen = qt_op.dsir_resample(
+            kept, dsir_target, k=dsir_keep, text_col=text_col,
+            id_col=id_col, seed=seed,
+        )
+        kept = kept.join(
+            chosen.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        ).localCheckpoint()
+        funnel.append(("dsir_kept", kept.count()))
 
     mixing = sampling_op.domain_mixing_weights(
         kept, ["lang_pred"], F.col("n_tokens"), alpha=mixing_alpha

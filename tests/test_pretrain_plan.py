@@ -138,3 +138,42 @@ def test_passage_rewrite_strips_cross_doc_boilerplate(spark):
     assert kept[1] == unique_b                         # boiler stripped
     toks = {r["doc_id"]: r["n_tokens"] for r in out["kept"].collect()}
     assert toks[1] == 10                               # recounted post-rewrite
+
+
+def test_optional_classifier_and_dsir_stages(spark, corpus):
+    """quality_weights gates by classifier prob; dsir_target+dsir_keep
+    selects toward the target corpus; both show up in the funnel and only
+    shrink the kept set."""
+    from pdf_parser_spark.operators import quality_train as qt
+
+    # train weights offline: positive = docs mentioning 'w1a0' family is
+    # too narrow, so label half the corpus by a marker token
+    labeled = corpus.withColumn(
+        "label", F.col("text").contains("w1").cast("double")
+    )
+    feats = qt.hashed_features(labeled, n_features=1 << 12, binary=True)
+    weights = qt.train_quality_classifier(
+        feats, labeled.select("doc_id", "label"), iters=10, lr=2.0
+    )
+    target = corpus.filter(F.col("doc_id") < 5)
+    out = pretrain.pretrain_corpus(
+        corpus,
+        min_quality=0.0,
+        allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.6,
+        dup_frac_max=0.95,
+        ppl_keep_buckets=(1, 2, 3),
+        quality_weights=weights,
+        classifier_min_prob=0.5,
+        classifier_n_features=1 << 12,
+        dsir_target=target,
+        dsir_keep=5,
+        seed=9,
+    )
+    funnel = {r["stage"]: r["n"] for r in out["funnel"].collect()}
+    assert "classifier_kept" in funnel and "dsir_kept" in funnel
+    assert funnel["classifier_kept"] <= funnel["curated"]
+    assert funnel["dsir_kept"] == 5 <= funnel["ppl_kept"]
+    # classifier gate kept only label-1 docs (w1 marker): doc 1 survives
+    kept_ids = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    assert len(kept_ids) == 5
