@@ -6,10 +6,12 @@ permanently env-gated. PNG and WAV are both fully decodable with the
 standard library alone — PNG is zlib (stdlib) + per-scanline byte filters
 (ISO/IEC 15948 / RFC 2083, public spec), WAV is a RIFF header + raw PCM
 (public Microsoft/IBM spec, readable via the stdlib ``wave`` module) — so
-these two codecs are implemented here from the specs and the multimodal
-operators run their REAL branch for image/audio payloads. Video stays
-env-gated: every real container format (mp4/mkv/webm) requires a demuxer
-outside the stdlib.
+these codecs are implemented here from the specs and the multimodal
+operators run their REAL branch for image/audio payloads. Video: the
+compressed container formats (mp4/mkv/webm) require a demuxer outside the
+stdlib and stay env-gated, but YUV4MPEG2 (.y4m, the mjpegtools raw
+interchange format — a text header plus raw planar frames) needs none, so
+encode_y4m/decode_y4m give the video path a real in-container branch too.
 
 Scope (everything the synthetic corpus and tests produce, plus the common
 real-world cases): 8-bit depth, color types 0 (grayscale), 2 (RGB),
@@ -176,3 +178,95 @@ def decode_wav(data: bytes) -> tuple["np.ndarray", int]:
         frames = fh.readframes(n)
         arr = np.frombuffer(frames, dtype=np.int16).reshape(n, fh.getnchannels())
         return arr, fh.getframerate()
+
+
+_Y4M_SIG = b"YUV4MPEG2"
+
+
+def encode_y4m(frames: "np.ndarray", fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C444") -> bytes:
+    """YUV4MPEG2 stream from (n_frames, h, w, 3) uint8 YUV frames.
+
+    Y4M (the mjpegtools interchange format, public spec) is the one video
+    format that needs NO demuxer: a text header, then raw planar frames
+    each preceded by a FRAME marker — so the multimodal video branch can
+    run REAL decode in this container, like PNG/WAV do for image/audio.
+    C444 writes full-resolution planes; C420jpeg subsamples chroma 2x2 by
+    plain block averaging (h and w must be even).
+    """
+    f = np.asarray(frames)
+    if f.ndim != 4 or f.shape[3] != 3 or f.dtype != np.uint8:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = f.shape
+    if colorspace not in ("C444", "C420jpeg"):
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+           % (w, h, fps[0], fps[1], colorspace.encode())]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        y, u, v = f[i, :, :, 0], f[i, :, :, 1], f[i, :, :, 2]
+        if colorspace == "C444":
+            out += [y.tobytes(), u.tobytes(), v.tobytes()]
+        else:
+            if h % 2 or w % 2:
+                raise ValueError("C420 needs even dimensions")
+            def sub(p):
+                q = p.reshape(h // 2, 2, w // 2, 2).astype(np.uint16)
+                return (q.sum(axis=(1, 3)) // 4).astype(np.uint8)
+            out += [y.tobytes(), sub(u).tobytes(), sub(v).tobytes()]
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> "np.ndarray":
+    """(n_frames, h, w, 3) uint8 YUV frames from a YUV4MPEG2 stream.
+
+    Supports C444 and the C420 family (C420 / C420jpeg / C420mpeg2 /
+    C420paldv share the plane layout; chroma siting differences do not
+    change the stored bytes) — 4:2:0 chroma is upsampled 2x2
+    nearest-neighbor back to full resolution. Frame parameters after the
+    FRAME marker are tolerated and ignored. Raises on anything else
+    rather than mis-decoding.
+    """
+    if not data.startswith(_Y4M_SIG):
+        raise ValueError("not a Y4M stream (bad signature)")
+    nl = data.index(b"\n")
+    params = data[len(_Y4M_SIG):nl].split()
+    w = h = None
+    cs = "C420jpeg"  # the spec's default when no C tag is present
+    for p in params:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            cs = p.decode()
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs == "C444":
+        plane_y, plane_c = h * w, h * w
+    elif cs.startswith("C420"):
+        if h % 2 or w % 2:
+            raise ValueError("C420 stream with odd dimensions")
+        plane_y, plane_c = h * w, (h // 2) * (w // 2)
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    frames = []
+    pos = nl + 1
+    frame_bytes = plane_y + 2 * plane_c
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = data.index(b"\n", pos) + 1
+        if pos + frame_bytes > len(data):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(data, np.uint8, plane_y, pos).reshape(h, w)
+        u = np.frombuffer(data, np.uint8, plane_c, pos + plane_y)
+        v = np.frombuffer(data, np.uint8, plane_c, pos + plane_y + plane_c)
+        if cs == "C444":
+            u, v = u.reshape(h, w), v.reshape(h, w)
+        else:
+            u = u.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+            v = v.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+        frames.append(np.stack([y, u, v], axis=2))
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)

@@ -5,12 +5,13 @@ an opaque ``binary`` column plus a typed metadata struct, with
 decode / feature-extract / resize / frame-sample implemented as Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
-Decode paths (round 4): image and audio REALLY decode — PNG and 16-bit PCM
-WAV are implemented from their public specs with the stdlib alone
-(pdf_parser_spark/media_codecs.py), so ``fake=False`` runs a genuine
-bytes→pixels/samples→features/resize pipeline for those payloads. Formats
-that require codec libraries absent from this container (JPEG, mp3, and
-every video container — demuxing needs ffmpeg) still raise
+Decode paths (round 4): image, audio AND video REALLY decode — PNG,
+16-bit PCM WAV, and YUV4MPEG2 raw video are implemented from their public
+specs with the stdlib alone (pdf_parser_spark/media_codecs.py), so
+``fake=False`` runs a genuine bytes→pixels/samples/frames→features/resize
+pipeline for those payloads. Formats that require codec libraries absent
+from this container (JPEG, mp3, and the compressed video containers
+mp4/mkv/webm — demuxing needs ffmpeg) still raise
 ``NotImplementedError`` on the real path; ``fake=True`` (the default, and
 what the r08/r09 contract entries exercise) produces a deterministic
 synthetic decode (a pure function of the payload bytes) so the Spark-side
@@ -48,11 +49,8 @@ FEATURE_DIM = 16
 
 
 def _real_payload(i: int, kind: str) -> bytes:
-    """Deterministic REAL payload: a valid PNG / WAV, a pure function of i.
-
-    Video keeps an opaque synthetic payload (no stdlib-decodable container
-    format exists) — its real-decode path stays NotImplementedError.
-    """
+    """Deterministic REAL payload: a valid PNG / WAV / Y4M, a pure
+    function of i."""
     from pdf_parser_spark import media_codecs
 
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
@@ -65,7 +63,11 @@ def _real_payload(i: int, kind: str) -> bytes:
         n = 1600 * (i % 30 + 1)  # duration_ms/1000 * 16 kHz
         samples = (rng.integers(-(1 << 14), 1 << 14, size=n)).astype(np.int16)
         return media_codecs.encode_wav(samples, sample_rate=16000)
-    return (f"media-{i}-" * (i % 7 + 1)).encode()
+    # video: a small YUV4MPEG2 clip (one frame per second of duration)
+    n_frames = i % 30 + 1
+    h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
+    frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+    return media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg")
 
 
 def media_table(spark, n_rows: int = 64, partitions: int = 4,
@@ -94,7 +96,11 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
                         "kind": kind,
                         "payload": payload,
                         "meta": {
-                            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                            "mime": {
+                                "image": "image/png",
+                                "audio": "audio/wav",
+                                "video": "video/x-yuv4mpeg" if real_payloads else "video/mp4",
+                            }[kind],
                             "width": 64 + (i % 8) * 16 if kind != "audio" else None,
                             "height": 48 + (i % 8) * 12 if kind != "audio" else None,
                             "duration_ms": (i % 30 + 1) * 1000 if kind != "image" else None,
@@ -110,10 +116,11 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
 def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Decode a media payload to an array.
 
-    fake=False (REAL): image payloads decode as PNG and audio as 16-bit PCM
-    WAV via the from-scratch stdlib codecs (media_codecs.py — audio samples
-    re-biased to uint8 so every kind feeds the same feature kernel). Other
-    formats, and all video (container demux needs ffmpeg, absent here),
+    fake=False (REAL): image payloads decode as PNG, audio as 16-bit PCM
+    WAV, and video as YUV4MPEG2 frame stacks via the from-scratch stdlib
+    codecs (media_codecs.py — audio samples re-biased to uint8 so every
+    kind feeds the same feature kernel). Other formats (JPEG/mp3 and the
+    compressed video containers, which need codec libraries absent here)
     raise NotImplementedError.
 
     fake=True: deterministic pseudo-pixels from a crc32-seeded generator —
@@ -125,6 +132,8 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         data = payload or b""
         if kind == "image" and data.startswith(b"\x89PNG"):
             return media_codecs.decode_png(data)
+        if kind == "video" and data.startswith(b"YUV4MPEG2"):
+            return media_codecs.decode_y4m(data)
         if kind == "audio" and data.startswith(b"RIFF"):
             samples, _rate = media_codecs.decode_wav(data)
             # int16 → uint8 (offset binary): keeps the moment-profile
@@ -133,7 +142,7 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
                 np.uint8
             ).reshape(-1)
         raise NotImplementedError(
-            f"real {kind} decode supports PNG/WAV only (stdlib codecs); "
+            f"real {kind} decode supports PNG/WAV/Y4M only (stdlib codecs); "
             "other formats need codec libraries not present in this "
             "container — run with fake=True for plumbing tests"
         )

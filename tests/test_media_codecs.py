@@ -1,6 +1,7 @@
-"""From-scratch PNG/WAV codecs + the multimodal operators' REAL decode
+"""From-scratch PNG/WAV/Y4M codecs + the multimodal operators' REAL decode
 branch (round 4: previously env-gated behind absent PIL/ffmpeg, now
-executed for image/audio via stdlib codecs; video stays gated)."""
+executed for image/audio/video via stdlib codecs — video through raw
+YUV4MPEG2; compressed containers mp4/mkv/webm stay gated)."""
 
 from __future__ import annotations
 
@@ -107,11 +108,9 @@ def test_extract_features_real_branch(spark):
     rows = {r["media_id"]: r for r in multimodal.extract_features(media, fake=False).collect()}
     kinds = {i: ("image", "audio", "video")[i % 3] for i in range(24)}
     for i, r in rows.items():
-        if kinds[i] == "video":  # genuinely gated: no stdlib demuxer
-            assert not r["decoded"] and r["feature"] is None
-        else:
-            assert r["decoded"], f"{kinds[i]} {i} failed real decode"
-            assert len(r["feature"]) == multimodal.FEATURE_DIM
+        # every kind decodes for real now: PNG / WAV / Y4M stdlib codecs
+        assert r["decoded"], f"{kinds[i]} {i} failed real decode"
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
     # features are real functions of the pixel/sample content: distinct
     # payloads must not collapse to one vector
     img_feats = {tuple(r["feature"]) for i, r in rows.items() if kinds[i] == "image"}
@@ -136,3 +135,63 @@ def test_resize_images_real_produces_decodable_png(spark):
     audio_out = {r["media_id"]: bytes(r["payload"])
                  for r in out.filter(F.col("kind") == "audio").collect()}
     assert audio_in == audio_out
+
+
+# --- Y4M (YUV4MPEG2) -------------------------------------------------------
+
+
+@pytest.mark.parametrize("cs", ["C444", "C420jpeg"])
+def test_y4m_round_trip(cs):
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(3, 12, 16, 3), dtype=np.uint8)
+    data = media_codecs.encode_y4m(frames, colorspace=cs)
+    got = media_codecs.decode_y4m(data)
+    assert got.shape == frames.shape and got.dtype == np.uint8
+    # luma survives byte-exact in both colorspaces
+    assert np.array_equal(got[..., 0], frames[..., 0])
+    if cs == "C444":
+        assert np.array_equal(got, frames)
+    else:
+        # 2x2 averaged then nearest-upsampled chroma: within quantization
+        assert np.max(np.abs(got[..., 1:].astype(int) - frames[..., 1:].astype(int))) <= 192
+        # every 2x2 block is constant after the round trip
+        u = got[..., 1]
+        assert np.array_equal(u[:, ::2, :], u[:, 1::2, :])
+
+
+def test_y4m_rejects_bad_input():
+    with pytest.raises(ValueError):
+        media_codecs.decode_y4m(b"not a y4m")
+    frames = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+    data = media_codecs.encode_y4m(frames)
+    with pytest.raises(ValueError):
+        media_codecs.decode_y4m(data[:-5])  # truncated frame
+    with pytest.raises(ValueError):
+        media_codecs.encode_y4m(np.zeros((1, 4, 4), dtype=np.uint8))
+
+
+def test_y4m_zero_frames():
+    data = media_codecs.encode_y4m(np.zeros((0, 4, 6, 3), dtype=np.uint8))
+    got = media_codecs.decode_y4m(data)
+    assert got.shape == (0, 4, 6, 3)
+
+
+def test_sample_frames_real_branch(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, n_rows=12, real_payloads=True)
+    out = multimodal.sample_frames(media, every_ms=1000, fake=False).collect()
+    assert out
+    vids = {r["media_id"] for r in out}
+    assert vids == {i for i in range(12) if i % 3 == 2}
+    # frame bytes decompress to full-res YUV frames of the advertised size
+    import zlib as _z
+
+    meta = {r["media_id"]: r for r in media.filter(F.col("kind") == "video")
+            .select("media_id", "meta.width", "meta.height").collect()}
+    for r in out[:8]:
+        m = meta[r["media_id"]]
+        arr = np.frombuffer(_z.decompress(bytes(r["frame_bytes"])), np.uint8)
+        assert arr.size == m["width"] * m["height"] * 3
