@@ -305,6 +305,34 @@ def main() -> None:
         head = "\n".join(plan.splitlines()[:40])
         sections.append(f"## {name} — {status}\n\n```\n{head}\n```\n")
 
+    # ad-hoc: sequence packing (r24) — the global prefix sum must use the
+    # order-aligned bucket scheme, never a SinglePartition window, and the
+    # pack fan-out is a Generate, not a join.
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import chunking as chunking_op
+
+    docs_tbl = spark.read.parquet(f"{SF}/documents.parquet")
+    pk = chunking_op.pack_sequences(
+        chunking_op.chunk_documents(docs_tbl, chunk_tokens=40, overlap=0)
+        .withColumn("ord", (F.col("doc_id") * 1000 + F.col("chunk_idx")).cast("long")),
+        seq_len=256, order_col="ord", id_col="ord", num_buckets=8,
+    )
+    plan, problems = audit(
+        "r24_sequence_packing", pk,
+        require=[
+            r"Generate",                      # pack fan-out is a Generate, not a join
+            r"hashpartitioning\(_bucket",     # prefix sum shuffles by order bucket
+        ],
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"),
+    )
+    status = "OK" if not problems else "FAIL " + "; ".join(problems)
+    print(f"{status:60s} r24_sequence_packing")
+    if problems:
+        failures += 1
+    head = "\n".join(plan.splitlines()[:40])
+    sections.append(f"## r24_sequence_packing — {status}\n\n```\n{head}\n```\n")
+
     # ad-hoc: the sparse-decorations pipeline path — Bloom probes
     # (MapInPandas) split the base into a joined hot branch and a
     # NULL-projected cold branch re-united at the top; no cartesian, no
