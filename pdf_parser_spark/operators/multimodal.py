@@ -6,13 +6,14 @@ decode / feature-extract / resize / frame-sample implemented as Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
 Decode paths (round 4): image, audio AND video REALLY decode — PNG,
-16-bit PCM WAV, and YUV4MPEG2 raw video are implemented from their public
-specs with the stdlib alone (pdf_parser_spark/media_codecs.py), so
-``fake=False`` runs a genuine bytes→pixels/samples/frames→features/resize
-pipeline for those payloads. Formats that require codec libraries absent
-from this container (JPEG, mp3, and the compressed video containers
-mp4/mkv/webm — demuxing needs ffmpeg) still raise
-``NotImplementedError`` on the real path; ``fake=True`` (the default, and
+baseline JPEG, 16-bit PCM WAV, and YUV4MPEG2 raw video are implemented
+from their public specs (pdf_parser_spark/media_codecs.py and
+jpeg_codec.py, stdlib + numpy), so ``fake=False`` runs a genuine
+bytes→pixels/samples/frames→features/resize pipeline for those payloads.
+Formats that require codec libraries absent from this container (mp3, and
+the compressed video containers mp4/mkv/webm — demuxing needs ffmpeg)
+still raise ``NotImplementedError`` on the real path; ``fake=True`` (the
+default, and
 what the r08/r09 contract entries exercise) produces a deterministic
 synthetic decode (a pure function of the payload bytes) so the Spark-side
 plumbing — schema, partitioning, UDF signature, batch shape — is testable
@@ -56,6 +57,12 @@ def _real_payload(i: int, kind: str) -> bytes:
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
     if kind == "image":
         h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
+        if i % 6 == 3:  # alternate image rows are baseline JFIF
+            from pdf_parser_spark import jpeg_codec
+
+            ch = 1 if i % 12 == 9 else 3
+            arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            return jpeg_codec.encode_jpeg(arr, quality=90)
         ch = (1, 3, 4)[i % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         return media_codecs.encode_png(arr)
@@ -97,7 +104,9 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
                         "payload": payload,
                         "meta": {
                             "mime": {
-                                "image": "image/png",
+                                "image": "image/jpeg"
+                                if real_payloads and i % 6 == 3
+                                else "image/png",
                                 "audio": "audio/wav",
                                 "video": "video/x-yuv4mpeg" if real_payloads else "video/mp4",
                             }[kind],
@@ -116,12 +125,13 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
 def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Decode a media payload to an array.
 
-    fake=False (REAL): image payloads decode as PNG, audio as 16-bit PCM
-    WAV, and video as YUV4MPEG2 frame stacks via the from-scratch stdlib
-    codecs (media_codecs.py — audio samples re-biased to uint8 so every
-    kind feeds the same feature kernel). Other formats (JPEG/mp3 and the
-    compressed video containers, which need codec libraries absent here)
-    raise NotImplementedError.
+    fake=False (REAL): image payloads decode as PNG or baseline JPEG
+    (magic-byte dispatch), audio as 16-bit PCM WAV, and video as YUV4MPEG2
+    frame stacks via the from-scratch codecs (media_codecs.py,
+    jpeg_codec.py — audio samples re-biased to uint8 so every kind feeds
+    the same feature kernel). Other formats (mp3 and the compressed video
+    containers, which need codec libraries absent here) raise
+    NotImplementedError.
 
     fake=True: deterministic pseudo-pixels from a crc32-seeded generator —
     same payload ⇒ same array on every executor.
@@ -132,6 +142,10 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         data = payload or b""
         if kind == "image" and data.startswith(b"\x89PNG"):
             return media_codecs.decode_png(data)
+        if kind == "image" and data[:2] == b"\xff\xd8":
+            from pdf_parser_spark import jpeg_codec
+
+            return jpeg_codec.decode_jpeg(data)
         if kind == "video" and data.startswith(b"YUV4MPEG2"):
             return media_codecs.decode_y4m(data)
         if kind == "audio" and data.startswith(b"RIFF"):
@@ -142,9 +156,10 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
                 np.uint8
             ).reshape(-1)
         raise NotImplementedError(
-            f"real {kind} decode supports PNG/WAV/Y4M only (stdlib codecs); "
-            "other formats need codec libraries not present in this "
-            "container — run with fake=True for plumbing tests"
+            f"real {kind} decode supports PNG/JPEG/WAV/Y4M only (from-"
+            "scratch codecs); other formats need codec libraries not "
+            "present in this container — run with fake=True for plumbing "
+            "tests"
         )
     seed = zlib.crc32(payload or b"")
     rng = np.random.default_rng(seed)
@@ -189,26 +204,30 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = True) -> DataFrame:
     """Image resize stage: decode → nearest-neighbour resample → re-encode.
 
-    fake=False: PNG in, PNG out (the from-scratch stdlib codec) — output
-    payloads are themselves decodable, so resize chains compose. The fake
-    path re-encodes raw bytes via zlib. Non-image rows pass through
-    untouched (filter pushdown keeps them out of the UDF entirely).
+    fake=False: format-preserving — PNG in, PNG out; JPEG in, JPEG out
+    (both from-scratch codecs) — output payloads are themselves decodable,
+    so resize chains compose. The fake path re-encodes raw bytes via zlib.
+    Non-image rows pass through untouched (filter pushdown keeps them out
+    of the UDF entirely).
     """
     images = media.filter(F.col("kind") == "image")
     other = media.filter(F.col("kind") != "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_parser_spark import media_codecs
+        from pdf_parser_spark import jpeg_codec, media_codecs
 
         for pdf in batches:
             out_payload = []
             for payload in pdf["payload"]:
-                arr = _decode(bytes(payload), "image", fake)
+                data = bytes(payload)
+                arr = _decode(data, "image", fake)
                 ys = (np.arange(height) * arr.shape[0] // height)
                 xs = (np.arange(width) * arr.shape[1] // width)
                 resized = arr[ys][:, xs]
                 if fake:
                     out_payload.append(zlib.compress(resized.tobytes()))
+                elif data[:2] == b"\xff\xd8":
+                    out_payload.append(jpeg_codec.encode_jpeg(resized, quality=90))
                 else:
                     out_payload.append(media_codecs.encode_png(resized))
             pdf = pdf.assign(payload=out_payload)

@@ -117,18 +117,32 @@ def test_extract_features_real_branch(spark):
     assert len(img_feats) > 1
 
 
-def test_resize_images_real_produces_decodable_png(spark):
+def test_resize_images_real_produces_decodable_output(spark):
+    """Resize is format-preserving: PNG rows stay PNG, JFIF rows stay JFIF,
+    and every output payload decodes at the requested size."""
     from pyspark.sql import functions as F
 
+    from pdf_parser_spark import jpeg_codec
     from pdf_parser_spark.operators import multimodal
 
     media = multimodal.media_table(spark, n_rows=12, real_payloads=True)
+    in_fmt = {r["media_id"]: bytes(r["payload"])[:2]
+              for r in media.filter(F.col("kind") == "image").collect()}
     out = multimodal.resize_images(media, width=16, height=10, fake=False)
     imgs = out.filter(F.col("kind") == "image").select("media_id", "payload").collect()
     assert imgs
+    seen_fmts = set()
     for r in imgs:
-        arr = media_codecs.decode_png(bytes(r["payload"]))
+        data = bytes(r["payload"])
+        assert data[:2] == in_fmt[r["media_id"]]
+        if data[:2] == b"\xff\xd8":
+            arr = jpeg_codec.decode_jpeg(data)
+            seen_fmts.add("jpeg")
+        else:
+            arr = media_codecs.decode_png(data)
+            seen_fmts.add("png")
         assert arr.shape[:2] == (10, 16)
+    assert seen_fmts == {"png", "jpeg"}
     # non-image rows pass through byte-identical
     audio_in = {r["media_id"]: bytes(r["payload"])
                 for r in media.filter(F.col("kind") == "audio").collect()}
