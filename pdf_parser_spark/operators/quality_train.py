@@ -5,13 +5,14 @@ Two standard pretraining-corpus curation steps beyond heuristic scoring
 
 - A TRAINED quality classifier (the C4/GPT-3-style filter: logistic
   regression over hashed bag-of-words, "does this page look like the
-  curated corpus?"), implemented as pure relational algebra: features are
-  a (doc_id, feat, val) exploded table, the per-doc margin is a broadcast
-  join + groupBy(doc) sum, the gradient is a groupBy(feat) sum, and the
-  driver holds only the (sparse) weight vector between iterations. No
-  MLlib, no per-row Python — every iteration is two shuffles whose keys
-  (doc_id, feat) are bounded-fanout, and the driver's share is O(nnz
-  weights), independent of corpus size.
+  curated corpus?"). Features are a (doc_id, feat, val) exploded table.
+  TRAINING is small-data (the labeled set is curated positives + sampled
+  negatives): when the labeled triples fit under a driver guard they are
+  collected once and iterated in numpy; past the guard, a fully
+  relational GD loop takes over (margin = broadcast join + groupBy(doc)
+  sum, gradient = groupBy(feat) sum, driver holds only the sparse weight
+  vector). SCORING — the 10^12-row half — is always distributed: one
+  broadcast join, no iteration, no per-row Python.
 
 - DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
   public): fit hashed unigram distributions on a TARGET corpus and the
@@ -125,31 +126,112 @@ def train_quality_classifier(
     l2: float = 0.0,
     id_col: str = "doc_id",
     label_col: str = "label",
+    max_driver_nnz: int = 20_000_000,
 ) -> DataFrame:
-    """Full-batch logistic regression by relational algebra → (feat, weight).
+    """Full-batch logistic regression → (feat, weight) sparse model table.
 
-    Per iteration (all native, deterministic given the data):
-      1. margins: broadcast-join current weights onto the feature table,
-         groupBy(doc_id) sum                                 [shuffle 1]
-      2. residuals: r_d = σ(margin_d) − y_d (projection, no exchange)
-      3. gradient: g_f = Σ_d r_d · val_{d,f} / n_docs via groupBy(feat)
-         over the features table joined to residuals         [shuffle 2]
-      4. driver: w ← w − lr · (g + l2 · w), sparse dict update
+    Training is the SMALL-data half of a quality filter: labels are
+    hand-curated positives plus sampled negatives (10^5-10^7 docs even for
+    a 10^12-doc corpus — labeling, not compute, is the bottleneck), while
+    SCORING the full corpus is the distributed half (score_documents: one
+    broadcast join, no iteration). So the trainer restricts the feature
+    table to labeled docs, counts its nnz, and when it fits under
+    ``max_driver_nnz`` (default 2·10^7 triples ≈ 500 MB of driver arrays)
+    collects ONCE and runs the full-batch GD iterations vectorized in
+    numpy — 20 iterations in milliseconds instead of 20 Spark jobs, with
+    bit-compatible math (same update rule, deterministic (doc_id, feat)
+    summation order). Larger labeled sets fall back to the all-relational
+    loop below, which never collects more than the gradient.
 
-    The features table is persisted here (re-read every iteration); the
-    driver never holds anything larger than the nonzero weight vector.
-    Labels are 0/1 doubles keyed by doc_id. Gradient descent over a
-    convex loss with a fixed iteration count is a pure function of the
-    input — single-node numpy parity is asserted in the pytest suite.
+    Both paths are a pure function of (features, labels, iters, lr, l2);
+    cross-path parity to 1e-9 is asserted in the pytest suite.
     """
-    spark = features.sparkSession
-    feats = features.persist()
     lab = labels.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("_y")
     )
+    spark = features.sparkSession
     n_docs = lab.count()
     if n_docs == 0:
         raise ValueError("train_quality_classifier: empty label table")
+    # unlabeled docs can never affect the gradient (the residual join is
+    # inner): drop their features before either path touches them
+    lfeats = features.join(lab.select("doc_id"), "doc_id").persist()
+    try:
+        nnz = lfeats.count()
+        if nnz <= max_driver_nnz:
+            return _train_driver(spark, lfeats, lab, n_docs, iters, lr, l2)
+        return _train_relational(spark, lfeats, lab, n_docs, iters, lr, l2)
+    finally:
+        lfeats.unpersist()
+
+
+def _train_driver(spark, lfeats: DataFrame, lab: DataFrame, n_docs: int,
+                  iters: int, lr: float, l2: float) -> DataFrame:
+    """Collect the labeled triples once; iterate in numpy on the driver.
+
+    Summation order is pinned by sorting the triples on (doc_id, feat), so
+    the result is deterministic across partitionings and cluster sizes.
+    """
+    import numpy as np
+
+    schema = "feat long, weight double"
+    rows = sorted(
+        lfeats.select("doc_id", "feat", "val").collect(),
+        key=lambda r: (r[0], r[1]),
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    y_by_doc = {r["doc_id"]: float(r["_y"]) for r in lab.collect()}
+    feat_ids = np.array(sorted({r[1] for r in rows}), dtype=np.int64)
+    fpos = {int(f): j for j, f in enumerate(feat_ids)}
+    doc_ids = sorted({r[0] for r in rows})
+    dpos = {d: j for j, d in enumerate(doc_ids)}
+    di = np.fromiter((dpos[r[0]] for r in rows), np.int64, len(rows))
+    fi = np.fromiter((fpos[r[1]] for r in rows), np.int64, len(rows))
+    val = np.fromiter((r[2] for r in rows), np.float64, len(rows))
+    y = np.fromiter((y_by_doc[d] for d in doc_ids), np.float64, len(doc_ids))
+
+    w = np.zeros(len(feat_ids))
+    for _ in range(iters):
+        margin = np.bincount(di, weights=w[fi] * val, minlength=len(doc_ids))
+        resid = 1.0 / (1.0 + np.exp(-margin)) - y
+        g = np.bincount(fi, weights=resid[di] * val,
+                        minlength=len(feat_ids)) / float(n_docs)
+        w = w - lr * (g + l2 * w)
+    out = [(int(f), float(v)) for f, v in zip(feat_ids, w) if v != 0.0]
+    return spark.createDataFrame(out, schema)
+
+
+def _train_relational(spark, feats: DataFrame, lab: DataFrame, n_docs: int,
+                      iters: int, lr: float, l2: float) -> DataFrame:
+    """Relational GD for labeled sets too large to collect.
+
+    Per iteration (all native, deterministic given the data):
+      1. margins: broadcast-join current weights onto the feature table,
+         groupBy(doc_id) sum
+      2. residuals: r_d = σ(margin_d) − y_d (projection, no exchange)
+      3. gradient: g_f = Σ_d r_d · val_{d,f} / n_docs via groupBy(feat)
+         over the features table joined to residuals
+      4. driver: w ← w − lr · (g + l2 · w), sparse dict update
+
+    Shuffle discipline: the feature table — the only corpus-sized
+    intermediate — is hash-partitioned by doc_id ONCE and persisted in
+    that layout, so per iteration the margin aggregate (groupBy doc_id)
+    and the residual join reuse the cached partitioning and only the
+    doc-count-sized sides (labels, residuals) move; the single wide
+    exchange per iteration is the map-side-combined groupBy(feat)
+    gradient, whose output is ≤ distinct-feats rows. The driver never
+    holds anything larger than the nonzero weight vector. Gradient
+    descent over a convex loss with a fixed iteration count is a pure
+    function of the input — cross-path numpy parity is asserted in the
+    pytest suite.
+    """
+    # co-partition the corpus-sized side by doc_id ONCE, keeping the
+    # source's partition count (data-proportional: O(10^5) partitions at
+    # 100 TB); every iteration's margin aggregate and residual join then
+    # reuse the cached layout instead of re-exchanging the feature table
+    n_parts = max(1, feats.rdd.getNumPartitions())
+    feats = feats.repartition(n_parts, "doc_id").persist()
 
     w: dict[int, float] = {}
     schema = "feat long, weight double"

@@ -77,6 +77,44 @@ def test_classifier_matches_numpy_twin(spark):
         assert (probs[d] > 0.5) == (label == 1.0), (d, probs[d], label)
 
 
+def test_driver_and_relational_paths_agree(spark):
+    """max_driver_nnz=0 forces the relational loop; both paths must produce
+    the same sparse model (same update rule, 1e-9 float drift budget for
+    differing summation orders)."""
+    docs = _docs(spark, n=20)
+    feats = qt.hashed_features(docs, n_features=1 << 12)
+    labels = docs.select("doc_id", "label")
+    fast = {int(r["feat"]): float(r["weight"])
+            for r in qt.train_quality_classifier(
+                feats, labels, iters=6, lr=0.5).collect()}
+    slow = {int(r["feat"]): float(r["weight"])
+            for r in qt.train_quality_classifier(
+                feats, labels, iters=6, lr=0.5, max_driver_nnz=0).collect()}
+    assert set(fast) == set(slow)
+    for f, v in fast.items():
+        assert abs(v - slow[f]) < 1e-9, (f, v, slow[f])
+
+
+def test_unlabeled_docs_do_not_affect_training(spark):
+    """Docs present in the feature table but absent from the label table
+    must not move the gradient (both paths restrict to labeled docs)."""
+    docs = _docs(spark, n=20)
+    extra = spark.createDataFrame(
+        [(900, "qqq zzz spurious gradient mass", 0.0)],
+        "doc_id long, text string, label double",
+    )
+    feats_clean = qt.hashed_features(docs, n_features=1 << 12)
+    feats_noisy = qt.hashed_features(docs.unionByName(extra), n_features=1 << 12)
+    labels = docs.select("doc_id", "label")
+    a = {int(r["feat"]): float(r["weight"])
+         for r in qt.train_quality_classifier(feats_clean, labels,
+                                              iters=4, lr=0.5).collect()}
+    b = {int(r["feat"]): float(r["weight"])
+         for r in qt.train_quality_classifier(feats_noisy, labels,
+                                              iters=4, lr=0.5).collect()}
+    assert a == b
+
+
 def test_score_with_empty_weights_is_half(spark):
     docs = _docs(spark, n=6)
     feats = qt.hashed_features(docs, n_features=1 << 12)
