@@ -644,6 +644,7 @@ class _Font:
         self.to_unicode: dict[int, str] | None = None
         self.cid_widths: dict[int, float] | None = None
         self.default_width = 1000.0
+        self._simple_table: list[tuple] | None = None  # lazy decode_adv cache
         if isinstance(font_dict, dict):
             if font_dict.get("Subtype") == "Type0":
                 self._init_type0(doc, font_dict)
@@ -703,6 +704,28 @@ class _Font:
                 text = chr(cid) if 0 < cid < 0x110000 else ""
             out.append((cid, text, False))
         return out
+
+    def decode_adv(self, raw: bytes):
+        """Show-string bytes → (text, apply_word_spacing, w_em) triples.
+
+        Same values `decode` + `width(code)/1000.0` would yield, glyph for
+        glyph (the per-byte table just hoists the pure `width(b)/1000.0`
+        computation out of the per-glyph loop for simple fonts — identical
+        float, computed once per font instead of once per occurrence).
+        This is the content-stream hot path: one entry per glyph in the
+        corpus, so for simple fonts it's a single 256-way list index."""
+        if not self.type0:
+            table = self._simple_table
+            if table is None:
+                table = self._simple_table = [
+                    (chr(b), b == 0x20, self.width(b) / 1000.0)
+                    for b in range(256)
+                ]
+            return [table[b] for b in raw]
+        return [
+            (text, ws, self.width(code) / 1000.0)
+            for code, text, ws in self.decode(raw)
+        ]
 
     def width(self, code: int) -> float:
         """Glyph width in 1/1000 em."""
@@ -779,8 +802,7 @@ def _page_chars(doc: _Document, page: dict, page_no: int) -> list[tuple]:
         # churn per char — this loop runs once per glyph in the corpus.
         t0, t1, t2, t3, t4, t5 = tm
         c0, c1, c2, c3, c4, c5 = ctm
-        for code, text, is_space_byte in font.decode(raw):
-            w_em = font.width(code) / 1000.0
+        for text, is_space_byte, w_em in font.decode_adv(raw):
             advance = (
                 w_em * size + char_spacing + (word_spacing if is_space_byte else 0.0)
             )

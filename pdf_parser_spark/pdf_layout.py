@@ -23,6 +23,7 @@ A char box is the tuple ``(page:int, ch:str, x0, y0, x1, y1)``.
 
 from __future__ import annotations
 
+import operator
 from dataclasses import dataclass
 
 # Synthesis constants (shared with fixtures; all integers → exact floats).
@@ -66,6 +67,10 @@ class LayoutBlock:
 # ---------------------------------------------------------------------------
 
 
+_X0 = operator.itemgetter(2)
+_Y0 = operator.itemgetter(3)
+
+
 def group_chars_to_lines(chars: list[tuple]) -> list[Line]:
     """Cluster char boxes into lines by (page, baseline-y) proximity.
 
@@ -82,8 +87,12 @@ def group_chars_to_lines(chars: list[tuple]) -> list[Line]:
 
     lines: list[Line] = []
     for page in sorted(by_page):
-        # sort by descending y (top of page first), then x
-        page_chars = sorted(by_page[page], key=lambda c: (-c[3], c[2]))
+        # sort by descending y (top of page first), then x — two stable
+        # C-level passes (x asc, then y desc) order identically to the
+        # tuple key (-y, x) including full-tie input order, without a
+        # Python lambda per comparison in the per-char hot path
+        page_chars = sorted(by_page[page], key=_X0)
+        page_chars.sort(key=_Y0, reverse=True)
         cluster: list[tuple] = []
         cluster_y = None
         for c in page_chars:
@@ -100,7 +109,7 @@ def group_chars_to_lines(chars: list[tuple]) -> list[Line]:
 
 
 def _finish_cluster(page: int, cluster: list[tuple]) -> list[Line]:
-    cluster.sort(key=lambda c: c[2])
+    cluster.sort(key=_X0)
     widths = sorted(c[4] - c[2] for c in cluster)
     char_w = widths[len(widths) // 2] if widths else CHAR_W
     if char_w <= 0:
