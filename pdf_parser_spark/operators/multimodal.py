@@ -6,13 +6,13 @@ decode / feature-extract / resize / frame-sample implemented as Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
 Decode paths (round 4): image, audio AND video REALLY decode — PNG,
-baseline JPEG, 16-bit PCM WAV, and YUV4MPEG2 raw video are implemented
-from their public specs (pdf_parser_spark/media_codecs.py and
-jpeg_codec.py, stdlib + numpy), so ``fake=False`` runs a genuine
+baseline JPEG, 16-bit PCM WAV, YUV4MPEG2 raw video, and raw-RGB mp4
+(ISO BMFF container demux, mp4_demux.py) are implemented from their
+public specs (stdlib + numpy), so ``fake=False`` runs a genuine
 bytes→pixels/samples/frames→features/resize pipeline for those payloads.
-Formats that require codec libraries absent from this container (mp3, and
-the compressed video containers mp4/mkv/webm — demuxing needs ffmpeg)
-still raise ``NotImplementedError`` on the real path; ``fake=True`` (the
+What still raises ``NotImplementedError`` on the real path is the
+compressed BITSTREAM layer (mp3, h264/vp9/av1) — the mp4 container
+itself demuxes for any codec; ``fake=True`` (the
 default, and
 what the r08/r09 contract entries exercise) produces a deterministic
 synthetic decode (a pure function of the payload bytes) so the Spark-side
@@ -70,10 +70,15 @@ def _real_payload(i: int, kind: str) -> bytes:
         n = 1600 * (i % 30 + 1)  # duration_ms/1000 * 16 kHz
         samples = (rng.integers(-(1 << 14), 1 << 14, size=n)).astype(np.int16)
         return media_codecs.encode_wav(samples, sample_rate=16000)
-    # video: a small YUV4MPEG2 clip (one frame per second of duration)
+    # video: alternate rows are raw-RGB mp4 (from-scratch ISO BMFF muxer)
+    # and YUV4MPEG2 clips (one frame per second of duration)
     n_frames = i % 30 + 1
     h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
     frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+    if i % 6 == 2:
+        from pdf_parser_spark import mp4_demux
+
+        return mp4_demux.encode_mp4_raw(frames, fps=(1, 1))
     return media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg")
 
 
@@ -108,7 +113,11 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
                                 if real_payloads and i % 6 == 3
                                 else "image/png",
                                 "audio": "audio/wav",
-                                "video": "video/x-yuv4mpeg" if real_payloads else "video/mp4",
+                                "video": (
+                                    "video/mp4"
+                                    if not real_payloads or i % 6 == 2
+                                    else "video/x-yuv4mpeg"
+                                ),
                             }[kind],
                             "width": 64 + (i % 8) * 16 if kind != "audio" else None,
                             "height": 48 + (i % 8) * 12 if kind != "audio" else None,
@@ -126,12 +135,13 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Decode a media payload to an array.
 
     fake=False (REAL): image payloads decode as PNG or baseline JPEG
-    (magic-byte dispatch), audio as 16-bit PCM WAV, and video as YUV4MPEG2
-    frame stacks via the from-scratch codecs (media_codecs.py,
+    (magic-byte dispatch), audio as 16-bit PCM WAV, and video as
+    YUV4MPEG2 frame stacks or raw-RGB mp4 (from-scratch ISO BMFF demux,
+    mp4_demux.py) via the from-scratch codecs (media_codecs.py,
     jpeg_codec.py — audio samples re-biased to uint8 so every kind feeds
-    the same feature kernel). Other formats (mp3 and the compressed video
-    containers, which need codec libraries absent here) raise
-    NotImplementedError.
+    the same feature kernel). Formats needing codec libraries absent here
+    (mp3; compressed video BITSTREAMS h264/vp9/av1 — the mp4 container
+    itself demuxes fine) raise NotImplementedError.
 
     fake=True: deterministic pseudo-pixels from a crc32-seeded generator —
     same payload ⇒ same array on every executor.
@@ -148,6 +158,12 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             return jpeg_codec.decode_jpeg(data)
         if kind == "video" and data.startswith(b"YUV4MPEG2"):
             return media_codecs.decode_y4m(data)
+        if kind == "video" and data[4:8] == b"ftyp":
+            from pdf_parser_spark import mp4_demux
+
+            # raw-RGB tracks decode fully; compressed codecs raise from
+            # decode_mp4 AFTER the (real) container demux
+            return mp4_demux.decode_mp4(data)
         if kind == "audio" and data.startswith(b"RIFF"):
             samples, _rate = media_codecs.decode_wav(data)
             # int16 → uint8 (offset binary): keeps the moment-profile
@@ -156,10 +172,10 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
                 np.uint8
             ).reshape(-1)
         raise NotImplementedError(
-            f"real {kind} decode supports PNG/JPEG/WAV/Y4M only (from-"
-            "scratch codecs); other formats need codec libraries not "
-            "present in this container — run with fake=True for plumbing "
-            "tests"
+            f"real {kind} decode supports PNG/JPEG/WAV/Y4M/raw-mp4 only "
+            "(from-scratch codecs); other formats need codec libraries "
+            "not present in this container — run with fake=True for "
+            "plumbing tests"
         )
     seed = zlib.crc32(payload or b"")
     rng = np.random.default_rng(seed)
