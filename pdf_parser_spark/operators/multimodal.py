@@ -6,13 +6,14 @@ decode / feature-extract / resize / frame-sample implemented as Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
 Decode paths (round 4): image, audio AND video REALLY decode — PNG,
-baseline JPEG, 16-bit PCM WAV, YUV4MPEG2 raw video, and raw-RGB mp4
-(ISO BMFF container demux, mp4_demux.py) are implemented from their
+baseline JPEG, 16-bit PCM WAV, YUV4MPEG2 raw video, raw-RGB mp4
+(ISO BMFF container demux, mp4_demux.py), and raw-RGB mkv/webm (EBML
+container demux, mkv_demux.py) are implemented from their
 public specs (stdlib + numpy), so ``fake=False`` runs a genuine
 bytes→pixels/samples/frames→features/resize pipeline for those payloads.
 What still raises ``NotImplementedError`` on the real path is the
-compressed BITSTREAM layer (mp3, h264/vp9/av1) — the mp4 container
-itself demuxes for any codec; ``fake=True`` (the
+compressed BITSTREAM layer (mp3, h264/vp9/av1) — the mp4/mkv/webm
+containers themselves demux for any codec; ``fake=True`` (the
 default, and
 what the r08/r09 contract entries exercise) produces a deterministic
 synthetic decode (a pure function of the payload bytes) so the Spark-side
@@ -70,15 +71,22 @@ def _real_payload(i: int, kind: str) -> bytes:
         n = 1600 * (i % 30 + 1)  # duration_ms/1000 * 16 kHz
         samples = (rng.integers(-(1 << 14), 1 << 14, size=n)).astype(np.int16)
         return media_codecs.encode_wav(samples, sample_rate=16000)
-    # video: alternate rows are raw-RGB mp4 (from-scratch ISO BMFF muxer)
-    # and YUV4MPEG2 clips (one frame per second of duration)
+    # video rows rotate through the three real containers (one frame per
+    # second of duration): raw-RGB mp4 (ISO BMFF muxer), raw-RGB
+    # mkv/webm (EBML muxer), and YUV4MPEG2
     n_frames = i % 30 + 1
     h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
     frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
-    if i % 6 == 2:
+    if i % 9 == 2:
         from pdf_parser_spark import mp4_demux
 
         return mp4_demux.encode_mp4_raw(frames, fps=(1, 1))
+    if i % 9 == 5:
+        from pdf_parser_spark import mkv_demux
+
+        return mkv_demux.encode_mkv_raw(
+            frames, frame_ms=1000, doctype="webm" if i % 2 else "matroska"
+        )
     return media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg")
 
 
@@ -115,7 +123,9 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
                                 "audio": "audio/wav",
                                 "video": (
                                     "video/mp4"
-                                    if not real_payloads or i % 6 == 2
+                                    if not real_payloads or i % 9 == 2
+                                    else "video/webm"
+                                    if i % 9 == 5
                                     else "video/x-yuv4mpeg"
                                 ),
                             }[kind],
@@ -136,12 +146,13 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
 
     fake=False (REAL): image payloads decode as PNG or baseline JPEG
     (magic-byte dispatch), audio as 16-bit PCM WAV, and video as
-    YUV4MPEG2 frame stacks or raw-RGB mp4 (from-scratch ISO BMFF demux,
-    mp4_demux.py) via the from-scratch codecs (media_codecs.py,
+    YUV4MPEG2 frame stacks, raw-RGB mp4 (from-scratch ISO BMFF demux,
+    mp4_demux.py), or raw-RGB mkv/webm (from-scratch EBML demux,
+    mkv_demux.py) via the from-scratch codecs (media_codecs.py,
     jpeg_codec.py — audio samples re-biased to uint8 so every kind feeds
     the same feature kernel). Formats needing codec libraries absent here
-    (mp3; compressed video BITSTREAMS h264/vp9/av1 — the mp4 container
-    itself demuxes fine) raise NotImplementedError.
+    (mp3; compressed video BITSTREAMS h264/vp9/av1 — the mp4/mkv
+    containers themselves demux fine) raise NotImplementedError.
 
     fake=True: deterministic pseudo-pixels from a crc32-seeded generator —
     same payload ⇒ same array on every executor.
@@ -164,6 +175,12 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             # raw-RGB tracks decode fully; compressed codecs raise from
             # decode_mp4 AFTER the (real) container demux
             return mp4_demux.decode_mp4(data)
+        if kind == "video" and data.startswith(b"\x1a\x45\xdf\xa3"):
+            from pdf_parser_spark import mkv_demux
+
+            # mkv/webm: same split — real EBML demux, raw RGB decodes,
+            # compressed bitstreams raise from decode_mkv
+            return mkv_demux.decode_mkv(data)
         if kind == "audio" and data.startswith(b"RIFF"):
             samples, _rate = media_codecs.decode_wav(data)
             # int16 → uint8 (offset binary): keeps the moment-profile
@@ -172,10 +189,10 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
                 np.uint8
             ).reshape(-1)
         raise NotImplementedError(
-            f"real {kind} decode supports PNG/JPEG/WAV/Y4M/raw-mp4 only "
-            "(from-scratch codecs); other formats need codec libraries "
-            "not present in this container — run with fake=True for "
-            "plumbing tests"
+            f"real {kind} decode supports PNG/JPEG/WAV/Y4M/raw-mp4/raw-mkv "
+            "only (from-scratch codecs); other formats need codec "
+            "libraries not present in this container — run with fake=True "
+            "for plumbing tests"
         )
     seed = zlib.crc32(payload or b"")
     rng = np.random.default_rng(seed)

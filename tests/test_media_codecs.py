@@ -295,3 +295,89 @@ def test_mp4_real_video_rows_flow_through_operators(spark):
         assert feats[i]["decoded"], f"video {i} failed real decode"
     frames = multimodal.sample_frames(media, every_ms=1000, fake=False).collect()
     assert {r["media_id"] for r in frames} == set(sigs)
+
+
+# --- mkv / webm (EBML) -------------------------------------------------------
+
+
+@pytest.mark.parametrize("doctype", ["matroska", "webm"])
+@pytest.mark.parametrize("n_frames,fpc", [(1, 4), (8, 4), (9, 2)])
+def test_mkv_round_trip(doctype, n_frames, fpc):
+    from pdf_parser_spark import mkv_demux
+
+    frames = _rng(n_frames * 17 + fpc).integers(
+        0, 256, size=(n_frames, 5, 7, 3), dtype=np.uint8
+    )
+    data = mkv_demux.encode_mkv_raw(
+        frames, frame_ms=40, frames_per_cluster=fpc, doctype=doctype
+    )
+    got = mkv_demux.decode_mkv(data)
+    assert got.shape == frames.shape
+    assert np.array_equal(got, frames)  # byte-identical through the container
+
+
+def test_mkv_frame_table_semantics():
+    from pdf_parser_spark import mkv_demux
+
+    frames = np.zeros((9, 4, 6, 3), dtype=np.uint8)
+    data = mkv_demux.encode_mkv_raw(
+        frames, frame_ms=40, frames_per_cluster=4, key_every=3
+    )
+    t = mkv_demux.demux_mkv(data)
+    assert t.codec == "V_UNCOMPRESSED" and (t.width, t.height) == (6, 4)
+    assert len(t.frames) == 9
+    # cluster base + block-relative timestamps reassemble to the cadence
+    assert [f.ts_ms for f in t.frames] == [i * 40 for i in range(9)]
+    assert [f.is_key for f in t.frames] == [i % 3 == 0 for i in range(9)]
+    for f in t.frames:
+        assert 0 < f.offset and f.offset + f.size <= len(data)
+
+
+def test_mkv_compressed_codec_demuxes_but_gates_decode():
+    from pdf_parser_spark import mkv_demux
+
+    frames = np.zeros((3, 4, 4, 3), dtype=np.uint8)
+    data = bytearray(mkv_demux.encode_mkv_raw(frames))
+    i = data.find(b"V_UNCOMPRESSED")
+    data[i : i + 14] = b"V_VP9" + b"\x00" * 9  # pretend the track is VP9
+    t = mkv_demux.demux_mkv(bytes(data))
+    assert t.codec == "V_VP9" and len(t.frames) == 3
+    with pytest.raises(NotImplementedError):
+        mkv_demux.decode_mkv(bytes(data))
+
+
+def test_mkv_rejects_bad_input():
+    from pdf_parser_spark import mkv_demux
+
+    with pytest.raises(ValueError):
+        mkv_demux.demux_mkv(b"RIFF not matroska")
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    data = mkv_demux.encode_mkv_raw(frames)
+    with pytest.raises(ValueError):
+        mkv_demux.demux_mkv(data[: len(data) - 10])  # truncated cluster
+    with pytest.raises(ValueError):
+        mkv_demux.encode_mkv_raw(np.zeros((0, 4, 4, 3), dtype=np.uint8))
+
+
+def test_all_three_video_containers_flow_through_operators(spark):
+    """Real video rows rotate mp4 / mkv-webm / y4m; all decode for real."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, n_rows=27, real_payloads=True)
+    vids = media.filter(F.col("kind") == "video").collect()
+    sigs = {int(r["media_id"]): bytes(r["payload"])[:12] for r in vids}
+    assert any(s[4:8] == b"ftyp" for s in sigs.values())
+    assert any(s.startswith(b"\x1a\x45\xdf\xa3") for s in sigs.values())
+    assert any(s.startswith(b"YUV4MPEG2") for s in sigs.values())
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(media, fake=False).collect()}
+    for i in sigs:
+        assert feats[i]["decoded"], f"video {i} failed real decode"
+    mimes = {r["media_id"]: r["meta"]["mime"] for r in vids}
+    for i, sig in sigs.items():
+        want = ("video/mp4" if sig[4:8] == b"ftyp"
+                else "video/webm" if sig.startswith(b"\x1a\x45\xdf\xa3")
+                else "video/x-yuv4mpeg")
+        assert mimes[i] == want
