@@ -7,11 +7,12 @@ standard library alone — PNG is zlib (stdlib) + per-scanline byte filters
 (ISO/IEC 15948 / RFC 2083, public spec), WAV is a RIFF header + raw PCM
 (public Microsoft/IBM spec, readable via the stdlib ``wave`` module) — so
 these codecs are implemented here from the specs and the multimodal
-operators run their REAL branch for image/audio payloads. Video: the
-compressed container formats (mp4/mkv/webm) require a demuxer outside the
-stdlib and stay env-gated, but YUV4MPEG2 (.y4m, the mjpegtools raw
-interchange format — a text header plus raw planar frames) needs none, so
-encode_y4m/decode_y4m give the video path a real in-container branch too.
+operators run their REAL branch for image/audio payloads. Video:
+YUV4MPEG2 (.y4m, the mjpegtools raw interchange format — a text header
+plus raw planar frames) is implemented below; the mp4 and mkv/webm
+CONTAINERS are demuxed from scratch too (mp4_demux.py, mkv_demux.py) —
+only compressed video bitstreams (h264/vp9/av1) stay gated, at the codec
+layer, after a real demux.
 
 Scope (everything the synthetic corpus and tests produce, plus the common
 real-world cases): 8-bit depth, color types 0 (grayscale), 2 (RGB),
