@@ -1609,6 +1609,63 @@ def r24_sequence_packing(spark, sf_dir):
     )
 
 
+def r25_image_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs by DCT perceptual hash
+    (operators/multimodal.image_near_duplicates): real PNG/JPEG decode →
+    grayscale → 32×32 resample → 2-D DCT-II → 63-bit median-threshold
+    hash (DC dropped ⇒ brightness-shift invariant), then Hamming
+    candidates through the SAME AND-of-block-combinations pigeonhole
+    banding SimHash uses (recall 1.0, never all-pairs) and an exact
+    popcount filter. Brute-force parity + planted-twin recovery in
+    tests/test_multimodal_signals.py. Emits each image's hash plus its
+    within-threshold partner count."""
+    _ship_package(spark)
+    from pdf_parser_spark.operators import multimodal as mm
+
+    media = mm.media_table(spark, n_rows=96, partitions=8, real_payloads=True)
+    sig = mm.image_phash(media, fake=False)
+    pairs = mm.image_near_duplicates(media, max_hamming=16, fake=False)
+    partners = (
+        pairs.select(F.col("a_id").alias("media_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_neardups"))
+    )
+    return (
+        sig.join(partners, "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce("n_neardups", F.lit(0)).alias("n_neardups"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def r26_audio_spectrogram(spark, sf_dir):
+    """Framed-FFT audio features (operators/multimodal.
+    audio_spectrogram_features): real 16-bit PCM WAV decode → Hann-windowed
+    512-sample frames every 256 → rfft power spectrum → 16 log band
+    energies, mean+std over frames (dim 32), plus the peak frequency of the
+    frame-averaged spectrum. Pure-tone peak recovery and a loop-form numpy
+    twin (1e-8) in tests/test_multimodal_signals.py. Arrays are scalarized
+    (md5 of CSV) for the driver canonicalizer."""
+    _ship_package(spark)
+    from pdf_parser_spark.operators import multimodal as mm
+
+    media = mm.media_table(spark, n_rows=96, partitions=8, real_payloads=True)
+    out = mm.audio_spectrogram_features(media, fake=False)
+    return out.select(
+        "media_id",
+        "n_frames",
+        F.round("peak_hz", 3).alias("peak_hz"),
+        "decoded",
+        F.md5(F.concat_ws(",", F.col("feature").cast("array<string>"))).alias(
+            "feature_md5"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1691,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r22_quality_classifier": r22_quality_classifier,
         "r23_dsir_resample": r23_dsir_resample,
         "r24_sequence_packing": r24_sequence_packing,
+        "r25_image_phash_neardup": r25_image_phash_neardup,
+        "r26_audio_spectrogram": r26_audio_spectrogram,
     }
 
 

@@ -233,6 +233,210 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, 'ortho' norm — the public
+    JPEG/pHash transform): D[k, m] = c_k * cos(pi * (2m + 1) * k / (2n)),
+    c_0 = sqrt(1/n), c_k = sqrt(2/n). D @ x applies the 1-D DCT; the 2-D
+    transform of an image A is D @ A @ D.T."""
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    m = np.arange(n).reshape(1, -1).astype(np.float64)
+    d = np.cos(np.pi * (2.0 * m + 1.0) * k / (2.0 * n)) * np.sqrt(2.0 / n)
+    d[0, :] *= np.sqrt(0.5)
+    return d
+
+
+def _phash_bits(arr: np.ndarray, hash_size: int = 8, resample: int = 32) -> int:
+    """64-bit perceptual hash of a decoded image array (classic DCT pHash).
+
+    grayscale (channel mean) → nearest-neighbour resample to
+    resample×resample → 2-D DCT-II → keep the top-left hash_size×hash_size
+    low-frequency block EXCLUDING the DC term [0,0] (63 coefficients at the
+    default) → each bit = coefficient > median(coefficients).
+
+    Dropping DC makes the hash exactly invariant to global brightness
+    shifts (a constant offset only moves the DC coefficient), and leaves
+    bit 63 permanently 0 so the packed value is always a non-negative
+    int64 — no sign wrapping in the Spark `long` column.
+    """
+    if hash_size * hash_size - 1 > 64:
+        raise ValueError(
+            f"hash_size={hash_size} needs {hash_size * hash_size - 1} bits; "
+            "the packed hash is one 64-bit long"
+        )
+    a = arr.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    elif a.ndim != 2:
+        raise ValueError(f"image array must be HxW or HxWxC, got shape {a.shape}")
+    ys = np.arange(resample) * a.shape[0] // resample
+    xs = np.arange(resample) * a.shape[1] // resample
+    small = a[ys][:, xs]
+    d = _dct_matrix(resample)
+    coef = d @ small @ d.T
+    block = coef[:hash_size, :hash_size].reshape(-1)[1:]  # drop DC at [0,0]
+    bits = block > np.median(block)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_phash(media: DataFrame, fake: bool = True, hash_size: int = 8,
+                resample: int = 32) -> DataFrame:
+    """(media_id, phash long, decoded boolean) — DCT perceptual hash per image.
+
+    Shuffle-free map over the image rows only (non-image rows are filtered
+    before the UDF, so the pushed-down predicate keeps video payloads out
+    of the Arrow transfer entirely). The 64-bit hash has the same Hamming
+    geometry as a SimHash signature, so near-duplicate candidate
+    generation reuses the AND-of-block-combinations banding from
+    operators/dedupe.py unchanged — recall 1.0 by pigeonhole, never
+    all-pairs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    arr = _decode(bytes(payload), "image", fake)
+                    hashes.append(_phash_bits(arr, hash_size, resample))
+                    ok.append(True)
+                except NotImplementedError:
+                    hashes.append(0)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "phash": pd.array(hashes, dtype="int64"),
+                    "decoded": ok,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema="media_id long, phash long, decoded boolean")
+    )
+
+
+def image_near_duplicates(media: DataFrame, max_hamming: int = 6,
+                          fake: bool = True, n_blocks: int | None = None) -> DataFrame:
+    """(a_id, b_id, hamming) image near-dup pairs by pHash Hamming distance.
+
+    The multimodal twin of dedupe.simhash_near_duplicates: pHash the image
+    rows (one shuffle-free map), then generate candidates through the SAME
+    sound pigeonhole banding (_simhash_band_keys — max_hamming flipped bits
+    leave at least one full block-combination key shared), and keep only
+    pairs whose exact popcount distance is within max_hamming. Recall is
+    1.0 by construction; cost is the banded equi-join, never all-pairs —
+    the image-dedup shape that survives a 10^9-image corpus.
+    """
+    from pdf_parser_spark.operators import dedupe
+
+    sig = image_phash(media, fake=fake).filter(F.col("decoded")).select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    cand = dedupe.simhash_candidates(sig, max_hamming, n_blocks)
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def audio_spectrogram_features(media: DataFrame, n_bands: int = 16,
+                               frame_len: int = 512, hop: int = 256,
+                               fake: bool = True) -> DataFrame:
+    """(media_id, feature array<double>, n_frames int, peak_hz double, decoded)
+    — real signal-level audio features via framed FFT (mapInPandas).
+
+    Per audio row: decode to mono float in [-1, 1] (real path reads the
+    int16 PCM straight from the WAV — not the uint8 rebias the shared
+    moment kernel uses), slice into Hann-windowed frames of ``frame_len``
+    samples every ``hop``, take the real FFT power spectrum per frame,
+    pool the frame_len/2+1 bins into ``n_bands`` contiguous bands, and
+    emit log10 band energies: per-band mean over frames concatenated with
+    per-band std (feature dim = 2*n_bands, feeds the similarity/dedup
+    operators like any embedding). ``peak_hz`` is the frequency of the
+    strongest non-DC bin of the frame-averaged spectrum — a cheap,
+    testable tone detector.
+
+    Scale: shuffle-free map over audio rows only; frames are a strided
+    view (no copy), FFT batched as one (n_frames, frame_len) rfft call.
+    """
+    eps = 1e-12
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark import media_codecs
+
+        window = np.hanning(frame_len)
+        for pdf in batches:
+            feats, nfr, peaks, ok = [], [], [], []
+            for payload, rate in zip(pdf["payload"], pdf["sample_rate"]):
+                try:
+                    data = bytes(payload)
+                    if not fake:
+                        if not data.startswith(b"RIFF"):
+                            raise NotImplementedError(
+                                "real audio decode supports 16-bit PCM WAV only"
+                            )
+                        samples, rate = media_codecs.decode_wav(data)
+                        mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    else:
+                        raw = _decode(data, "audio", fake=True)
+                        mono = raw.astype(np.float64) / 127.5 - 1.0
+                        rate = int(rate) if rate == rate and rate else 16000
+                    if len(mono) < frame_len:
+                        mono = np.pad(mono, (0, frame_len - len(mono)))
+                    n_frames = 1 + (len(mono) - frame_len) // hop
+                    idx = (
+                        np.arange(frame_len)[None, :]
+                        + hop * np.arange(n_frames)[:, None]
+                    )
+                    power = np.abs(np.fft.rfft(mono[idx] * window, axis=1)) ** 2
+                    bands = np.stack(
+                        [b.mean(axis=1) for b in np.array_split(power, n_bands, axis=1)],
+                        axis=1,
+                    )
+                    logb = np.log10(bands + eps)
+                    v = np.concatenate([logb.mean(axis=0), logb.std(axis=0)])
+                    mean_spec = power.mean(axis=0)
+                    peak_bin = 1 + int(np.argmax(mean_spec[1:]))
+                    feats.append([round(float(x), 9) for x in v])
+                    nfr.append(n_frames)
+                    peaks.append(peak_bin * float(rate) / frame_len)
+                    ok.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    nfr.append(0)
+                    peaks.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "feature": feats,
+                    "n_frames": pd.array(nfr, dtype="int32"),
+                    "peak_hz": pd.array(peaks, dtype="float64"),
+                    "decoded": ok,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", F.col("meta.sample_rate").alias("sample_rate"))
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, feature array<double>, n_frames int, "
+                "peak_hz double, decoded boolean"
+            ),
+        )
+    )
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = True) -> DataFrame:
     """Image resize stage: decode → nearest-neighbour resample → re-encode.

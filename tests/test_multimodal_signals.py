@@ -1,0 +1,211 @@
+"""Image perceptual-hash near-dup + framed-FFT audio features.
+
+Round-4 additions to the multimodal operator set: image dedup via DCT
+pHash (Hamming-banded candidates through the SimHash pigeonhole machinery)
+and real signal-level audio features (Hann-windowed rfft band energies).
+Everything here is deterministic and from public formulas (DCT-II 'ortho'
+basis, classic pHash recipe, short-time power spectrum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark import media_codecs
+from pdf_parser_spark.operators import multimodal as mm
+
+MEDIA_COLS = ["media_id", "url", "kind", "payload", "meta"]
+
+
+def _media_row(i: int, kind: str, payload: bytes, sample_rate=None):
+    return (
+        i,
+        f"https://host/{i}",
+        kind,
+        payload,
+        {"mime": None, "width": None, "height": None,
+         "duration_ms": None, "sample_rate": sample_rate},
+    )
+
+
+def _image_df(spark, arrays):
+    rows = [
+        _media_row(i, "image", media_codecs.encode_png(a))
+        for i, a in enumerate(arrays)
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------- DCT basis
+
+
+def test_dct_matrix_matches_direct_formula():
+    n = 8
+    d = mm._dct_matrix(n)
+    # direct O(n^2) evaluation of the orthonormal DCT-II definition
+    want = np.zeros((n, n))
+    for k in range(n):
+        ck = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+        for m_ in range(n):
+            want[k, m_] = ck * np.cos(np.pi * (2 * m_ + 1) * k / (2 * n))
+    assert np.allclose(d, want, atol=1e-12)
+    # orthonormal: D @ D.T == I
+    assert np.allclose(d @ d.T, np.eye(n), atol=1e-12)
+
+
+def test_phash_bits_is_deterministic_and_64bit_safe():
+    arr = np.random.default_rng(7).integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    h1 = mm._phash_bits(arr)
+    h2 = mm._phash_bits(arr.copy())
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 63)  # DC dropped -> top bit always clear
+
+
+def test_phash_rejects_oversized_hash():
+    arr = np.zeros((32, 32), dtype=np.uint8)
+    with pytest.raises(ValueError, match="64-bit"):
+        mm._phash_bits(arr, hash_size=9)
+
+
+def test_phash_brightness_shift_invariant():
+    # constant brightness offset only moves the DC coefficient, which the
+    # hash drops -> identical hash (pixels kept clip-free)
+    rng = np.random.default_rng(11)
+    base = rng.integers(20, 200, size=(48, 64, 3), dtype=np.uint8)
+    assert mm._phash_bits(base) == mm._phash_bits(base + 20)
+
+
+def test_phash_separates_unrelated_images():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    dist = bin(mm._phash_bits(a) ^ mm._phash_bits(b)).count("1")
+    assert dist > 10  # expected ~31.5 for independent hashes
+
+
+# ------------------------------------------------------------- Spark pHash
+
+
+def test_image_phash_matches_local_kernel(spark):
+    rng = np.random.default_rng(5)
+    arrays = [
+        rng.integers(0, 256, size=(40 + 4 * i, 56 + 4 * i, 3), dtype=np.uint8)
+        for i in range(6)
+    ]
+    got = {
+        r["media_id"]: r["phash"]
+        for r in mm.image_phash(_image_df(spark, arrays), fake=False).collect()
+    }
+    want = {i: mm._phash_bits(a) for i, a in enumerate(arrays)}
+    assert got == want
+
+
+def test_image_phash_filters_to_images_only(spark):
+    media = mm.media_table(spark, n_rows=24, partitions=2, real_payloads=True)
+    out = mm.image_phash(media, fake=False)
+    rows = out.collect()
+    image_ids = {i for i in range(24) if i % 3 == 0}
+    assert {r["media_id"] for r in rows} == image_ids
+    assert all(r["decoded"] for r in rows)
+
+
+def test_image_near_duplicates_brute_force_parity(spark):
+    # corpus: 12 base images + a perturbed near-copy of each (small pixel
+    # noise on a few sites) + brightness-shifted exact twins
+    rng = np.random.default_rng(9)
+    arrays = []
+    for _ in range(12):
+        base = rng.integers(20, 200, size=(48, 64, 3), dtype=np.uint8)
+        near = base.copy()
+        ys = rng.integers(0, 48, size=30)
+        xs = rng.integers(0, 64, size=30)
+        near[ys, xs] = rng.integers(0, 256, size=(30, 3), dtype=np.uint8)
+        arrays.extend([base, near, base + 20])
+    max_h = 10
+    pairs = mm.image_near_duplicates(
+        _image_df(spark, arrays), max_hamming=max_h, fake=False
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
+    # brute force over the same hashes
+    hashes = [mm._phash_bits(a) for a in arrays]
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= max_h:
+                want[(i, j)] = d
+    assert got == want  # recall 1.0 by pigeonhole, precision exact by popcount
+    # the construction planted each (base, +20-twin) pair at distance 0
+    n = len(arrays)
+    assert all(want.get((i, i + 2), 99) == 0 for i in range(0, n, 3))
+
+
+# ------------------------------------------------------------- audio FFT
+
+
+def _wav_df(spark, rows):
+    """rows: list of (media_id, int16 mono samples, rate)."""
+    data = [
+        _media_row(i, "audio", media_codecs.encode_wav(s, sample_rate=r), r)
+        for i, s, r in rows
+    ]
+    return spark.createDataFrame(data, schema=mm.MEDIA_SCHEMA)
+
+
+def test_spectrogram_peak_finds_pure_tone(spark):
+    rate, f = 16000, 2000.0
+    t = np.arange(rate) / rate  # 1 second
+    tone = (10000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    out = mm.audio_spectrogram_features(
+        _wav_df(spark, [(0, tone, rate)]), fake=False
+    ).collect()
+    assert len(out) == 1 and out[0]["decoded"]
+    # bin resolution = rate / frame_len = 31.25 Hz
+    assert abs(out[0]["peak_hz"] - f) <= 16000 / 512
+    assert out[0]["n_frames"] == 1 + (rate - 512) // 256
+    assert len(out[0]["feature"]) == 32
+
+
+def test_spectrogram_matches_numpy_twin(spark):
+    rng = np.random.default_rng(21)
+    samples = rng.integers(-20000, 20000, size=4096).astype(np.int16)
+    rate, frame_len, hop, n_bands = 16000, 512, 256, 16
+    row = mm.audio_spectrogram_features(
+        _wav_df(spark, [(0, samples, rate)]),
+        n_bands=n_bands, frame_len=frame_len, hop=hop, fake=False,
+    ).collect()[0]
+    # direct per-frame recomputation (loop form, no strided view)
+    mono = samples.astype(np.float64) / 32768.0
+    window = np.hanning(frame_len)
+    n_frames = 1 + (len(mono) - frame_len) // hop
+    power = np.stack([
+        np.abs(np.fft.rfft(mono[k * hop:k * hop + frame_len] * window)) ** 2
+        for k in range(n_frames)
+    ])
+    logb = np.log10(np.stack(
+        [b.mean(axis=1) for b in np.array_split(power, n_bands, axis=1)], axis=1
+    ) + 1e-12)
+    want = np.concatenate([logb.mean(axis=0), logb.std(axis=0)])
+    assert np.allclose(np.array(row["feature"]), want, atol=1e-8)
+
+
+def test_spectrogram_short_clip_pads_to_one_frame(spark):
+    samples = (np.ones(100) * 5000).astype(np.int16)
+    row = mm.audio_spectrogram_features(
+        _wav_df(spark, [(0, samples, 16000)]), fake=False
+    ).collect()[0]
+    assert row["decoded"] and row["n_frames"] == 1
+
+
+def test_spectrogram_fake_plumbing_covers_audio_rows_only(spark):
+    media = mm.media_table(spark, n_rows=30, partitions=3)
+    rows = mm.audio_spectrogram_features(media, fake=True).collect()
+    audio_ids = {i for i in range(30) if i % 3 == 1}
+    assert {r["media_id"] for r in rows} == audio_ids
+    assert all(r["decoded"] and len(r["feature"]) == 32 for r in rows)
+    # deterministic: same table twice -> same features
+    again = mm.audio_spectrogram_features(media, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in rows} == {
+        r["media_id"]: r["feature"] for r in again
+    }
