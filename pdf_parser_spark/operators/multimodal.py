@@ -347,6 +347,84 @@ def image_near_duplicates(media: DataFrame, max_hamming: int = 6,
     )
 
 
+def video_frame_phashes(media: DataFrame, every_ms: int = 1000,
+                        fake: bool = True, hash_size: int = 8,
+                        resample: int = 32) -> DataFrame:
+    """(media_id, frame_index, phash long) — DCT pHash per sampled frame.
+
+    Same metadata-driven sampling rule as sample_frames (one frame per
+    ``every_ms`` of meta.duration_ms, capped at the decoded frame count),
+    but emitting the 63-bit perceptual hash instead of raw bytes — the
+    narrow shape video dedup joins on. Shuffle-free map over video rows.
+    """
+    videos = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                frames = _decode(bytes(payload), "video", fake)
+                n = max(1, int(dur or 0) // every_ms)
+                for j in range(min(n, len(frames))):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_index": j,
+                            "phash": _phash_bits(
+                                frames[j % len(frames)], hash_size, resample
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "phash"])
+
+    return videos.mapInPandas(
+        run, schema="media_id long, frame_index int, phash long"
+    )
+
+
+def video_near_duplicates(media: DataFrame, min_shared: int = 2,
+                          every_ms: int = 1000, fake: bool = True,
+                          max_frame_freq: int = 1024) -> DataFrame:
+    """(a_id, b_id, n_shared) video pairs sharing ≥ min_shared frame hashes.
+
+    Video dedup as a composition: sampled-frame pHashes (exact 64-bit
+    equality — re-encodes of the same frames hash identically), one
+    equi-join on the hash value, then a pair count. Never all-pairs: only
+    videos sharing a concrete frame hash meet in the join.
+
+    The skew guard matters at scale: a near-constant frame (black, white,
+    station logo) appears in millions of videos and would make the
+    self-join quadratic in its frequency. Hashes seen in more than
+    ``max_frame_freq`` videos are dropped before the join — the stop-gram
+    trick from text passage dedup — and hashes seen in only one video
+    cannot form a pair, so both tails are pruned by the same frequency
+    aggregate.
+    """
+    per_video = (
+        video_frame_phashes(media, every_ms=every_ms, fake=fake)
+        .select("media_id", "phash")
+        .distinct()
+    )
+    freq = per_video.groupBy("phash").agg(F.count("*").alias("n_videos"))
+    joinable = freq.filter(
+        (F.col("n_videos") >= 2) & (F.col("n_videos") <= max_frame_freq)
+    ).select("phash")
+    narrowed = per_video.join(joinable, "phash")
+    a = narrowed.select(F.col("media_id").alias("a_id"), "phash")
+    b = narrowed.select(F.col("media_id").alias("b_id"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def audio_spectrogram_features(media: DataFrame, n_bands: int = 16,
                                frame_len: int = 512, hop: int = 256,
                                fake: bool = True) -> DataFrame:

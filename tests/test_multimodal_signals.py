@@ -209,3 +209,69 @@ def test_spectrogram_fake_plumbing_covers_audio_rows_only(spark):
     assert {r["media_id"]: r["feature"] for r in rows} == {
         r["media_id"]: r["feature"] for r in again
     }
+
+
+# ---------------------------------------------------------- video near-dup
+
+
+def _video_df(spark, rows):
+    """rows: list of (media_id, (n,h,w,3) uint8 frames) — 1 fps Y4M."""
+    data = []
+    for i, frames in rows:
+        r = _media_row(i, "video", media_codecs.encode_y4m(frames, colorspace="C444"))
+        r[4]["duration_ms"] = len(frames) * 1000
+        data.append(r)
+    return spark.createDataFrame(data, schema=mm.MEDIA_SCHEMA)
+
+
+def _frames(seed, n, h=32, w=32):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+
+
+def test_video_frame_phashes_sampling_and_determinism(spark):
+    fa = _frames(1, 6)
+    out = mm.video_frame_phashes(_video_df(spark, [(0, fa)]), fake=False).collect()
+    assert sorted(r["frame_index"] for r in out) == list(range(6))
+    want = {j: mm._phash_bits(fa[j]) for j in range(6)}
+    assert {r["frame_index"]: r["phash"] for r in out} == want
+
+
+def test_video_near_duplicates_shared_frames(spark):
+    fa = _frames(1, 6)
+    fb = np.concatenate([fa[:3], _frames(2, 3)])  # shares 3 frames with A
+    fc = _frames(3, 6)                            # shares none
+    df = _video_df(spark, [(0, fa), (1, fb), (2, fc)])
+    pairs = mm.video_near_duplicates(df, min_shared=2, fake=False).collect()
+    assert [(r["a_id"], r["b_id"], r["n_shared"]) for r in pairs] == [(0, 1, 3)]
+
+
+def test_video_near_duplicates_stop_frame_guard(spark):
+    # 5 videos all containing the same constant frame + one unique frame:
+    # without the frequency guard the constant frame pairs everything
+    black = np.zeros((1, 32, 32, 3), dtype=np.uint8)
+    rows = [
+        (i, np.concatenate([black, _frames(100 + i, 1)])) for i in range(5)
+    ]
+    df = _video_df(spark, rows)
+    unguarded = mm.video_near_duplicates(
+        df, min_shared=1, fake=False, max_frame_freq=1024
+    ).count()
+    guarded = mm.video_near_duplicates(
+        df, min_shared=1, fake=False, max_frame_freq=3
+    ).count()
+    assert unguarded == 10  # C(5,2) via the stop frame
+    assert guarded == 0     # stop frame dropped, unique frames pair nothing
+
+
+def test_video_frame_phashes_fake_plumbing(spark):
+    media = mm.media_table(spark, n_rows=30, partitions=3)
+    out = mm.video_frame_phashes(media, fake=True).collect()
+    video_ids = {i for i in range(30) if i % 3 == 2}
+    assert {r["media_id"] for r in out} == video_ids
+    # fake decode yields 4 frames; sampling caps at min(duration_s, 4)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(len(v) == min((i % 30) + 1, 4) for i, v in by_id.items())
