@@ -1666,6 +1666,20 @@ def r26_audio_spectrogram(spark, sf_dir):
     )
 
 
+def r27_span_dedup(spark, sf_dir):
+    """ExactSubstr-style span dedup (operators/dedupe.span_dedup): every
+    duplicated sliding 8-word span keeps its global first (doc, position)
+    occurrence; later occurrences are cut at word resolution (overlapping
+    windows merged into maximal spans row-locally via F.aggregate). The
+    position-resolved counterpart of q54's tiled passage dedup — Lee et
+    al. 2022's suffix-array formulation reduced to anchor grams. Parity
+    vs a single-process reference in tests/test_span_dedup.py."""
+    from pdf_parser_spark.operators import dedupe
+
+    d = _t(spark, sf_dir, "documents")
+    return dedupe.span_dedup(d, k=8).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1750,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r24_sequence_packing": r24_sequence_packing,
         "r25_image_phash_neardup": r25_image_phash_neardup,
         "r26_audio_spectrogram": r26_audio_spectrogram,
+        "r27_span_dedup": r27_span_dedup,
     }
 
 

@@ -486,3 +486,132 @@ def passage_dedup(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def span_dedup(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
+               text_col: str = "text", hash_grams: bool = True) -> DataFrame:
+    """ExactSubstr-style dedup: remove every NON-FIRST occurrence of any
+    duplicated word span of length >= k, at word-position resolution.
+
+    The sliding-window counterpart of :func:`passage_dedup` (which tiles).
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better" — public methodology) build a suffix array to find substrings
+    of >= 50 tokens that occur twice anywhere in the corpus and cut all
+    but one occurrence. At fixed word granularity the suffix-array
+    machinery reduces to anchor grams: a span of >= k words is duplicated
+    iff every one of its sliding k-grams is duplicated, so marking the
+    duplicated gram START positions and merging overlapping [p, p+k)
+    windows recovers exactly the maximal duplicated spans.
+
+    Retention is globally deterministic: each duplicated gram keeps its
+    min (doc_id, position) occurrence (the same argmin contract as
+    passage_dedup), every other occurrence's window is cut. Within-doc
+    repeats count — a doc that repeats its own boilerplate keeps the
+    first copy only.
+
+    Returns (doc_id, dedup_text, n_tokens, n_removed) — one row per input
+    document; dedup_text is whitespace-normalized (single spaces), like
+    passage_dedup.
+
+    Scale shape — one gram-keyed exchange plus one doc-keyed exchange:
+    - grams are built row-local in codegen (one Generate, 24-byte rows
+      when hash_grams=True; the stream is k x larger than the tiled
+      passage stream — the price of position resolution);
+    - the duplicated-gram argmin is a min(struct) hash aggregate with
+      map-side partials (Zipfian boilerplate collapses per mapper);
+    - on web text most grams are unique, so the dup table that joins back
+      is far smaller than the gram stream and reuses its partitioning;
+    - interval merge and text stitching are row-local higher-order
+      functions (F.aggregate) — no window over the corpus, no Python.
+    """
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws")).persist()
+
+    wcol = F.col("_ws")
+    gram_at = (
+        (lambda i: F.xxhash64(F.array_join(F.slice(wcol, i, k), " ")))
+        if hash_grams
+        else (lambda i: F.array_join(F.slice(wcol, i, k), " "))
+    )
+    grams = base.filter(F.size(wcol) >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.size(wcol) - (k - 1)), gram_at)
+        ).alias("_zp", "gram"),
+    ).select("doc_id", (F.col("_zp") + 1).alias("pos"), "gram").persist()
+
+    dups = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("gram", "_first")
+    )
+    removals = (
+        grams.join(dups, "gram")
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_ps"))
+    )
+
+    # row-local interval merge + stitch: fold the sorted duplicated start
+    # positions with a (cursor, kept-text, removed-count) accumulator;
+    # cursor = first not-yet-emitted 1-based word index
+    acc0 = F.struct(
+        F.lit(1).alias("cur"), F.lit("").alias("out"), F.lit(0).alias("rm")
+    )
+
+    def step(acc, p):
+        gap = F.when(
+            p > acc["cur"],
+            F.array_join(F.slice(wcol, acc["cur"], p - acc["cur"]), " "),
+        ).otherwise(F.lit(""))
+        out = F.array_join(
+            F.filter(F.array(acc["out"], gap), lambda x: x != F.lit("")), " "
+        )
+        new_cur = F.greatest(acc["cur"], p + k)
+        rm = acc["rm"] + (new_cur - F.greatest(acc["cur"], p))
+        return F.struct(new_cur.alias("cur"), out.alias("out"), rm.alias("rm"))
+
+    def finish(acc):
+        tail = F.when(
+            F.size(wcol) >= acc["cur"],
+            F.array_join(
+                F.slice(wcol, acc["cur"], F.size(wcol) - acc["cur"] + 1), " "
+            ),
+        ).otherwise(F.lit(""))
+        text = F.array_join(
+            F.filter(F.array(acc["out"], tail), lambda x: x != F.lit("")), " "
+        )
+        return F.struct(text.alias("text"), acc["rm"].alias("rm"))
+
+    stitched = (
+        base.join(removals, "doc_id", "left")
+        .withColumn(
+            "_r",
+            F.aggregate(
+                F.coalesce(F.col("_ps"), F.array().cast("array<int>")),
+                acc0,
+                step,
+                finish,
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("_r.text").alias("dedup_text"),
+            F.size(wcol).cast("long").alias("n_tokens"),
+            F.col("_r.rm").cast("long").alias("n_removed"),
+        )
+    )
+    return stitched
