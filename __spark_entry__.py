@@ -1680,6 +1680,44 @@ def r27_span_dedup(spark, sf_dir):
     return dedupe.span_dedup(d, k=8).orderBy("doc_id")
 
 
+def r28_incremental_neardup(spark, sf_dir):
+    """Incremental near-dup against a persisted MinHash index
+    (plans/incremental_dedup.IncrementalNearDup): batch 1 indexes the
+    even-id half of `documents`; batch 2 mixes re-keyed copies of batch-1
+    texts (must be flagged vs the INDEX, never re-signing it) with the
+    odd-id half (mostly novel). The index side is a columnar scan probed
+    by a broadcast of the batch — no index shuffle; signatures verify via
+    the native zip_with MinHash estimator. Exactly-once per batch id;
+    crash-between-commits convergence in tests/test_incremental_dedup.py."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.plans.incremental_dedup import IncrementalNearDup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incr-neardup-")
+    try:
+        idx = IncrementalNearDup(spark, root, threshold=0.7)
+        idx.dedup_batch(d.filter(F.col("doc_id") % 2 == 0), batch_id=1)
+        copies = (
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        batch2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+        out = idx.dedup_batch(batch2, batch_id=2)
+        return (
+            out.groupBy("is_dup")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.count("matched_id").alias("n_matched"),
+            )
+            .orderBy("is_dup")
+            .localCheckpoint()  # sever lineage from the temp index files
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1765,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r25_image_phash_neardup": r25_image_phash_neardup,
         "r26_audio_spectrogram": r26_audio_spectrogram,
         "r27_span_dedup": r27_span_dedup,
+        "r28_incremental_neardup": r28_incremental_neardup,
     }
 
 

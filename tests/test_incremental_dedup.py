@@ -1,0 +1,123 @@
+"""IncrementalNearDup: cross-batch dedup against the persisted index,
+in-batch predecessor rule, exactly-once replay, partial-commit recovery."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.plans.incremental_dedup import IncrementalNearDup
+
+
+def _text(seed: int, n: int = 60) -> str:
+    rng = random.Random(seed)
+    return " ".join(f"w{rng.randrange(500)}" for _ in range(n))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _decisions(df):
+    return {
+        r["doc_id"]: (r["is_dup"], r["matched_id"]) for r in df.collect()
+    }
+
+
+def test_in_batch_predecessor_rule(spark, tmp_path):
+    idx = IncrementalNearDup(spark, str(tmp_path / "idx"))
+    batch = _df(
+        spark,
+        [(1, _text(1)), (2, _text(2)), (3, _text(1)), (4, _text(1))],
+    )
+    got = _decisions(idx.dedup_batch(batch, batch_id=100))
+    assert got[1] == (False, None)
+    assert got[2] == (False, None)
+    assert got[3] == (True, 1)  # min predecessor, not 4
+    assert got[4] == (True, 1)
+    # survivors only reach the index
+    assert sorted(
+        r["doc_id"] for r in idx.sigs.read().select("doc_id").collect()
+    ) == [1, 2]
+
+
+def test_cross_batch_dedup_via_index(spark, tmp_path):
+    idx = IncrementalNearDup(spark, str(tmp_path / "idx"))
+    idx.dedup_batch(_df(spark, [(1, _text(1)), (2, _text(2))]), 1)
+    got = _decisions(
+        idx.dedup_batch(
+            _df(spark, [(10, _text(2)), (11, _text(3))]), 2
+        )
+    )
+    assert got[10] == (True, 2)   # dup of an INDEXED doc
+    assert got[11] == (False, None)
+    assert sorted(
+        r["doc_id"] for r in idx.sigs.read().select("doc_id").collect()
+    ) == [1, 2, 11]
+
+
+def test_replay_is_a_noop(spark, tmp_path):
+    idx = IncrementalNearDup(spark, str(tmp_path / "idx"))
+    idx.dedup_batch(_df(spark, [(1, _text(1))]), 7)
+    vb, vs = idx.bands.current_version(), idx.sigs.current_version()
+    assert idx.dedup_batch(_df(spark, [(1, _text(1))]), 7) is None
+    assert (idx.bands.current_version(), idx.sigs.current_version()) == (vb, vs)
+    assert idx.committed_batches() == {7}
+
+
+def test_partial_commit_converges(spark, tmp_path):
+    """Crash between the two appends: bands committed, sigs not. The
+    replayed batch must produce the SAME decisions (band rows without a
+    committed signature cannot match) and complete the sigs commit
+    without duplicating band rows."""
+    idx = IncrementalNearDup(spark, str(tmp_path / "idx"))
+    idx.dedup_batch(_df(spark, [(1, _text(1))]), 1)
+
+    batch = _df(spark, [(10, _text(1)), (11, _text(5))])
+    # simulate the crash: commit ONLY the bands half of batch 2
+    signed = idx._sign(batch, "doc_id", "text").persist()
+    surv = signed.filter(F.col("doc_id") == 11)  # what a full run would keep
+    surv_bands = surv.select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(16)).cast("int")
+    )
+    idx._append_once(idx.bands, surv_bands, 2)
+    assert idx.committed_batches() == {1}  # not FULLY committed
+
+    got = _decisions(idx.dedup_batch(batch, 2))
+    assert got[10] == (True, 1)
+    assert got[11] == (False, None)
+    assert idx.committed_batches() == {1, 2}
+    # band rows for doc 11 were not appended twice
+    n = (
+        idx.bands.read()
+        .filter(F.col("doc_id") == 11)
+        .groupBy("band")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n == 1
+
+
+def test_index_side_never_shuffles(spark, tmp_path):
+    """The candidate join must broadcast the batch side: the index scan
+    feeds a BroadcastHashJoin, with no Exchange between them."""
+    idx = IncrementalNearDup(spark, str(tmp_path / "idx"))
+    idx.dedup_batch(_df(spark, [(i, _text(i)) for i in range(20)]), 1)
+    batch = idx._sign(_df(spark, [(100, _text(1))]), "doc_id", "text")
+    bands = batch.select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    idx_bands = idx.bands.read().select(
+        "band", "band_hash", F.col("doc_id").alias("idx_id")
+    )
+    plan = (
+        idx_bands.join(F.broadcast(bands), ["band", "band_hash"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
