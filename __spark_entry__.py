@@ -1718,6 +1718,78 @@ def r28_incremental_neardup(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r29_per_host_cap(spark, sf_dir):
+    """RefinedWeb-style per-domain cap (operators/sampling.per_group_cap):
+    keep at most 5 documents per source, best quality first (ties to the
+    smaller doc_id). The rank<=k filter compiles to WindowGroupLimit, so
+    each map partition prunes to its local top-5 per source BEFORE the
+    one host-keyed exchange — the mega-host skew the cap exists to solve
+    never reaches the shuffle (plan-asserted in tests)."""
+    from pdf_parser_spark.operators import textstats as textstats_op
+    from pdf_parser_spark.operators.sampling import per_group_cap
+
+    d = textstats_op.with_text_stats(
+        _t(spark, sf_dir, "documents")
+    ).withColumn("quality", textstats_op.quality_score_col())
+    capped = per_group_cap(d, "source", 5, "quality", "doc_id")
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.min("quality"), 4).alias("min_kept_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def r30_zorder_layout(spark, sf_dir):
+    """Z-order file clustering (operators/layout): bucket `events` along
+    the Morton interleave of (amount_cents, event_ts rank space), write
+    one snapshot-table file per curve range, then PROVE the layout by
+    scan-planning a narrow predicate on EACH column — both prune most
+    files, which a single-column sort cannot do. Emits per-bucket row
+    counts plus the two pruned file counts as audit columns."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.operators.layout import zorder_bucket_col
+    from pdf_parser_spark.plans.snapshots import SnapshotTable
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("amount"),
+        F.col("ts").cast("timestamp").cast("long").cast("double").alias("ts"),
+        "event_id",
+    )
+    root = tempfile.mkdtemp(prefix="zorder-")
+    try:
+        t = SnapshotTable(
+            spark, root, partition_col="bucket", stats_cols=("amount", "ts")
+        )
+        t.append(
+            e.withColumn(
+                "bucket", zorder_bucket_col(e, ["amount", "ts"], num_buckets=16)
+            )
+        )
+        lo_a, hi_a = e.stat.approxQuantile("amount", [0.4, 0.5], 0.001)
+        lo_t, hi_t = e.stat.approxQuantile("ts", [0.4, 0.5], 0.001)
+        n_total = len(t.plan_entries())
+        n_amount = len(t.plan_entries(min_max={"amount": (lo_a, hi_a)}))
+        n_ts = len(t.plan_entries(min_max={"ts": (lo_t, hi_t)}))
+        per_bucket = (
+            t.read()
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("files_total", F.lit(n_total))
+            .withColumn("files_amount_slice", F.lit(n_amount))
+            .withColumn("files_ts_slice", F.lit(n_ts))
+            .orderBy("bucket")
+            .localCheckpoint()  # sever lineage from the temp files
+        )
+        return per_bucket
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1804,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r26_audio_spectrogram": r26_audio_spectrogram,
         "r27_span_dedup": r27_span_dedup,
         "r28_incremental_neardup": r28_incremental_neardup,
+        "r29_per_host_cap": r29_per_host_cap,
+        "r30_zorder_layout": r30_zorder_layout,
     }
 
 

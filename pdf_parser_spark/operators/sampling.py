@@ -131,3 +131,38 @@ def weighted_priority_sample(
         .orderBy(F.col(priority_col).desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    order_col: str,
+    tiebreaker: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, best-first — the
+    RefinedWeb/FineWeb-style per-domain cap (public methodology: cap a
+    single host's share of the corpus so mega-sites cannot dominate a
+    trained distribution).
+
+    Order within a group is (order_col desc|asc, tiebreaker asc);
+    ``tiebreaker`` must be unique so the kept set is deterministic.
+
+    Scale shape: one hash exchange keyed by group_col. The rank-<=-k
+    filter compiles to Spark's WindowGroupLimit, which prunes each MAP
+    partition to its local top-k per group BEFORE the shuffle — a host
+    with 10^8 pages ships ~max_rows rows per mapper, not 10^8, so the
+    skewed-host problem the cap exists to solve never hits the exchange
+    either. (Plan-asserted in tests.)
+    """
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tiebreaker).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )

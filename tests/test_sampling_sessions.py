@@ -167,3 +167,35 @@ def test_tfidf_top_k_ordering_is_deterministic(spark):
     out = textstats.tfidf_top_terms(df, k=3).collect()
     ranks = [(r["tfidf"], r["term"]) for r in out]
     assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+
+
+# ------------------------------------------------------------ per_group_cap
+
+
+def test_per_group_cap_keeps_best_rows(spark):
+    from pdf_parser_spark.operators.sampling import per_group_cap
+
+    rows = [
+        ("a.com", i, float(i % 5)) for i in range(10)
+    ] + [("b.com", 100, 9.0)]
+    df = spark.createDataFrame(rows, "host string, doc_id long, q double")
+    out = per_group_cap(df, "host", 3, "q", "doc_id").collect()
+    got = sorted((r["host"], r["doc_id"]) for r in out)
+    # a.com: best q=4.0 at ids 4,9 then q=3.0 at id 3 (tie → smaller id)
+    assert got == [("a.com", 3), ("a.com", 4), ("a.com", 9), ("b.com", 100)]
+
+
+def test_per_group_cap_compiles_to_window_group_limit(spark):
+    from pdf_parser_spark.operators.sampling import per_group_cap
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("host"), F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("q"),
+    )
+    plan = (
+        per_group_cap(df, "host", 2, "q", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
