@@ -1755,10 +1755,16 @@ def r30_zorder_layout(spark, sf_dir):
     from pdf_parser_spark.operators.layout import zorder_bucket_col
     from pdf_parser_spark.plans.snapshots import SnapshotTable
 
-    e = _t(spark, sf_dir, "events").select(
-        F.col("value").cast("double").alias("amount"),
-        F.col("ts").cast("timestamp").cast("long").cast("double").alias("ts"),
-        "event_id",
+    e = (
+        _t(spark, sf_dir, "events")
+        # a deterministic 10% slice — the layout proof doesn't need the
+        # whole table, just enough rows for 16 real files
+        .filter(F.col("event_id") % 10 == 0)
+        .select(
+            F.col("value").cast("double").alias("amount"),
+            F.col("ts").cast("timestamp").cast("long").cast("double").alias("ts"),
+            "event_id",
+        )
     )
     root = tempfile.mkdtemp(prefix="zorder-")
     try:
