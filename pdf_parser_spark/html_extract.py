@@ -258,6 +258,7 @@ _LOCATESTARTTAGEND_RE = re.compile(
     re.VERBOSE,
 )
 _ENDTAGFIND_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_SIMPLETAG_RE = re.compile(r"([a-zA-Z][-.a-zA-Z0-9:_]*)\s*(/?)>")
 _COMMENTCLOSE_RE = re.compile(r"--\s*>")
 _DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 _MARKEDSECTIONCLOSE_RE = re.compile(r"]\s*]\s*>")
@@ -276,6 +277,22 @@ def _fast_feed(p: _Extractor, rawdata: str) -> None:
     cdata_elem: str | None = None
 
     def _parse_starttag(i: int) -> int:
+        nonlocal cdata_elem
+        # attr-free fast path (~56% of start tags in web text): `<tag>`,
+        # `<tag >`, `<tag/>` need none of the tolerant attr machinery and
+        # behave identically through it — one simple match instead of the
+        # LOCATESTARTTAGEND VERBOSE regex + the attr loop
+        sm = _SIMPLETAG_RE.match(rawdata, i + 1)
+        if sm:
+            tag = sm.group(1).lower()
+            if sm.group(2):
+                p.handle_starttag(tag, [])
+                p.handle_endtag(tag)
+            else:
+                p.handle_starttag(tag, [])
+                if tag in ("script", "style"):
+                    cdata_elem = tag
+            return sm.end()
         # parse_starttag + check_for_whole_start_tag (html/parser.py:300-377)
         m = _LOCATESTARTTAGEND_RE.match(rawdata, i)
         j = m.end()
@@ -320,7 +337,6 @@ def _fast_feed(p: _Extractor, rawdata: str) -> None:
         else:
             p.handle_starttag(tag, attrs)
             if tag in ("script", "style"):
-                nonlocal cdata_elem
                 cdata_elem = tag
         return endpos
 
