@@ -262,6 +262,21 @@ def main() -> None:
                     r"BroadcastNestedLoopJoin", r"BatchEvalPython",
                     r"ArrowEvalPython", r"MapInPandas"],
         ),
+        # span dedup: gram fan-out is a Generate; the dedup argmin carries
+        # a map-side partial_min; interval merge/stitch are higher-order
+        # projections — no Python, no cartesian anywhere
+        "r27_span_dedup": dict(
+            require=[r"Generate", r"partial_min"],
+            forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
+        # per-domain cap: rank<=k compiles to WindowGroupLimit (per-mapper
+        # top-k pruning BEFORE the host exchange); no Python in the plan
+        "r29_per_host_cap": dict(
+            require=[r"WindowGroupLimit"],
+            forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython"],
+        ),
         # as-of join: merge formulation — union + ONE exchange + window;
         # no join operator at all, so no range-join blowup is possible
         "q41_asof_join": dict(
