@@ -522,3 +522,47 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
         )
     )
     return out.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
+
+
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                min_line_chars: int = 0) -> DataFrame:
+    """Within-document line dedup: keep each distinct line's FIRST
+    occurrence, preserving order — the FineWeb/RefinedWeb repetition
+    cleanup for boilerplate lines a page repeats (cookie banners,
+    share bars, list chrome; public methodology).
+
+    Adds dedup_text (surviving lines joined by '\\n'), n_lines, and
+    n_dup_lines. Lines shorter than ``min_line_chars`` after trim are
+    never treated as duplicates (blank/one-char separators carry no
+    repetition signal and removing them would reflow the document).
+
+    Entirely row-local codegen: split → array_distinct (which keeps
+    first occurrences in order) → join. No exchange, no Python — safe
+    to fuse into any scan.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+    if min_line_chars > 0:
+        # tag short lines with their position so distinct() keeps them all
+        keyed = F.transform(
+            lines,
+            lambda ln, i: F.when(
+                F.length(F.trim(ln)) < min_line_chars,
+                F.concat_ws("\x00", ln, i.cast("string")),
+            ).otherwise(ln),
+        )
+        kept = F.transform(
+            F.array_distinct(keyed),
+            lambda ln: F.split(ln, "\x00").getItem(0),
+        )
+    else:
+        kept = F.array_distinct(lines)
+    return (
+        docs.withColumn("_lines", lines)
+        .withColumn("dedup_text", F.array_join(kept, "\n"))
+        .withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn(
+            "n_dup_lines",
+            (F.size("_lines") - F.size(kept)).cast("long"),
+        )
+        .drop("_lines")
+    )

@@ -199,3 +199,41 @@ def test_per_group_cap_compiles_to_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ------------------------------------------------------------- dedup_lines
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    from pdf_parser_spark.operators.textstats import dedup_lines
+
+    doc = "Share this\nreal paragraph one\nShare this\nreal two\nShare this"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = dedup_lines(df).collect()[0]
+    assert r["dedup_text"] == "Share this\nreal paragraph one\nreal two"
+    assert (r["n_lines"], r["n_dup_lines"]) == (5, 2)
+
+
+def test_dedup_lines_short_line_guard(spark):
+    from pdf_parser_spark.operators.textstats import dedup_lines
+
+    doc = "a\n\nx long enough line\n\na\nx long enough line"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = dedup_lines(df, min_line_chars=2).collect()[0]
+    # blank and one-char lines survive; only the long line dedups
+    assert r["dedup_text"] == "a\n\nx long enough line\n\na"
+    assert r["n_dup_lines"] == 1
+
+
+def test_dedup_lines_is_zero_exchange(spark):
+    from pdf_parser_spark.operators.textstats import dedup_lines
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l1\nl2\nl1\n"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = (
+        dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
