@@ -39,6 +39,7 @@ import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _META = "metadata"
 _DATA = "data"
@@ -383,6 +384,58 @@ class SnapshotTable:
         if all_entries:  # pruned to nothing: keep the schema, drop the rows
             return self._read_entries(all_entries).limit(0)
         return self.spark.createDataFrame([], f"{self.partition_col} int")
+
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Incremental (CDC) read: rows ADDED between two snapshots.
+
+        Walks the log from ``from_version`` (exclusive) to ``to_version``
+        (inclusive, default current) and reads, per snapshot, the data
+        files NEW relative to its base — with a ``_change_version``
+        column. Semantics per operation (the copy-on-write contract,
+        matching Iceberg's incremental-read restrictions — public spec):
+
+        - ``append``: exactly the appended rows;
+        - ``overwrite_partitions`` (including merge_rows, which commits
+          as one): the rewritten partitions' full contents — an UPSERT
+          IMAGE, not a row-level delta; downstream consumers keep the
+          latest ``_change_version`` per key;
+        - ``compact`` / ``rollback``: layout-/history-only, contribute
+          nothing (compaction rewrites identical rows; rollback
+          re-publishes an old file set).
+
+        Scan cost is proportional to the CHANGED files only — the log
+        diff happens driver-side on manifests, Spark never lists the
+        table directory.
+        """
+        to_version = (
+            self.current_version() if to_version is None else to_version
+        )
+        parts = []
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot(v)
+            if snap["operation"] not in ("append", "overwrite_partitions"):
+                continue
+            base_paths = {
+                f["path"] for f in self.snapshot(snap["base_version"])["files"]
+            }
+            new_entries = [
+                f for f in snap["files"] if f["path"] not in base_paths
+            ]
+            if new_entries:
+                parts.append(
+                    self._read_entries(new_entries).withColumn(
+                        "_change_version", F.lit(v)
+                    )
+                )
+        if not parts:
+            return self.read(to_version).limit(0).withColumn(
+                "_change_version", F.lit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     # -- maintenance ----------------------------------------------------------
 

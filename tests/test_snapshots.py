@@ -228,3 +228,44 @@ def test_append_refuses_null_partition_values(spark, tmp_path):
     assert t.current_version() == 0
     t.append(_df(spark, [(0, "a", 1)]))
     assert _data(t) == {(0, "a", 1)}
+
+
+# ----------------------------------------------------------- changes (CDC)
+
+
+def test_changes_reads_only_appended_rows(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    _df = lambda rows: spark.createDataFrame(rows, "bucket int, k long, v string")
+    v1 = t.append(_df([(0, 1, "a"), (1, 2, "b")]))
+    v2 = t.append(_df([(0, 3, "c")]))
+    got = t.changes(v1, v2).collect()
+    assert [(r["k"], r["_change_version"]) for r in got] == [(3, v2)]
+    # full range: both appends, stamped with their versions
+    allc = sorted(
+        (r["k"], r["_change_version"]) for r in t.changes(0).collect()
+    )
+    assert allc == [(1, v1), (2, v1), (3, v2)]
+
+
+def test_changes_merge_is_an_upsert_image(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    _df = lambda rows: spark.createDataFrame(rows, "bucket int, k long, v string")
+    v1 = t.append(_df([(0, 1, "a"), (0, 2, "b"), (1, 9, "z")]))
+    v2 = t.merge_rows(_df([(0, 2, "B")]), key_cols=("k",))
+    got = sorted((r["k"], r["v"]) for r in t.changes(v1, v2).collect())
+    # the rewritten partition's FULL contents (k=1 re-added, k=2 updated);
+    # the untouched partition (k=9) does not appear
+    assert got == [(1, "a"), (2, "B")]
+
+
+def test_changes_skips_layout_only_snapshots(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    _df = lambda rows: spark.createDataFrame(rows, "bucket int, k long, v string")
+    t.append(_df([(0, 1, "a")]))
+    v1 = t.append(_df([(0, 2, "b")]))
+    v2 = t.compact(min_files_per_partition=2)
+    assert v2 is not None and v2 > v1
+    assert t.changes(v1).count() == 0  # compaction rewrites, adds nothing
+    v3 = t.rollback(v1)
+    assert t.changes(v2, v3).count() == 0
+    assert "_change_version" in t.changes(v2, v3).columns  # schema kept
