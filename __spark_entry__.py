@@ -1796,6 +1796,47 @@ def r30_zorder_layout(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r31_snapshot_changes(spark, sf_dir):
+    """Incremental CDC reads on the snapshot log (plans/snapshots.
+    SnapshotTable.changes): three commits over `documents` (two appends,
+    one MERGE rewriting a slice), then each delta read back by version
+    range — append deltas are exact, the merge delta is the rewritten
+    partitions' upsert image, and the scan touches only the changed
+    files (manifest-diff on the driver). Returns per-version delta
+    row counts plus the upsert image size."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.plans.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="cdc-")
+    try:
+        t = SnapshotTable(spark, root, stats_cols=("doc_id",))
+        v1 = t.append(d.filter(F.col("doc_id") % 2 == 0))
+        v2 = t.append(d.filter(F.col("doc_id") % 2 == 1))
+        v3 = t.merge_rows(
+            d.filter(F.col("doc_id") % 100 == 0).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" [edited]"))
+            ),
+            key_cols=("doc_id",),
+        )
+        rows = [
+            ("append_1", v1, t.changes(0, v1).count()),
+            ("append_2", v2, t.changes(v1, v2).count()),
+            ("merge_upsert_image", v3, t.changes(v2, v3).count()),
+            ("edited_rows_in_image", v3,
+             t.changes(v2, v3).filter(F.col("text").endswith("[edited]")).count()),
+        ]
+        return spark.createDataFrame(
+            rows, "step string, version int, n_rows long"
+        ).localCheckpoint()  # sever lineage from the temp table files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1884,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r28_incremental_neardup": r28_incremental_neardup,
         "r29_per_host_cap": r29_per_host_cap,
         "r30_zorder_layout": r30_zorder_layout,
+        "r31_snapshot_changes": r31_snapshot_changes,
     }
 
 
