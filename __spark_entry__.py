@@ -1837,6 +1837,23 @@ def r31_snapshot_changes(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r32_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (third ANN layout, Jégou et al. 2011;
+    operators/similarity.pq_train/pq_encode/ann_topk_pq): per-subspace
+    codebooks trained by the same distributed Lloyd shape as IVF, the
+    corpus encoded to m ints per vector (a 32-64x scan-width cut), the
+    query answered by an asymmetric-distance lookup scan over the CODES
+    table plus an exact-cosine re-rank of rerank*k candidates (precision
+    1.0 over the candidate set; recall vs brute force asserted in
+    tests/test_trainingdata_ops.py). Rows-only: iterative training."""
+    from pdf_parser_spark.operators import similarity as similarity_op
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_op.ann_topk_pq(
+        e, query_id=0, k=10, m=8, n_codes=16, dim=64, iters=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1926,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r29_per_host_cap": r29_per_host_cap,
         "r30_zorder_layout": r30_zorder_layout,
         "r31_snapshot_changes": r31_snapshot_changes,
+        "r32_ann_pq": r32_ann_pq,
     }
 
 

@@ -403,3 +403,167 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.92,
     return joined.groupBy("cluster").applyInPandas(
         dedupe_cluster, schema=f"`{id_col}` long, cluster int, keep boolean"
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
+             dim: int = 64, iters: int = 3, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> "np.ndarray":
+    """Per-subspace codebooks (m, n_codes, dim/m) — Jégou et al. 2011
+    product quantization (public methodology): split the (normalized)
+    vector into m subvectors, k-means each subspace independently, so m
+    one-byte-ish codes replace dim floats.
+
+    The distributed Lloyd shape improves on ivf_train's join+explode
+    update: each round is ONE Arrow pass that assigns codes AND
+    accumulates per-(subspace, code) vector sums with np.add.at inside
+    the batch, emitting at most m * n_codes * dim/m partial rows per
+    batch — so the exchange carries codebook-sized partials, never
+    per-row data, and nothing joins back on the id. Deterministic
+    (seeded init, empty codes keep their previous centroid).
+    """
+    if dim % m != 0:
+        raise ValueError("dim must divide evenly into m subspaces")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = rng.standard_normal((m, n_codes, d_sub))
+
+    def partials(books_bc):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            B = books_bc.value  # (m, k, d_sub)
+            acc = np.zeros((m, n_codes, d_sub))
+            cnt = np.zeros((m, n_codes), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                sub = mat.reshape(len(mat), m, d_sub)  # (n, m, d_sub)
+                # ||x - c||^2 argmin == (||c||^2 - 2 x.c) argmin
+                ip = np.einsum("nmd,mkd->nmk", sub, B)
+                dist = (B * B).sum(axis=2)[None, :, :] - 2.0 * ip
+                codes = dist.argmin(axis=2)  # (n, m)
+                for s in range(m):
+                    np.add.at(acc[s], codes[:, s], sub[:, s, :])
+                    np.add.at(cnt[s], codes[:, s], 1)
+            s_idx, c_idx = np.nonzero(cnt)
+            if len(s_idx):
+                yield pd.DataFrame(
+                    {
+                        "sub": s_idx.astype("int32"),
+                        "code": c_idx.astype("int32"),
+                        "vsum": list(acc[s_idx, c_idx]),
+                        "cnt": cnt[s_idx, c_idx],
+                    }
+                )
+        return run
+
+    sc = embeddings.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(books)
+        rows = (
+            embeddings.select(vec_col)
+            .withColumn(id_col, F.lit(0))  # keep the UDF signature stable
+            .mapInPandas(
+                partials(bc),
+                schema="sub int, code int, vsum array<double>, cnt long",
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.array(
+                    *[F.sum(F.element_at("vsum", i + 1)) for i in range(d_sub)]
+                ).alias("vsum"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()
+        )
+        new = books.copy()
+        for r in rows:
+            new[r["sub"], r["code"]] = np.asarray(r["vsum"]) / r["cnt"]
+        books = new
+    return books
+
+
+def pq_encode(embeddings: DataFrame, books: "np.ndarray",
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — each vector's per-subspace code ids.
+
+    The narrow table PQ search scans: m ints (m bytes in a real uint8
+    layout) instead of dim floats — a 32-64x scan-width cut at dim=64."""
+    m, _, d_sub = books.shape
+    bc = embeddings.sparkSession.sparkContext.broadcast(books)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sub = mat.reshape(len(mat), m, d_sub)
+            ip = np.einsum("nmd,mkd->nmk", sub, B)
+            dist = (B * B).sum(axis=2)[None, :, :] - 2.0 * ip
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values,
+                 "codes": list(dist.argmin(axis=2).astype("int32"))}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def ann_topk_pq(embeddings: DataFrame, query_id: int, k: int = 10,
+                m: int = 8, n_codes: int = 16, dim: int = 64,
+                iters: int = 3, seed: int = 42, rerank: int = 4,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ search with asymmetric-distance (ADC) scan + exact re-rank.
+
+    The query builds an (m, n_codes) inner-product lookup table once;
+    the scan approximates cosine as m table lookups per CODE row (never
+    touching the float vectors), keeps the top rerank*k candidates, and
+    exact-cosine re-ranks only those — so precision of the returned
+    ordering is 1.0 over the candidate set, recall is governed by the
+    codebook resolution (asserted against brute force in tests).
+
+    Scale shape: the ADC scan reads the codes table (m ints/row), the
+    lookup is numpy fancy-indexing inside Arrow batches, TakeOrdered
+    keeps rerank*k per partition before the single reduce, and the
+    re-rank joins the tiny candidate set back to the wide vectors —
+    the wide table is read once for encoding, then never scanned again.
+    """
+    books = pq_train(embeddings, m, n_codes, dim, iters, seed, id_col, vec_col)
+    d_sub = dim // m
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, cosine double"
+        )
+    q = np.asarray([float(x) for x in qrow[0][0]], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    table = np.einsum("md,mkd->mk", q.reshape(m, d_sub), books)  # (m, k)
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast(table)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = bc.value
+        cols = np.arange(T.shape[0])
+        for pdf in batches:
+            C = np.stack(pdf["codes"].values)  # (n, m)
+            approx = T[cols[None, :], C].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "approx_ip": approx})
+
+    scored = codes.mapInPandas(adc, schema=f"{id_col} long, approx_ip double")
+    cand = scored.filter(F.col(id_col) != query_id).orderBy(
+        F.desc("approx_ip")
+    ).limit(rerank * k)
+    cands = embeddings.join(
+        cand.select(id_col), id_col, "left_semi"
+    ).unionByName(embeddings.filter(F.col(id_col) == query_id))
+    return cosine_topk(cands, query_id, k, id_col, vec_col)

@@ -337,3 +337,47 @@ def test_ivf_topk_subset_of_exact_with_high_recall(spark):
     assert set(ivf) <= set(r["vec_id"] for r in similarity.cosine_topk(e, 0, 60).collect())
     assert 1 in ivf  # vec 1 = vec 0 + epsilon
     assert len(set(ivf) & set(exact)) >= 5
+
+
+# --------------------------------------------------------- product quantization
+
+
+def test_pq_train_shape_and_determinism(spark):
+    e = _embeddings(spark, n=60, dim=8)
+    b1 = similarity.pq_train(e, m=4, n_codes=4, dim=8, iters=2)
+    b2 = similarity.pq_train(e, m=4, n_codes=4, dim=8, iters=2)
+    assert b1.shape == (4, 4, 2)
+    assert np.allclose(b1, b2)
+
+
+def test_pq_encode_matches_numpy_twin(spark):
+    e = _embeddings(spark, n=40, dim=8)
+    books = similarity.pq_train(e, m=4, n_codes=4, dim=8, iters=2)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(e, books).collect()
+    }
+    pdf = e.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for vid, vec in zip(pdf["vec_id"], mat):
+        sub = vec.reshape(4, 2)
+        want = [
+            int(np.argmin(((books[s] - sub[s]) ** 2).sum(axis=1)))
+            for s in range(4)
+        ]
+        assert got[int(vid)] == want, vid
+
+
+def test_pq_adc_recall_with_exact_rerank(spark):
+    e = _embeddings(spark, n=60, dim=8)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(e, 0, 10).collect()]
+    pq = [r["vec_id"] for r in similarity.ann_topk_pq(
+        e, 0, 10, m=4, n_codes=8, dim=8, iters=2, rerank=3).collect()]
+    # re-rank is exact cosine, so every hit is a genuine neighbour ordering
+    full = [r["vec_id"] for r in similarity.cosine_topk(e, 0, 60).collect()]
+    assert set(pq) <= set(full)
+    assert 1 in pq  # the planted near-dup survives quantization
+    recall = len(set(pq) & set(exact)) / 10
+    print(f"\nPQ recall@10 (m=4, 8 codes, rerank 3x): {recall}")
+    assert recall >= 0.5
