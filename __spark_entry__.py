@@ -1854,6 +1854,85 @@ def r32_ann_pq(spark, sf_dir):
     )
 
 
+def r33_sketches(spark, sf_dir):
+    """Mergeable sketch columns (operators/sketches): per-language
+    HyperLogLog distinct-token estimates vs the exact count (sparse
+    map<int,int> registers, per-key-max merge — build over two document
+    halves, merge, estimate), a KMV bottom-k corpus-overlap estimate
+    between the even/odd doc_id halves' token sets (Jaccard + distinct
+    from two KB-sized arrays, no join), and count-min probes for three
+    known tokens (one-sided error asserted in tests/test_sketches.py).
+    Rows-only: estimates are approximate by design; exactness of the
+    MERGE (sketch(A) ⊕ sketch(B) == sketch(A∪B)) is pytest-asserted."""
+    from pdf_parser_spark.operators import sketches as sk
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            (F.col("doc_id") % 2 == 0).cast("int").alias("half"),
+            F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        # five consumers (two sketch builds + CMS + two exact references)
+        # would each re-run the explode; materialize the token stream once
+        .localCheckpoint()
+    )
+
+    # HLL: build per (lang, half), merge halves → one sketch per lang
+    p = 12
+    halves = sk.hll_build(toks, ["lang", "half"], "tok", p=p)
+    merged = sk.hll_merge(halves.drop("half"), ["lang"])
+    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("exact_distinct"))
+    hll_rows = (
+        merged.select(
+            "lang",
+            F.round(sk.hll_estimate_expr(F.col("hll"), p), 1).alias("estimate"),
+        )
+        .join(exact, "lang")
+        .select(
+            F.concat(F.lit("hll_"), F.col("lang")).alias("probe"),
+            F.col("estimate"),
+            F.col("exact_distinct").cast("double").alias("reference"),
+        )
+    )
+
+    # KMV: token-set overlap between the two halves, no join
+    k = 256
+    kv = sk.kmv_build(toks.withColumn("g", F.lit("all")), ["g", "half"], "tok", k=k)
+    a = kv.filter(F.col("half") == 0).select(F.col("kmv").alias("ka"))
+    b = kv.filter(F.col("half") == 1).select(F.col("kmv").alias("kb"))
+    kmv_rows = a.crossJoin(b).select(
+        F.lit("kmv_token_jaccard").alias("probe"),
+        F.round(sk.kmv_jaccard_expr(F.col("ka"), F.col("kb"), k), 4).alias("estimate"),
+        F.round(
+            sk.kmv_distinct_expr(sk.kmv_merge_expr(F.col("ka"), F.col("kb"), k), k), 1
+        ).alias("reference"),  # union-distinct estimate alongside
+    )
+
+    # CMS: probe three common tokens against per-corpus counters
+    width, depth = 1024, 4
+    cms = sk.cms_build(
+        toks.withColumn("g", F.lit("all")), ["g"], "tok", width=width, depth=depth
+    ).localCheckpoint()
+    probes = spark.createDataFrame([("the",), ("of",), ("data",)], "tok string")
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    cms_rows = (
+        probes.crossJoin(F.broadcast(cms.drop("g")))
+        .select(
+            F.concat(F.lit("cms_"), F.col("tok")).alias("probe"),
+            sk.cms_count_expr(F.col("cms"), F.col("tok"), width, depth)
+            .cast("double")
+            .alias("estimate"),
+            F.col("tok"),
+        )
+        .join(truth, "tok", "left")
+        .select("probe", "estimate", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("reference"))
+    )
+
+    return hll_rows.unionByName(kmv_rows).unionByName(cms_rows).orderBy("probe")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -1944,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r30_zorder_layout": r30_zorder_layout,
         "r31_snapshot_changes": r31_snapshot_changes,
         "r32_ann_pq": r32_ann_pq,
+        "r33_sketches": r33_sketches,
     }
 
 
