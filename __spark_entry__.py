@@ -1933,6 +1933,54 @@ def r33_sketches(spark, sf_dir):
     return hll_rows.unionByName(kmv_rows).unionByName(cms_rows).orderBy("probe")
 
 
+def r34_shard_export(spark, sf_dir):
+    """Deterministic resumable training-shard sink (sources/shards):
+    documents planned into fixed-row shards by global rank (order-aligned
+    bucketing, no SinglePartition window), written one file per shard
+    with a Spark-table manifest (n_rows, token sum, decimal checksum),
+    then a simulated crash (one shard's data deleted, manifest dropped)
+    and a resume run — the audit returns per-shard manifest rows joined
+    with the recomputed-from-disk verification, every row ok=true.
+    Rows-only: filesystem side effects; crash windows are pytest-covered
+    (tests/test_shards.py)."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.sources import shards as sh
+
+    # a deterministic slice keeps the audit at ~8 shards at every sf —
+    # the semantics (geometry, crash, resume, verify) are scale-free
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .filter(F.col("doc_id") < 1024)
+    )
+    root = tempfile.mkdtemp(prefix="shards-")
+    try:
+        sh.export_shards(d, root, "doc_id", "doc_id", rows_per_shard=128,
+                         token_col="n_chars")
+        # crash: lose one shard's data and the whole manifest, then resume
+        shutil.rmtree(f"{root}/data/shard_id=0")
+        shutil.rmtree(f"{root}/_shard_manifest")
+        summary = sh.export_shards(d, root, "doc_id", "doc_id",
+                                   rows_per_shard=128, token_col="n_chars")
+        out = (
+            sh.verify_shards(spark, root, token_col="n_chars")
+            .select(
+                "shard_id",
+                "n_rows",
+                F.col("checksum").cast("string").alias("checksum"),
+                "ok",
+            )
+            .withColumn("resumed_shards", F.lit(summary["shards_written"]))
+            .orderBy("shard_id")
+            .localCheckpoint()  # sever lineage from the temp files
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2024,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r31_snapshot_changes": r31_snapshot_changes,
         "r32_ann_pq": r32_ann_pq,
         "r33_sketches": r33_sketches,
+        "r34_shard_export": r34_shard_export,
     }
 
 
