@@ -1930,7 +1930,37 @@ def r33_sketches(spark, sf_dir):
         .select("probe", "estimate", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("reference"))
     )
 
-    return hll_rows.unionByName(kmv_rows).unionByName(cms_rows).orderBy("probe")
+    # DDSketch histogram: doc-length quantiles vs the exact percentile
+    docs = _t(spark, sf_dir, "documents").withColumn("g", F.lit("all"))
+    alpha = 0.01
+    hist = sk.hist_build(docs, ["g"], "n_chars", alpha=alpha)
+    p50x, p99x = docs.stat.approxQuantile("n_chars", [0.5, 0.99], 0.0)
+    hist_rows = hist.select(
+        F.round(sk.hist_quantile_expr(F.col("hist"), 0.5, alpha), 1).alias("e50"),
+        F.round(sk.hist_quantile_expr(F.col("hist"), 0.99, alpha), 1).alias("e99"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hist_len_p50").alias("probe"),
+                    F.col("e50").alias("estimate"),
+                    F.lit(float(p50x)).alias("reference"),
+                ),
+                F.struct(
+                    F.lit("hist_len_p99").alias("probe"),
+                    F.col("e99").alias("estimate"),
+                    F.lit(float(p99x)).alias("reference"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+    return (
+        hll_rows.unionByName(kmv_rows)
+        .unionByName(cms_rows)
+        .unionByName(hist_rows)
+        .orderBy("probe")
+    )
 
 
 def r34_shard_export(spark, sf_dir):

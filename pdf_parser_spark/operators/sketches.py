@@ -21,6 +21,9 @@ Representations (all plain Spark SQL types, so they survive parquet):
 - CMS:  ``map<int,bigint>`` — sparse (depth*width) counter file.
   Merge = per-key sum. Point query = min over depth rows
   (Cormode & Muthukrishnan 2005). One-sided error: never undercounts.
+- HIST: ``map<int,bigint>`` — log-binned counters (DDSketch, Masson et
+  al. 2019). Merge = per-key sum. Quantile reads within relative error
+  alpha; bin count grows with the value RANGE, never the row count.
 
 Reference parity note: the reference service (acstumler/pdf_parser)
 keeps exact in-memory dicts for its per-user vendor rollups
@@ -66,6 +69,11 @@ __all__ = [
     "cms_merge",
     "cms_merge_expr",
     "cms_count_expr",
+    "hist_build",
+    "hist_merge",
+    "hist_merge_expr",
+    "hist_count_expr",
+    "hist_quantile_expr",
 ]
 
 _TWO63 = float(2**63)
@@ -308,6 +316,105 @@ def cms_merge(
     return slots.groupBy(*group_cols).agg(
         F.map_from_entries(F.collect_list(F.struct("_slot", "_n"))).alias(cms_col)
     )
+
+
+def _hist_gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 0.5:
+        raise ValueError(f"alpha must be in (0, 0.5), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+_HIST_ZERO_KEY = -(2**31)  # log keys never reach this; reserved for v == 0
+
+
+def hist_build(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """One log-binned histogram per group over a NON-NEGATIVE numeric
+    column: ``group_cols..., hist map<int,bigint>`` (DDSketch, Masson et
+    al. 2019 — bin key = ceil(log_gamma(v)), zeros in a reserved key).
+
+    Any quantile read from the sketch is within relative error ``alpha``
+    of the true value; the map stays small because the number of bins is
+    log_gamma(max/min) — ~900 bins spans 10 orders of magnitude at
+    alpha=0.01 — independent of row count. Same scale shape as
+    cms_build: one (group, bin) exchange with map-side partial counts.
+    """
+    gamma = _hist_gamma(alpha)
+    v = F.col(value_col).cast("double")
+    key = (
+        F.when(v < 0, F.raise_error(F.lit("hist_build: negative value")))
+        .when(v == 0, F.lit(_HIST_ZERO_KEY))
+        .otherwise(F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("int"))
+    )
+    bins = (
+        df.select(*group_cols, key.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return bins.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_bin", "_n"))).alias("hist")
+    )
+
+
+def hist_merge_expr(a: Column, b: Column) -> Column:
+    """Pairwise merge (per-bin sum) — exact, like every count merge."""
+    return cms_merge_expr(a, b)
+
+
+def hist_merge(
+    df: DataFrame, group_cols: Sequence[str], hist_col: str = "hist"
+) -> DataFrame:
+    """Merge many histogram rows down to one per group (per-bin sum)."""
+    exploded = df.select(*group_cols, F.explode(F.col(hist_col)).alias("_bin", "_n"))
+    bins = exploded.groupBy(*group_cols, "_bin").agg(F.sum("_n").alias("_n"))
+    return bins.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_bin", "_n"))).alias(hist_col)
+    )
+
+
+def hist_count_expr(hist: Column) -> Column:
+    """Total row count in the sketch (exact — counts merge exactly)."""
+    return F.aggregate(
+        F.map_values(hist), F.lit(0).cast("long"), lambda acc, n: acc + n
+    )
+
+
+def hist_quantile_expr(hist: Column, q: float, alpha: float = 0.01) -> Column:
+    """The q-quantile estimate (double), within relative error ``alpha``
+    of the true order statistic. Pure expression: sort the bins, walk the
+    cumulative counts to the target rank with a fold, convert the bin key
+    back to its midpoint value — no explode, no shuffle, so reading P
+    quantiles from G groups is a G x P projection."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    gamma = _hist_gamma(alpha)
+    entries = F.array_sort(F.map_entries(hist))  # struct sort: key asc
+    total = hist_count_expr(hist)
+    target = F.greatest(F.ceil(F.lit(q) * total.cast("double")).cast("long"), F.lit(1).cast("long"))
+    # fold state: (cum count, found bin key or null)
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(None).cast("int").alias("bin")
+    )
+    walk = F.aggregate(
+        entries,
+        init,
+        lambda acc, e: F.when(acc["bin"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(acc["cum"] + e["value"] >= target, e["key"])
+                .otherwise(F.lit(None).cast("int"))
+                .alias("bin"),
+            )
+        ),
+    )
+    bin_key = walk["bin"]
+    # midpoint of bin (gamma^(k-1), gamma^k]: 2*gamma^k/(gamma+1)
+    mid = F.pow(F.lit(gamma), bin_key.cast("double")) * F.lit(2.0 / (gamma + 1.0))
+    return F.when(bin_key == _HIST_ZERO_KEY, F.lit(0.0)).otherwise(mid)
 
 
 def cms_count_expr(cms: Column, token: Column, width: int = 1024, depth: int = 4) -> Column:

@@ -167,6 +167,50 @@ def test_cms_probe_is_projection_not_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+# -------------------------------------------------------- DDSketch histogram
+
+def test_hist_quantiles_relative_error(spark):
+    # heavy-tailed deterministic values: v = (i % 997 + 1)^2, n = 20k
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"),
+        ((F.col("id") % 997 + 1) * (F.col("id") % 997 + 1)).cast("double").alias("v"),
+    )
+    alpha = 0.01
+    s = sk.hist_build(df, ["g"], "v", alpha=alpha)
+    exact = df.stat.approxQuantile("v", [0.1, 0.5, 0.9, 0.99], 0.0)  # 0.0 = exact
+    row = s.select(
+        *[
+            sk.hist_quantile_expr(F.col("hist"), q, alpha).alias(f"q{int(q*100)}")
+            for q in (0.1, 0.5, 0.9, 0.99)
+        ],
+        sk.hist_count_expr(F.col("hist")).alias("n"),
+    ).first()
+    assert row["n"] == 20_000
+    for got, want in zip((row["q10"], row["q50"], row["q90"], row["q99"]), exact):
+        assert abs(got - want) / want <= alpha * 1.5, (got, want)
+
+
+def test_hist_merge_exact_and_zero_bin(spark):
+    a = spark.range(0, 500).select(F.lit("g").alias("g"), (F.col("id") % 50).cast("double").alias("v"))
+    b = spark.range(500, 1_000).select(F.lit("g").alias("g"), (F.col("id") % 50).cast("double").alias("v"))
+    full = sk.hist_build(a.unionAll(b), ["g"], "v")
+    halves = sk.hist_merge(
+        sk.hist_build(a, ["g"], "v").unionAll(sk.hist_build(b, ["g"], "v")), ["g"]
+    )
+    assert dict(full.first()["hist"]) == dict(halves.first()["hist"])
+
+    # zeros (v = id % 50 == 0 rows) live in the reserved bin; q near the
+    # zero mass returns exactly 0.0
+    z = full.select(sk.hist_quantile_expr(F.col("hist"), 0.01).alias("q")).first()["q"]
+    assert z == 0.0
+
+
+def test_hist_rejects_negatives(spark):
+    df = spark.range(3).select(F.lit("g").alias("g"), (F.col("id") - 1).cast("double").alias("v"))
+    with pytest.raises(Exception, match="negative"):
+        sk.hist_build(df, ["g"], "v").collect()
+
+
 # ------------------------------------------------------------- group fanout
 
 def test_sketches_per_group(spark):
