@@ -135,7 +135,8 @@ def export_shards(
         todo = planned.join(committed, "shard_id", "left_anti")
 
     data_path = os.path.join(root, _DATA)
-    n_todo_shards = todo.select("shard_id").distinct().count()
+    todo_ids = todo.select("shard_id").distinct().localCheckpoint()
+    n_todo_shards = todo_ids.count()
     if n_todo_shards:
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(mode_key, None)
@@ -169,11 +170,13 @@ def export_shards(
     # reconcile: commit every shard that is on disk but not in the
     # manifest — stats computed from the WRITTEN files, so the manifest
     # always describes bytes on disk, and a crash-after-data re-run
-    # commits without rewriting anything
+    # commits without rewriting anything. Anything on disk but
+    # uncommitted is a subset of `todo` (planned minus manifest), so a
+    # semi-join against the todo ids — small on any resume — lets
+    # dynamic partition pruning skip every committed shard directory
+    # instead of re-reading the whole table to commit a gap.
     written = spark.read.parquet(data_path)
-    uncommitted = written
-    if manifest is not None:
-        uncommitted = written.join(manifest.select("shard_id"), "shard_id", "left_anti")
+    uncommitted = written.join(todo_ids, "shard_id", "left_semi")
     # written files carry shard_pos but not _gidx; reconstruct the global
     # index from the shard geometry (it is a pure function of them)
     uncommitted = uncommitted.withColumn(
