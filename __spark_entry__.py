@@ -2011,6 +2011,58 @@ def r34_shard_export(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r35_corpus_rollup(spark, sf_dir):
+    """Incremental sketch-rollup reporting (plans/corpus_report): the
+    documents table ingested as two batches (even/odd doc_id) into a
+    SnapshotTable of per-(lang, batch) rows — exact counters + HLL/KMV/
+    DDSketch columns — then the merged report read back, plus a
+    KMV-powered token-overlap row between two rollups, with NO re-read
+    of raw batch rows. Merged == one-shot equality is pytest-asserted
+    (tests/test_corpus_report.py). Rows-only: filesystem side effects."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.plans.corpus_report import CorpusRollup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = tempfile.mkdtemp(prefix="rollup-")
+    try:
+        roll = CorpusRollup(spark, f"{root}/main")
+        roll.ingest(d.filter(F.col("doc_id") % 2 == 0), batch_id=1)
+        roll.ingest(d.filter(F.col("doc_id") % 2 != 0), batch_id=2)
+        other = CorpusRollup(spark, f"{root}/other")
+        other.ingest(d.filter(F.col("doc_id") % 3 == 0), batch_id=1)
+        rep = roll.report()
+        metrics = [c for c in rep.columns if c != "lang"]
+        long_rep = rep.select(
+            F.lit("report").alias("kind"),
+            "lang",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(m) for m in metrics]),
+                    F.array(*[F.col(m).cast("double") for m in metrics]),
+                )
+            ).alias("metric", "value"),
+        )
+        long_ov = roll.overlap(other).select(
+            F.lit("overlap").alias("kind"),
+            "lang",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("jaccard_est"), F.lit("shared_distinct_est")),
+                    F.array(F.col("jaccard_est"), F.col("shared_distinct_est")),
+                )
+            ).alias("metric", "value"),
+        )
+        return (
+            long_rep.unionByName(long_ov)
+            .orderBy("kind", "lang", "metric")
+            .localCheckpoint()  # sever lineage from the temp tables
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2103,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r32_ann_pq": r32_ann_pq,
         "r33_sketches": r33_sketches,
         "r34_shard_export": r34_shard_export,
+        "r35_corpus_rollup": r35_corpus_rollup,
     }
 
 
