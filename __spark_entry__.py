@@ -2063,6 +2063,31 @@ def r35_corpus_rollup(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r36_gopher_gate(spark, sf_dir):
+    """Gopher document-shape quality rules (Rae et al. 2021 §A1.1;
+    operators/textstats.gopher_rules): the published heuristic gate as
+    zero-exchange native array expressions — per-rule pass counts over
+    the documents table plus the conjunction. Rows-only: exact parity
+    with a row-local Python reference is pytest-asserted
+    (tests/test_gopher_rules.py), incl. the no-Exchange plan contract."""
+    from pdf_parser_spark.operators.textstats import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(d, min_words=20)
+    rule_cols = [c for c in rules.columns if c != "doc_id"]
+    return rules.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in rule_cols]),
+                F.array(*[F.col(c).cast("int") for c in rule_cols]),
+            )
+        ).alias("rule", "passed")
+    ).groupBy("rule").agg(
+        F.sum("passed").alias("n_pass"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2156,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r33_sketches": r33_sketches,
         "r34_shard_export": r34_shard_export,
         "r35_corpus_rollup": r35_corpus_rollup,
+        "r36_gopher_gate": r36_gopher_gate,
     }
 
 

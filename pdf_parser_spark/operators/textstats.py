@@ -524,6 +524,107 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
     return out.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
 
 
+# Gopher's own stopword test list (Rae et al. 2021 §A1.1: "contains at
+# least 2 of the following English words"), distinct from the lang-ID /
+# ratio STOPWORDS above.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_BULLET_PREFIXES = ("- ", "* ", "• ", "· ")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-shape quality rules (Rae et al. 2021, §A1.1), one
+    boolean per rule plus the conjunction — the published heuristic gate
+    the trained classifier (quality_train) and composite score
+    (quality_score_col) sit on top of.
+
+    - ``ok_word_count``     — word count in [min_words, max_words]
+    - ``ok_mean_word_len``  — mean word length in [3, 10]
+    - ``ok_alpha_words``    — ≥80% of words contain an alphabetic char
+    - ``ok_symbol_ratio``   — (# + …) per word ≤ 0.1
+    - ``ok_bullet_lines``   — ≤90% of lines start with a bullet
+    - ``ok_ellipsis_lines`` — ≤30% of lines end with an ellipsis
+    - ``ok_stopwords``      — ≥2 of Gopher's 8 English stopwords
+    - ``gopher_pass``       — every rule above
+
+    The repetition side of Gopher's table (dup lines/paragraphs, modal
+    n-gram share) lives in repetition_signals — both are per-document
+    functions of the text, so like that operator this is ZERO shuffles:
+    higher-order array expressions over one corpus scan, nothing leaves
+    its partition, no UDF.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ell) / n_words).otherwise(
+        F.lit(0.0)
+    )
+
+    def _is_bullet(l):
+        cond = l.startswith(_BULLET_PREFIXES[0])
+        for p in _BULLET_PREFIXES[1:]:
+            cond = cond | l.startswith(p)
+        return cond
+
+    bullet = F.size(F.filter(lines, _is_bullet))
+    bullet_frac = F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0))
+
+    ell_end = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    ell_frac = F.when(n_lines > 0, ell_end / n_lines).otherwise(F.lit(0.0))
+
+    lowered = F.transform(words, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.filter(lowered, lambda w: w.isin(*GOPHER_STOPWORDS))
+    )
+
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
+        (alpha_frac >= 0.8).alias("ok_alpha_words"),
+        (symbol_ratio <= 0.1).alias("ok_symbol_ratio"),
+        (bullet_frac <= 0.9).alias("ok_bullet_lines"),
+        (ell_frac <= 0.3).alias("ok_ellipsis_lines"),
+        (n_stop >= 2).alias("ok_stopwords"),
+    )
+    rule_cols = [c for c in out.columns if c.startswith("ok_")]
+    conj = rule_cols[0]
+    acc = F.col(conj)
+    for c in rule_cols[1:]:
+        acc = acc & F.col(c)
+    return out.withColumn("gopher_pass", acc)
+
+
 def dedup_lines(docs: DataFrame, text_col: str = "text",
                 min_line_chars: int = 0) -> DataFrame:
     """Within-document line dedup: keep each distinct line's FIRST
