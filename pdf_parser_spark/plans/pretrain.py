@@ -4,7 +4,8 @@ Extends plans/curation.py's filter/dedup chain with the remaining stages a
 100 TB web corpus goes through before it feeds a trainer — each one is an
 operator this package ships and tests individually:
 
-    documents → quality gate + language filter          (curation)
+    documents → Gopher shape rules [opt]                (textstats, r36)
+              → quality gate + language filter          (curation)
               → exact dedup → MinHash near-dup removal  (curation)
               → trained-classifier quality gate [opt]   (quality_train, r22)
               → duplicate-passage gate                  (dedupe, q49 shape)
@@ -48,6 +49,7 @@ def pretrain_corpus(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,
     min_quality: float = 0.5,
+    gopher_gate: bool = False,
     allowed_langs: tuple[str, ...] = ("en",),
     neardup_threshold: float = 0.85,
     dup_frac_max: float = 0.5,
@@ -88,6 +90,20 @@ def pretrain_corpus(
     # the bucketed table commit (plans/checkpoint.py), which truncates
     # lineage the durable way.
     funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    # optional Gopher document-shape gate (Rae et al. 2021 §A1.1) ahead
+    # of the rest of the chain: zero-exchange row-local rules, so gating
+    # here shrinks every downstream shuffle for free
+    if gopher_gate:
+        from pdf_parser_spark.operators import textstats as textstats_op
+
+        passed = textstats_op.gopher_rules(
+            docs, text_col=text_col, id_col=id_col
+        ).filter(F.col("gopher_pass"))
+        docs = docs.join(
+            passed.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        funnel.append(("gopher_kept", docs.count()))
 
     curated = curation.curate(
         docs, min_quality, allowed_langs, neardup_threshold, id_col, text_col

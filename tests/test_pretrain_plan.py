@@ -177,3 +177,30 @@ def test_optional_classifier_and_dsir_stages(spark, corpus):
     # classifier gate kept only label-1 docs (w1 marker): doc 1 survives
     kept_ids = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
     assert len(kept_ids) == 5
+
+
+def test_optional_gopher_gate(spark, corpus):
+    """gopher_gate=True drops shape-violating docs before curation and
+    records a funnel stage; the corpus fixture's docs are long enough to
+    pass, so add a too-short doc and check only it is gated."""
+    shorty = spark.createDataFrame(
+        [(200, "en", "too short to pass the gate")],
+        "doc_id long, lang string, text string",
+    )
+    out = pretrain.pretrain_corpus(
+        corpus.unionByName(shorty),
+        min_quality=0.0,
+        allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.6,
+        dup_frac_max=0.95,
+        ppl_keep_buckets=(1, 2, 3),
+        gopher_gate=True,
+        seed=9,
+    )
+    funnel = {r["stage"]: r["n"] for r in out["funnel"].collect()}
+    # two docs violate the 50-word rule: the added shorty AND the
+    # fixture's 22-word contaminated doc (id 100)
+    assert funnel["gopher_kept"] == funnel["input"] - 2
+    kept_ids = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
+    assert 200 not in kept_ids and 100 not in kept_ids
+    assert 2 in kept_ids  # long fixture docs pass the gate
