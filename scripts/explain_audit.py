@@ -371,6 +371,45 @@ def main() -> None:
     head = "\n".join(plan.splitlines()[:40])
     sections.append(f"## pipeline_sparse_decorations — {status}\n\n```\n{head}\n```\n")
 
+    # ad-hoc: mergeable sketches (r33) — the HLL build must partial-max
+    # map-side before its (group, register) exchange; the KMV build must
+    # prune each mapper to its local bottom-k (WindowGroupLimit) before
+    # the window exchange; neither may drop into Python.
+    from pdf_parser_spark.operators import sketches as sketches_op
+
+    toks_df = docs_tbl.select(
+        "lang", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    for name, df, require in (
+        (
+            "sketch_hll_build",
+            sketches_op.hll_build(toks_df, ["lang"], "tok"),
+            [r"partial_max", r"hashpartitioning\(lang"],
+        ),
+        (
+            "sketch_kmv_build",
+            sketches_op.kmv_build(toks_df, ["lang"], "tok", k=32),
+            [r"WindowGroupLimit"],
+        ),
+        (
+            "gopher_rules_rowlocal",
+            __import__(
+                "pdf_parser_spark.operators.textstats", fromlist=["gopher_rules"]
+            ).gopher_rules(docs_tbl),
+            [],
+        ),
+    ):
+        forbid = ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]
+        if name == "gopher_rules_rowlocal":
+            forbid.append("Exchange")  # zero-exchange contract
+        plan, problems = audit(name, df, require=require, forbid=tuple(forbid))
+        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        print(f"{status:60s} {name}")
+        if problems:
+            failures += 1
+        head = "\n".join(plan.splitlines()[:40])
+        sections.append(f"## {name} — {status}\n\n```\n{head}\n```\n")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write(
             "# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n"
