@@ -51,6 +51,7 @@ class CorpusRollup:
         alpha: float = 0.01,
         kmv_k: int = 256,
         n_buckets: int = 8,
+        cache_tokens: bool = True,
     ) -> None:
         self.spark = spark
         self.group_col = group_col
@@ -58,20 +59,24 @@ class CorpusRollup:
         self.alpha = alpha
         self.kmv_k = kmv_k
         self.n_buckets = n_buckets
+        # cache_tokens materializes the exploded token stream once for the
+        # three sketch builds — right for batch-sized ingests. At full
+        # corpus scale set False: re-scanning the batch three times is
+        # cheaper than writing the token stream (~10x the text bytes) to
+        # executor-local storage, and each build still gets map-side
+        # partials on the re-scan.
+        self.cache_tokens = cache_tokens
         self.table = SnapshotTable(spark, path, partition_col="bucket")
 
     # -- write side ----------------------------------------------------------
 
     def _rollup_rows(self, docs: DataFrame, batch_id: int) -> DataFrame:
         g = self.group_col
-        toks = (
-            docs.select(
-                g, F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("tok")
-            )
-            .filter(F.length("tok") > 0)
-            # three consumers below; materialize the explode once
-            .localCheckpoint()
-        )
+        toks = docs.select(
+            g, F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("tok")
+        ).filter(F.length("tok") > 0)
+        if self.cache_tokens:  # see __init__ — batch-sized ingests only
+            toks = toks.localCheckpoint()
         counts = docs.groupBy(g).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text").cast("long")).alias("n_chars"),

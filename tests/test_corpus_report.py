@@ -104,3 +104,14 @@ def test_report_reads_only_rollup_rows(spark, tmp_path):
     rep_v1 = roll.report(version=v1).agg(F.sum("n_docs")).first()[0]
     rep_v2 = roll.report().agg(F.sum("n_docs")).first()[0]
     assert rep_v1 == 300 and rep_v2 == 600
+
+
+def test_cache_tokens_off_is_identical(spark, tmp_path):
+    a = CorpusRollup(spark, str(tmp_path / "c1"), cache_tokens=True)
+    b = CorpusRollup(spark, str(tmp_path / "c2"), cache_tokens=False)
+    docs = _docs(spark, 0, 400)
+    a.ingest(docs, batch_id=1)
+    b.ingest(docs, batch_id=1)
+    ra = sorted(tuple(r) for r in a.report().collect())
+    rb = sorted(tuple(r) for r in b.report().collect())
+    assert ra == rb
