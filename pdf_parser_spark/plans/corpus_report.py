@@ -101,12 +101,26 @@ class CorpusRollup:
             )
         )
 
+    def ingested_batches(self) -> set[int]:
+        """Batch ids already committed (from the snapshot summaries)."""
+        out = set()
+        for v in range(1, self.table.current_version() + 1):
+            b = self.table.snapshot(v)["summary"].get("batch_id")
+            if b is not None:
+                out.add(int(b))
+        return out
+
     def ingest(self, docs: DataFrame, batch_id: int) -> int:
         """Summarize one batch and append its rollup rows atomically.
         Returns the new snapshot version. The batch's raw rows are read
-        once, here, and never again."""
+        once, here, and never again. Idempotent per batch id: a replay
+        of an already-committed batch is a no-op (the snapshot append is
+        all-or-nothing, so a crash mid-ingest leaves no partial state to
+        double-count)."""
+        if int(batch_id) in self.ingested_batches():
+            return self.table.current_version()
         rows = self._rollup_rows(docs, batch_id)
-        return self.table.append(rows, summary={"batch_id": batch_id})
+        return self.table.append(rows, summary={"batch_id": int(batch_id)})
 
     # -- read side -----------------------------------------------------------
 
