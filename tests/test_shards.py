@@ -149,3 +149,12 @@ def test_empty_input(spark, tmp_root):
     empty = _docs(spark, 5).filter(F.col("doc_id") < 0)
     s = sh.export_shards(empty, tmp_root, "doc_id", "doc_id", rows_per_shard=10)
     assert s["total_shards"] == 0 and not os.path.isdir(os.path.join(tmp_root, "data"))
+
+
+def test_geometry_mismatch_refused(spark, tmp_root):
+    df = _docs(spark, 40)
+    sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=10)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sh.export_shards(df, tmp_root, "n_tokens", "doc_id", rows_per_shard=20)
