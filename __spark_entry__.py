@@ -2088,6 +2088,20 @@ def r36_gopher_gate(spark, sf_dir):
     ).orderBy("rule")
 
 
+def r37_bm25(spark, sf_dir):
+    """BM25 lexical retrieval (operators/indexing.bm25_search — Robertson
+    & Zaragoza 2009, Lucene idf variant): top-10 documents for a fixed
+    bag-of-words query. The token stream is filtered to the query terms
+    BEFORE any exchange (the vocabulary never shuffles), doc lengths are
+    computed only for candidates, and the top-k is a
+    TakeOrderedAndProject. Rows-only: float scoring; exact parity with a
+    plain-Python BM25 is pytest-asserted (tests/test_chunking_indexing)."""
+    from pdf_parser_spark.operators.indexing import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, ["data", "spark", "query"], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2182,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r34_shard_export": r34_shard_export,
         "r35_corpus_rollup": r35_corpus_rollup,
         "r36_gopher_gate": r36_gopher_gate,
+        "r37_bm25": r37_bm25,
     }
 
 

@@ -230,3 +230,83 @@ def postings(docs: DataFrame, top_k: int = 3, text_col: str = "text",
     return top.join(df_docs, "term").select(
         "term", "df_docs", "rank", "doc_id", "tf"
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (Robertson &
+    Zaragoza 2009; the Lucene/ES practical-scoring idf variant) —
+    returns (rank, doc_id, score, n_matched), scores descending, ties by
+    doc id.
+
+    Scale shape: the token stream is filtered to the QUERY terms before
+    anything aggregates, so the (term, doc) exchange carries only
+    matching occurrences — the corpus-wide vocabulary never shuffles.
+    Document length is computed only for candidate docs (those matching
+    at least one term) via a semi join back to the corpus. Corpus N and
+    avgdl are two scalars (one tiny aggregate). The final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("_words")
+    )
+
+    # two corpus scalars: N and average doc length
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg(F.size("_words")).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = float(stats["N"]), float(stats["avgdl"] or 0.0)
+
+    hits = (
+        base.select("doc_id", F.explode("_words").alias("term"))
+        .filter(F.col("term").isin(terms))   # before the exchange
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_docs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+
+    dl = base.join(
+        hits.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).select("doc_id", F.size("_words").alias("dl"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl if avgdl else 1.0)
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+
+    scored = (
+        hits.join(F.broadcast(df_docs), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", F.round("score", 6).alias("score"), "n_matched"
+    )

@@ -202,3 +202,61 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 1, 5)], "doc_id long, ord long, n_chunk_tokens long")
     with pytest.raises(ValueError):
         chunking.pack_sequences(df, 0, order_col="ord")
+
+
+def test_bm25_parity_with_python_reference(spark):
+    import math
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog chased the cat around the yard"),
+        (2, "a quiet library with books and books and books"),
+        (3, "cat cat cat cat"),
+        (4, "dogs and cats living together in the yard"),
+        (5, "completely unrelated text about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    query = ["cat", "yard", "books"]
+
+    from pdf_parser_spark.operators.indexing import bm25_search
+
+    got = bm25_search(docs, query, k=5).collect()
+
+    # plain-Python reference
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in rows}
+    N = len(rows)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    dfs = {q: sum(1 for w in toks.values() if q in w) for q in query}
+    scores = {}
+    matched = {}
+    for i, ws in toks.items():
+        s, m = 0.0, 0
+        for q in query:
+            tf = ws.count(q)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1 + (N - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if m:
+            scores[i], matched[i] = s, m
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    assert [(r["doc_id"], r["n_matched"]) for r in got] == [
+        (i, matched[i]) for i, _ in want
+    ]
+    for r, (i, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-5, (r["doc_id"], r["score"], s)
+
+
+def test_bm25_query_filter_precedes_exchange(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(50)], "doc_id long, text string"
+    )
+    from pdf_parser_spark.operators.indexing import bm25_search
+
+    df = bm25_search(docs, ["common"], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
