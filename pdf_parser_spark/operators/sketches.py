@@ -123,6 +123,9 @@ def hll_build(
     """
     _check_p(p)
     h = F.xxhash64(F.col(value_col))
+    # null values are skipped, matching COUNT(DISTINCT) semantics —
+    # xxhash64(NULL) would otherwise hash the seed and count one phantom
+    df = df.where(F.col(value_col).isNotNull())
     regs = (
         df.select(
             *group_cols,
@@ -199,9 +202,11 @@ def kmv_build(
     sampling.per_group_cap)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    hashed = df.select(
-        *group_cols, F.xxhash64(F.col(value_col)).alias("_h")
-    ).distinct()
+    hashed = (
+        df.where(F.col(value_col).isNotNull())  # COUNT(DISTINCT) semantics
+        .select(*group_cols, F.xxhash64(F.col(value_col)).alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col("_h").asc())
     kept = hashed.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
     return kept.groupBy(*group_cols).agg(
@@ -281,6 +286,7 @@ def cms_build(
     vocabulary size — that bound is the whole point at web scale."""
     if width < 2 or depth < 1:
         raise ValueError("width must be >= 2 and depth >= 1")
+    df = df.where(F.col(token_col).isNotNull())  # count(col) skips nulls
     slots = (
         df.select(
             *group_cols,
@@ -344,6 +350,7 @@ def hist_build(
     cms_build: one (group, bin) exchange with map-side partial counts.
     """
     gamma = _hist_gamma(alpha)
+    df = df.where(F.col(value_col).isNotNull())  # a null bin key would throw
     v = F.col(value_col).cast("double")
     key = (
         F.when(v < 0, F.raise_error(F.lit("hist_build: negative value")))

@@ -230,3 +230,27 @@ def test_sketches_per_group(spark):
     assert set(rows) == {"g0", "g1", "g2"}
     for g, e in rows.items():
         assert abs(e - 3_000) / 3_000 < 0.06, (g, e)
+
+
+def test_null_values_skipped_everywhere(spark):
+    """Nulls follow COUNT(DISTINCT)/count(col) semantics: skipped, never
+    a phantom distinct value or a null map key."""
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None), ("g", None)],
+        "g string, v double",
+    )
+    h = sk.hll_build(df, ["g"], "v", p=12)
+    est = h.select(sk.hll_estimate_expr(F.col("hll"), 12).alias("e")).first()["e"]
+    assert round(est) == 2
+
+    kv = sk.kmv_build(df, ["g"], "v", k=8).first()["kmv"]
+    assert len(kv) == 2
+
+    cms = sk.cms_build(df, ["g"], "v", width=64, depth=2)
+    total = cms.select(
+        F.aggregate(F.map_values("cms"), F.lit(0).cast("long"), lambda a, x: a + x).alias("t")
+    ).first()["t"]
+    assert total == 2 * 2  # 2 non-null rows x depth
+
+    hist = sk.hist_build(df, ["g"], "v")
+    assert hist.select(sk.hist_count_expr(F.col("hist")).alias("n")).first()["n"] == 2
