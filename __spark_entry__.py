@@ -2102,6 +2102,38 @@ def r37_bm25(spark, sf_dir):
     return bm25_search(d, ["data", "spark", "query"], k=10)
 
 
+def r38_html_tables(spark, sf_dir):
+    """HTML table extraction (html_tables.with_tables): deterministic
+    synthetic pages carrying a header row + two data rows (one sloppy,
+    no closing tags — the implicit-close path) are reduced to relational
+    (url, table, row, col, cell) rows in ONE mapInPandas stage, then
+    rolled up per column. Rows-only: Python-UDF extraction; scalar
+    semantics (nesting, spans, entities, implicit closes) are
+    pytest-asserted (tests/test_html_tables.py)."""
+    from pdf_parser_spark.html_tables import with_tables
+
+    e = _t(spark, sf_dir, "events").limit(2000)
+    pages = e.select(
+        F.concat(F.lit("https://t.example/"), F.col("event_id")).alias("url"),
+        F.concat(
+            F.lit("<html><body><table><tr><th>user</th><th>type</th><th>value</th></tr>"),
+            F.lit("<tr><td>u"), F.col("user_id"), F.lit("<td>"), F.col("event_type"),
+            F.lit("<td>"), F.round(F.col("value"), 2),
+            F.lit("<tr><td>u"), F.col("user_id"), F.lit("</td><td>dup</td><td>0</td></tr>"),
+            F.lit("</table></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    cells = with_tables(pages)
+    return (
+        cells.groupBy("col_idx", "is_header")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("cell_text").alias("n_distinct"),
+        )
+        .orderBy("col_idx", "is_header")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2197,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r35_corpus_rollup": r35_corpus_rollup,
         "r36_gopher_gate": r36_gopher_gate,
         "r37_bm25": r37_bm25,
+        "r38_html_tables": r38_html_tables,
     }
 
 
