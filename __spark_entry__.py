@@ -2134,6 +2134,45 @@ def r38_html_tables(spark, sf_dir):
     )
 
 
+def r39_charset_decode(spark, sf_dir):
+    """Charset-sniffed decoding (charset.with_decoded_text — WHATWG-shaped
+    cascade: BOM → declared meta/XML charset → UTF-8 → latin-1): pages
+    synthesized in four encodings (plain UTF-8, UTF-8 BOM, declared
+    cp1252, bare latin-1 bytes) decode in ONE mapInPandas stage; the
+    audit returns counts + a content probe per decode source. Rows-only:
+    Python-UDF decode; cascade semantics pytest-asserted
+    (tests/test_charset.py)."""
+    from pdf_parser_spark.charset import with_decoded_text
+
+    e = _t(spark, sf_dir, "events").limit(1000)
+    enc = (F.col("event_id") % 4).cast("int")
+    body = F.concat(F.lit("page café body "), F.col("event_id").cast("string"))
+    utf8 = F.encode(body, "UTF-8")
+    pages = e.select(
+        F.concat(F.lit("https://c.example/"), F.col("event_id")).alias("url"),
+        F.when(enc == 0, utf8)
+        .when(enc == 1, F.concat(F.lit(b"\xef\xbb\xbf"), utf8))
+        .when(
+            enc == 2,
+            F.concat(
+                F.encode(F.lit("<meta charset='iso-8859-1'>"), "UTF-8"),
+                F.encode(body, "ISO-8859-1"),
+            ),
+        )
+        .otherwise(F.encode(body, "ISO-8859-1"))  # undeclared legacy bytes
+        .alias("html"),
+    )
+    out = with_decoded_text(pages)
+    return (
+        out.groupBy("source", "encoding")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.col("text").contains("café").cast("long")).alias("n_cafe"),
+        )
+        .orderBy("source", "encoding")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2230,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r36_gopher_gate": r36_gopher_gate,
         "r37_bm25": r37_bm25,
         "r38_html_tables": r38_html_tables,
+        "r39_charset_decode": r39_charset_decode,
     }
 
 
