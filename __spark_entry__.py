@@ -2173,6 +2173,30 @@ def r39_charset_decode(spark, sf_dir):
     )
 
 
+def r40_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection (operators/mirrors.mirror_hosts): documents
+    assigned to hosts by their source column, plus a planted 90% mirror
+    of one host under a second name — candidate pairs come from shared
+    bottom-m sketch minima (banded equi-join, never all-pairs; buckets
+    wider than the guard are dropped), Jaccard estimated from the two
+    KB-sized host sketches. Rows-only: estimate thresholds; planted-
+    mirror recall, band sub-quadraticity, and the wide-bucket guard are
+    pytest-asserted (tests/test_mirrors.py)."""
+    from pdf_parser_spark.operators.mirrors import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"), "text", "doc_id"
+    )
+    # sources are assigned round-robin (src0 gets doc_ids ≡ 0 mod 20), so
+    # drop 1-in-5 of src0's pages via mod 100 → an 80% mirror
+    mirrored = d.filter(F.col("host") == "src0.example").filter(
+        F.col("doc_id") % 100 != 20
+    ).withColumn("host", F.lit("src0-mirror.example"))
+    return mirror_hosts(
+        d.unionByName(mirrored), k=64, m=8, threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2270,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r37_bm25": r37_bm25,
         "r38_html_tables": r38_html_tables,
         "r39_charset_decode": r39_charset_decode,
+        "r40_mirror_hosts": r40_mirror_hosts,
     }
 
 
