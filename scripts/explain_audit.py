@@ -392,6 +392,20 @@ def main() -> None:
             [r"WindowGroupLimit"],
         ),
         (
+            "mirror_hosts_banded",
+            __import__(
+                "pdf_parser_spark.operators.mirrors", fromlist=["mirror_hosts"]
+            ).mirror_hosts(
+                docs_tbl.select(
+                    F.concat(F.col("source"), F.lit(".x")).alias("host"), "text"
+                ),
+                k=16,
+                m=4,
+            ),
+            # candidates must come from an equi-join on the shared minimum
+            [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        ),
+        (
             "gopher_rules_rowlocal",
             __import__(
                 "pdf_parser_spark.operators.textstats", fromlist=["gopher_rules"]
