@@ -44,12 +44,18 @@ class _TableCtx:
         self.parts: list[str] = []
 
 
+# character data inside these never belongs in a cell's text — the same
+# exclusion html_extract applies to the main-text pass
+_SKIP_TAGS = frozenset(("script", "style", "noscript", "template", "svg"))
+
+
 class _TableParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.cells: list[tuple[int, int, int, bool, int, int, str]] = []
         self._stack: list[_TableCtx] = []
         self._next_id = 0
+        self._skip_depth = 0
 
     # -- cell lifecycle ------------------------------------------------------
 
@@ -78,6 +84,9 @@ class _TableParser(HTMLParser):
     # -- parser events -------------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
         if tag == "table":
             ctx = _TableCtx(self._next_id)
             self._next_id += 1
@@ -103,6 +112,9 @@ class _TableParser(HTMLParser):
             ctx.parts.append(" ")
 
     def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
         if not self._stack:
             return
         if tag in ("td", "th", "tr"):
@@ -112,7 +124,12 @@ class _TableParser(HTMLParser):
             self._stack.pop()
 
     def handle_data(self, data):
-        if self._stack and self._stack[-1].in_cell and data:
+        if (
+            self._skip_depth == 0
+            and self._stack
+            and self._stack[-1].in_cell
+            and data
+        ):
             self._stack[-1].parts.append(data)
 
     def finish(self) -> None:

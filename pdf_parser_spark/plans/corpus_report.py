@@ -52,9 +52,16 @@ class CorpusRollup:
         kmv_k: int = 256,
         n_buckets: int = 8,
         cache_tokens: bool = True,
+        token_pattern: str = r"[^\p{L}\p{N}]+",
     ) -> None:
         self.spark = spark
         self.group_col = group_col
+        # split on anything that is not a Unicode letter/number, so
+        # Cyrillic/Arabic/accented words tokenize as words (an ASCII-only
+        # class would shred every non-Latin script into noise). Unspaced
+        # CJK still arrives as one run per sentence — pass a script-aware
+        # pattern here if CJK token stats matter.
+        self.token_pattern = token_pattern
         self.p = p
         self.alpha = alpha
         self.kmv_k = kmv_k
@@ -73,7 +80,7 @@ class CorpusRollup:
     def _rollup_rows(self, docs: DataFrame, batch_id: int) -> DataFrame:
         g = self.group_col
         toks = docs.select(
-            g, F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("tok")
+            g, F.explode(F.split(F.lower(F.col("text")), self.token_pattern)).alias("tok")
         ).filter(F.length("tok") > 0)
         if self.cache_tokens:  # see __init__ — batch-sized ingests only
             toks = toks.localCheckpoint()
@@ -90,11 +97,32 @@ class CorpusRollup:
             "_len",
             alpha=self.alpha,
         )
+        # token-derived frames join LEFT with typed empty defaults: a group
+        # whose batch produced no tokens (all-CJK under an ASCII pattern,
+        # empty texts) must still keep its exact n_docs/n_chars counters —
+        # an inner join would silently drop it from the rollup.
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<int>")
+        )
         return (
-            counts.join(ntok, g)
-            .join(hll, g)
-            .join(kmv, g)
-            .join(hist, g)
+            counts.join(ntok, g, "left")
+            .join(hll, g, "left")
+            .join(kmv, g, "left")
+            .join(hist, g, "left")
+            .select(
+                g,
+                "n_docs",
+                "n_chars",
+                F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+                F.coalesce(F.col("hll"), empty_map).alias("hll"),
+                F.coalesce(F.col("kmv"), F.array().cast("array<bigint>")).alias("kmv"),
+                F.coalesce(
+                    F.col("hist"),
+                    F.map_from_arrays(
+                        F.array().cast("array<int>"), F.array().cast("array<bigint>")
+                    ),
+                ).alias("hist"),
+            )
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .withColumn(
                 "bucket", F.pmod(F.xxhash64(g), F.lit(self.n_buckets)).cast("int")
@@ -149,7 +177,34 @@ class CorpusRollup:
             .groupBy(g)
             .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
         )
-        return counts.join(hll, g).join(kmv, g).join(hist, g)
+        # left joins + typed defaults: a group whose every batch row holds
+        # empty sketches (token-less batches) has no rows to explode, so
+        # the merge frames lack it — the exact counters must survive anyway
+        return (
+            counts.join(hll, g, "left")
+            .join(kmv, g, "left")
+            .join(hist, g, "left")
+            .select(
+                g,
+                "n_docs",
+                "n_chars",
+                "n_tokens",
+                "n_batches",
+                F.coalesce(
+                    F.col("hll"),
+                    F.map_from_arrays(
+                        F.array().cast("array<int>"), F.array().cast("array<int>")
+                    ),
+                ).alias("hll"),
+                F.coalesce(F.col("kmv"), F.array().cast("array<bigint>")).alias("kmv"),
+                F.coalesce(
+                    F.col("hist"),
+                    F.map_from_arrays(
+                        F.array().cast("array<int>"), F.array().cast("array<bigint>")
+                    ),
+                ).alias("hist"),
+            )
+        )
 
     def report(self, version: int | None = None) -> DataFrame:
         """One row per group over ALL ingested batches: exact counters

@@ -75,22 +75,30 @@ def deliver_training_data(
 ) -> dict:
     """Run the full chain and write shards under ``shard_root``.
 
-    Returns {"funnel": DataFrame, "shards": export summary dict}. Safe
-    to re-run after any crash: the pipeline is deterministic and
-    export_shards never rewrites a committed shard."""
+    Returns {"funnel": DataFrame, "packs": the assembled pack table
+    (checkpointed), "shards": export summary dict}. Safe to re-run after
+    any crash: the pipeline is deterministic and export_shards never
+    rewrites a committed shard."""
     out = pretrain.pretrain_corpus(docs, eval_docs=eval_docs, **pretrain_kwargs)
     chunks = out["chunks"]
 
-    over = chunks.filter(F.col("chunk_idx") >= _CHUNK_LIMIT)
-    if not over.isEmpty():
-        raise ValueError(
-            "document with >= 2^20 chunks: the pack order key would "
-            "collide — split the document upstream"
-        )
+    # the over-limit guard rides inside the ord expression (raise_error in
+    # the taken branch), so it costs nothing — a separate isEmpty() probe
+    # would re-run the whole chunk fan-out just to check
     with_ord = chunks.withColumn(
         "ord",
-        F.col("shuffle_idx").cast("long") * F.lit(_CHUNK_LIMIT)
-        + F.col("chunk_idx"),
+        F.when(
+            F.col("chunk_idx") >= _CHUNK_LIMIT,
+            F.raise_error(
+                F.lit(
+                    "document with >= 2^20 chunks: the pack order key "
+                    "would collide — split the document upstream"
+                )
+            ).cast("long"),
+        ).otherwise(
+            F.col("shuffle_idx").cast("long") * F.lit(_CHUNK_LIMIT)
+            + F.col("chunk_idx")
+        ),
     )
     packed = chunking_op.pack_sequences(
         with_ord, seq_len=seq_len, order_col="ord", id_col="ord",

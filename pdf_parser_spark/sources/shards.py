@@ -127,13 +127,35 @@ def _shard_stats(df: DataFrame, token_col: str | None) -> DataFrame:
 
 
 def _read_manifest(spark: SparkSession, root: str) -> DataFrame | None:
+    """None means NO manifest (dir absent, or present but empty — a
+    crashed job can leave an empty dir). A manifest that exists but
+    cannot be read is an error and propagates: treating it as absent
+    would re-commit every shard and double-count the manifest."""
     path = os.path.join(root, _MANIFEST)
     if not os.path.isdir(path):
         return None
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not any(n.endswith(".parquet") for n in os.listdir(path)):
         return None
+    return spark.read.parquet(path)
+
+
+def _shards_on_disk(root: str) -> list[int]:
+    """Shard ids with a data directory, from one FS metadata listing.
+    Relies on job-commit atomicity (the default committer publishes all
+    task outputs at job commit), so a visible directory is a complete
+    shard: written by a job that finished its data phase, whether or not
+    the manifest commit followed."""
+    data = os.path.join(root, _DATA)
+    if not os.path.isdir(data):
+        return []
+    out = []
+    for name in os.listdir(data):
+        if name.startswith("shard_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
 
 
 def export_shards(
@@ -170,13 +192,29 @@ def export_shards(
     data_path = os.path.join(root, _DATA)
     todo_ids = todo.select("shard_id").distinct().localCheckpoint()
     n_todo_shards = todo_ids.count()
-    if n_todo_shards:
+
+    # crash window 2 (data written, manifest commit lost): shards already
+    # ON DISK are complete (job-commit atomicity — see _shards_on_disk),
+    # deterministic, and pending only their manifest row — rewriting them
+    # would be correct but wasteful, so exclude them from the write set
+    # and let the reconcile below commit them from the existing files.
+    on_disk = _shards_on_disk(root)
+    to_write = todo_ids
+    if on_disk:
+        disk_df = spark.createDataFrame(
+            [(i,) for i in on_disk], "shard_id int"
+        )
+        to_write = todo_ids.join(disk_df, "shard_id", "left_anti")
+    n_write = to_write.count()
+
+    if n_write:
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(mode_key, None)
         spark.conf.set(mode_key, "dynamic")
         try:
             (
-                todo.drop("_gidx")
+                todo.join(to_write, "shard_id", "left_semi")
+                .drop("_gidx")
                 # one exchange keyed by shard id → each shard's rows land in
                 # one task → exactly one file per shard directory
                 .repartition("shard_id")
@@ -194,6 +232,7 @@ def export_shards(
     if not os.path.isdir(data_path):  # empty input, nothing ever written
         return {
             "shards_written": 0,
+            "shards_reused": 0,
             "shards_committed": 0,
             "total_shards": 0,
             "total_rows": 0,
@@ -221,13 +260,18 @@ def export_shards(
     if n_committed:
         new_entries.write.mode("append").parquet(os.path.join(root, _MANIFEST))
 
-    total = _read_manifest(spark, root).agg(
-        F.count(F.lit(1)).alias("shards"),
-        F.sum("n_rows").alias("rows"),
-        F.sum("n_tokens").alias("tokens"),
-    ).first()
+    final = _read_manifest(spark, root)
+    if final is None:  # empty input against a manifest-less root
+        total = {"shards": 0, "rows": 0, "tokens": None}
+    else:
+        total = final.agg(
+            F.count(F.lit(1)).alias("shards"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+        ).first()
     return {
-        "shards_written": n_todo_shards,
+        "shards_written": n_write,
+        "shards_reused": n_todo_shards - n_write,
         "shards_committed": n_committed,
         "total_shards": total["shards"],
         "total_rows": total["rows"],

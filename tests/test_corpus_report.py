@@ -115,3 +115,35 @@ def test_cache_tokens_off_is_identical(spark, tmp_path):
     ra = sorted(tuple(r) for r in a.report().collect())
     rb = sorted(tuple(r) for r in b.report().collect())
     assert ra == rb
+
+
+def test_tokenless_group_keeps_exact_counters(spark, tmp_path):
+    """A group whose batch yields zero tokens (punctuation-only text)
+    must keep its exact n_docs/n_chars in the rollup and the merged
+    report — inner joins would silently drop it."""
+    rows = [
+        (1, "xx", "!!! ??? ..."),       # no letters/digits → no tokens
+        (2, "xx", "@@@@"),
+        (3, "en", "real words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    roll = CorpusRollup(spark, str(tmp_path / "t"))
+    roll.ingest(docs, batch_id=1)
+    roll.ingest(docs.filter(F.col("doc_id") == 1), batch_id=2)  # xx again
+    rep = {r["lang"]: r.asDict() for r in roll.report().collect()}
+    assert rep["xx"]["n_docs"] == 3 and rep["xx"]["n_tokens"] == 0
+    assert rep["xx"]["n_chars"] == len("!!! ??? ...") + len("@@@@") + len("!!! ??? ...")
+    assert rep["xx"]["distinct_tokens_est"] == 0.0
+    assert rep["en"]["n_docs"] == 1 and rep["en"]["n_tokens"] == 3
+
+
+def test_unicode_tokenization(spark, tmp_path):
+    """Cyrillic/accented words tokenize as words under the default
+    Unicode letter/number pattern."""
+    rows = [(1, "ru", "слово и ещё слово"), (2, "fr", "café déjà café")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    roll = CorpusRollup(spark, str(tmp_path / "u"))
+    roll.ingest(docs, batch_id=1)
+    rep = {r["lang"]: r.asDict() for r in roll.report().collect()}
+    assert rep["ru"]["n_tokens"] == 4 and rep["ru"]["distinct_tokens_kmv"] == 3.0
+    assert rep["fr"]["n_tokens"] == 3 and rep["fr"]["distinct_tokens_kmv"] == 2.0

@@ -77,3 +77,15 @@ def test_spark_roundtrip_no_shuffle(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_script_and_style_content_excluded():
+    html = (
+        b"<table><tr>"
+        b"<td>Price<script>trackClick(42)</script></td>"
+        b"<td><style>.x{color:red}</style>9.99</td>"
+        b"<td><noscript>enable js</noscript>ok</td>"
+        b"</tr></table>"
+    )
+    g = _grid(extract_tables(html))
+    assert g == {(0, 0, 0): "Price", (0, 0, 1): "9.99", (0, 0, 2): "ok"}

@@ -92,13 +92,16 @@ def test_resume_after_partial_data_crash(spark, tmp_root):
     }
 
     s = sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=20)
-    assert s["shards_written"] == 3  # no manifest → all planned shards redone
+    # only the missing shard is rewritten; the two on disk are complete
+    # (job-commit atomicity) and recommitted from their existing files
+    assert s["shards_written"] == 1 and s["shards_reused"] == 2
+    assert s["shards_committed"] == 3
     assert s["total_shards"] == 3 and s["total_rows"] == 60
     ok = sh.verify_shards(spark, tmp_root)
     assert ok.count() == 3 and ok.filter(~F.col("ok")).isEmpty()
-    # dynamic overwrite rewrote in place; content still verifies
     assert sh.read_shards(spark, tmp_root).count() == 60
-    del survivors  # mtimes may change (rewrite is idempotent, not skipped)
+    # survivors were never rewritten
+    assert all(os.path.getmtime(f) == m for f, m in survivors.items())
 
 
 def test_resume_after_manifest_gap(spark, tmp_root):
@@ -119,14 +122,15 @@ def test_resume_after_manifest_gap(spark, tmp_root):
     }
 
     s = sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=20)
-    assert s["shards_written"] == 1  # shard 1 replanned (not in manifest)
+    # shard 1's data is already on disk: NO rewrite at all, only the
+    # manifest gap is committed from the existing file
+    assert s["shards_written"] == 0 and s["shards_reused"] == 1
     assert s["shards_committed"] == 1
     assert s["total_shards"] == 3
     ok = sh.verify_shards(spark, tmp_root)
     assert ok.count() == 3 and ok.filter(~F.col("ok")).isEmpty()
-    # shards 0 and 2 were never rewritten
-    untouched = [f for f in data_files if "shard_id=1" not in f]
-    assert all(os.path.getmtime(f) == data_files[f] for f in untouched)
+    # NOTHING was rewritten, shard 1 included
+    assert all(os.path.getmtime(f) == data_files[f] for f in data_files)
 
 
 def test_verify_catches_corruption(spark, tmp_root):
@@ -158,3 +162,27 @@ def test_geometry_mismatch_refused(spark, tmp_root):
         sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=10)
     with pytest.raises(ValueError, match="geometry mismatch"):
         sh.export_shards(df, tmp_root, "n_tokens", "doc_id", rows_per_shard=20)
+
+
+def test_corrupt_manifest_raises_not_recommits(spark, tmp_root):
+    df = _docs(spark, 40)
+    sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+    # corrupt one manifest part file: the export must FAIL, not treat the
+    # manifest as absent and append duplicate rows
+    part = glob.glob(os.path.join(tmp_root, "_shard_manifest", "*.parquet"))[0]
+    with open(part, "wb") as fh:
+        fh.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+
+
+def test_empty_rerun_against_manifestless_data(spark, tmp_root):
+    """Degenerate resume: data on disk, no manifest, and an EMPTY input —
+    nothing to plan, nothing to commit, and no crash."""
+    df = _docs(spark, 20)
+    sh.export_shards(df, tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+    shutil.rmtree(os.path.join(tmp_root, "_shard_manifest"))
+    s = sh.export_shards(
+        df.filter(F.col("doc_id") < 0), tmp_root, "doc_id", "doc_id", rows_per_shard=20
+    )
+    assert s["shards_written"] == 0 and s["total_shards"] == 0
