@@ -2197,6 +2197,30 @@ def r40_mirror_hosts(spark, sf_dir):
     )
 
 
+def r41_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc_chunking — FastCDC-shaped
+    gear rolling hash, min/max clamps, utf-8-safe seams): documents plus
+    a planted one-edit near-duplicate of each are chunked in ONE
+    mapInPandas stage and grouped by chunk hash; the audit returns the
+    storage-dedup stats (duplicated-byte fraction a content-addressable
+    store saves — high, because CDC boundaries re-align after an edit
+    where fixed strides shift every chunk). Rows-only: Python boundary
+    scan; re-alignment and clamps pytest-asserted
+    (tests/test_cdc_chunking.py)."""
+    from pdf_parser_spark.operators.cdc_chunking import (
+        chunk_dedup_stats,
+        with_cdc_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("edited prefix "), F.col("text")).alias("text"),
+    )
+    chunks = with_cdc_chunks(d.unionByName(edited), avg_size=64)
+    return chunk_dedup_stats(chunks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2295,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r38_html_tables": r38_html_tables,
         "r39_charset_decode": r39_charset_decode,
         "r40_mirror_hosts": r40_mirror_hosts,
+        "r41_cdc_chunks": r41_cdc_chunks,
     }
 
 
