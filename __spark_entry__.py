@@ -2537,7 +2537,7 @@ def oracle_sql() -> dict[str, str]:
                          THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / n_chars_text
                          ELSE 0.0 END, 4) AS punct_ratio,
                    round(CASE WHEN n_tokens > 0
-                         THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                               x -> x IN ({stop_list}))) * 1.0 / n_tokens
                          ELSE 0.0 END, 4) AS stopword_ratio,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
@@ -2733,7 +2733,7 @@ def oracle_sql() -> dict[str, str]:
                            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
                            ELSE 0.0 END, 4) AS alpha_ratio,
                      round(CASE WHEN n_tokens > 0
-                           THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                                 x -> x IN ({stop_list}))) * 1.0 / n_tokens
                            ELSE 0.0 END, 4) AS stopword_ratio
               FROM s),
@@ -2751,7 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_tfidf_terms": """
             WITH t AS (
               SELECT doc_id AS _doc, u.term
-              FROM documents, unnest(string_split(lower(coalesce(text, '')), ' ')) AS u(term)
+              FROM documents, unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS u(term)
               WHERE u.term <> ''),
             a AS (
               SELECT term, CAST(count(*) AS BIGINT) AS total_occurrences,

@@ -112,33 +112,36 @@ def with_cdc_chunks(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """One row per content-defined chunk: (doc_id, chunk_idx, start,
-    end, n_bytes, chunk_hash, chunk_text). One mapInPandas stage."""
+    """One row per content-defined chunk: (<id_col>, chunk_idx, start,
+    end, n_bytes, chunk_hash, chunk_text). One mapInPandas stage. The id
+    column keeps its own name AND type (a string url id works)."""
     import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     # chunk hashing happens with Spark's native xxhash64 AFTER the python
     # pass (JVM-side, vectorized) — the UDF only finds boundaries
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows: dict[str, list] = {
-                "doc_id": [], "chunk_idx": [], "start": [], "end": [],
+                id_col: [], "chunk_idx": [], "start": [], "end": [],
                 "chunk_text": [],
             }
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 for i, (a, b, t) in enumerate(cdc_chunks(text, avg_size)):
-                    rows["doc_id"].append(did)
+                    rows[id_col].append(did)
                     rows["chunk_idx"].append(i)
                     rows["start"].append(a)
                     rows["end"].append(b)
                     rows["chunk_text"].append(t)
             yield pd.DataFrame(rows)
 
-    out = docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+    out = docs.select(id_col, text_col).mapInPandas(
         gen,
-        "doc_id long, chunk_idx int, start long, end long, chunk_text string",
+        f"{id_col} {id_type}, chunk_idx int, start long, end long, chunk_text string",
     )
     return out.select(
-        "doc_id", "chunk_idx", "start", "end",
+        id_col, "chunk_idx", "start", "end",
         (F.col("end") - F.col("start")).alias("n_bytes"),
         F.xxhash64("chunk_text").alias("chunk_hash"),
         "chunk_text",

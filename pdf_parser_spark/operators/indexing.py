@@ -118,11 +118,16 @@ def with_global_prefix_sum(
     bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
     barr = F.array(*[F.lit(float(b)) for b in bounds])
     kcol = F.col(key).cast("double")
+    # same null routing as with_global_index (the sibling had this fixed
+    # and this copy had silently diverged): desc ⇒ NULLS LAST ⇒ the final
+    # bucket; asc ⇒ bucket 0, which the filter already yields
     if ascending:
         bucket = F.size(F.filter(barr, lambda b: kcol > b))
         key_order = F.col(key).asc()
     else:
-        bucket = F.size(F.filter(barr, lambda b: kcol < b))
+        bucket = F.when(kcol.isNull(), F.lit(len(bounds))).otherwise(
+            F.size(F.filter(barr, lambda b: kcol < b))
+        )
         key_order = F.col(key).desc()
 
     with_b = df.withColumn("_bucket", bucket)
@@ -212,10 +217,9 @@ def postings(docs: DataFrame, top_k: int = 3, text_col: str = "text",
     term before the shuffle. Zipfian terms spread first across the
     (term, doc) composite key, which salting can't improve on.
     """
-    words = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    from pdf_parser_spark.operators.textstats import words_expr
+
+    words = words_expr(F.col(text_col))
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
         .groupBy("term", "doc_id")
@@ -258,10 +262,9 @@ def bm25_search(
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
 
-    words = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    from pdf_parser_spark.operators.textstats import words_expr
+
+    words = words_expr(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"), words.alias("_words")
     )

@@ -33,6 +33,17 @@ _CJK_RE = re.compile(r"[一-鿿]")
 _TOKEN_RE = re.compile(r"\s+")
 
 
+def words_expr(text):
+    """THE shared word tokenizer: lowercased, whitespace-split, empties
+    dropped. Every operator documented as sharing tokenization
+    (postings, BM25, PMI, repetition) builds on this one expression, so
+    a tokenization fix lands everywhere at once."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+
+
 def token_count_col(text):
     """Whitespace token count; empty/blank text → 0."""
     trimmed = F.trim(F.coalesce(text, F.lit("")))
@@ -53,10 +64,14 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     digit_chars = F.length(F.regexp_replace(text, r"[^0-9]", ""))
     punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    tokens = F.split(F.trim(text), r"\s+")
+    # tokens are lowercased before the stopword test (sentence-initial
+    # 'The'/'It' must count) — same normalization as lang_id/gopher_rules
     stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
     n_stop = F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.expr(f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x in ({stop_list})))")
+        F.expr(
+            f"size(filter(split(lower(trim({text_col})), '\\\\s+'),"
+            f" x -> x in ({stop_list})))"
+        )
     )
     return (
         docs.withColumn("n_tokens", n_tokens)
@@ -283,7 +298,7 @@ def tfidf_top_terms(
     terms = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("term"),
     )
     n_docs = docs.count()  # one tiny job; the scalar D in idf
@@ -461,10 +476,7 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
     keys against a |vocab|-sized side (AQE broadcasts it); top-k is a
     TakeOrderedAndProject, never a full sort.
     """
-    words = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    words = words_expr(F.col(text_col))
     toks = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     # uni and bi are each ONE corpus scan; both are persisted (vocab- and
     # unique-bigram-sized — far below the corpus) because the totals read
@@ -521,7 +533,13 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
             ).alias("pmi"),
         )
     )
-    return out.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
+    # the result is ≤ top_k rows: checkpoint it so the vocab-sized
+    # intermediates can be unpersisted HERE instead of leaking into the
+    # session (they are invisible to the caller)
+    result = out.orderBy(F.desc("pmi"), "a", "b").limit(top_k).localCheckpoint()
+    uni.unpersist()
+    bi_all.unpersist()
+    return result
 
 
 # Gopher's own stopword test list (Rae et al. 2021 §A1.1: "contains at
@@ -643,17 +661,21 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     """
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
     if min_line_chars > 0:
-        # tag short lines with their position so distinct() keeps them all
+        # tag short lines with their position so distinct() keeps them
+        # all; the tag is a DOUBLE-NUL + digits SUFFIX stripped by an
+        # anchored regex, so a line that legitimately contains a NUL is
+        # never truncated (a single-NUL split would cut it), and a legit
+        # line can only collide with a tag key by ending in \x00\x00<n>
         keyed = F.transform(
             lines,
             lambda ln, i: F.when(
                 F.length(F.trim(ln)) < min_line_chars,
-                F.concat_ws("\x00", ln, i.cast("string")),
+                F.concat(ln, F.lit("\x00\x00"), i.cast("string")),
             ).otherwise(ln),
         )
         kept = F.transform(
             F.array_distinct(keyed),
-            lambda ln: F.split(ln, "\x00").getItem(0),
+            lambda ln: F.regexp_replace(ln, "\x00\x00[0-9]+$", ""),
         )
     else:
         kept = F.array_distinct(lines)

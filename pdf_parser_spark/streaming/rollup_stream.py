@@ -55,7 +55,10 @@ class StreamingCorpusRollup:
         self.rollup.ingest(df, int(batch_id))
 
     def run_available_now(self, timeout_s: float = 180.0) -> dict:
-        """Drain all currently-delivered drops, then stop."""
+        """Drain all currently-delivered drops, then stop.
+        ``batches_committed`` counts THIS drain's commits;
+        ``total_batches`` the table's lifetime total."""
+        before = set(self.rollup.ingested_batches())
         docs = (
             self.spark.readStream.schema(self.schema)
             .option("maxFilesPerTrigger", "1")
@@ -73,9 +76,11 @@ class StreamingCorpusRollup:
                 f"rollup drain still running after {timeout_s}s; batches "
                 f"so far: {sorted(self.rollup.ingested_batches())}"
             )
+        after = self.rollup.ingested_batches()
         return {
             "rollup_version": self.rollup.table.current_version(),
-            "batches_committed": len(self.rollup.ingested_batches()),
+            "batches_committed": len(after - before),
+            "total_batches": len(after),
         }
 
     def report(self) -> DataFrame:
