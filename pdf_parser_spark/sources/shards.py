@@ -255,7 +255,11 @@ def export_shards(
         "_gidx",
         (F.col("shard_id").cast("long") * rows_per_shard + F.col("shard_pos") + 1),
     )
-    new_entries = _shard_stats(uncommitted, token_col)
+    # materialize the stats once: count() then write() would otherwise each
+    # run the aggregation — two full scans of every uncommitted shard (on a
+    # fresh export, two passes over the whole written corpus). The
+    # checkpointed frame is O(shards) manifest-sized rows, not row data.
+    new_entries = _shard_stats(uncommitted, token_col).localCheckpoint()
     n_committed = new_entries.count()
     if n_committed:
         new_entries.write.mode("append").parquet(os.path.join(root, _MANIFEST))
