@@ -2221,6 +2221,45 @@ def r41_cdc_chunks(spark, sf_dir):
     return chunk_dedup_stats(chunks)
 
 
+def r42_host_boilerplate(spark, sf_dir):
+    """Cross-document host-boilerplate strip (operators/boilerplate —
+    CCNet-style document-frequency rule, one (host,line_hash) exchange,
+    top-k-capped per-host sets, native order-preserving strip): every
+    document is wrapped in deterministic per-source chrome (nav + cookie
+    + footer lines keyed by `source`), the operator strips it, and the
+    audit reports per-source recovery — n_not_recovered counts documents
+    whose clean_text differs from the original body and MUST be 0 for
+    every source with >= 3 pages. Rows-only: frequency-threshold /
+    tie-break / null-host semantics pytest-asserted against a pure-Python
+    simulation (tests/test_boilerplate.py)."""
+    from pdf_parser_spark.operators.boilerplate import strip_host_boilerplate
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"), "doc_id", F.col("text").alias("body")
+    )
+    wrapped = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("Home | Shop | About "), F.col("host"), F.lit("\n"),
+            F.lit("We use cookies on "), F.col("host"), F.lit("\n"),
+            F.col("body"),
+            F.lit("\n(c) 2026 "), F.col("host"), F.lit(" All rights reserved."),
+        ),
+    )
+    stripped = strip_host_boilerplate(wrapped, min_docs=3, frac=0.5)
+    return (
+        stripped.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_stripped_lines").alias("n_stripped"),
+            F.sum(
+                F.when(F.col("clean_text") != F.col("body"), 1).otherwise(0)
+            ).alias("n_not_recovered"),
+        )
+        .orderBy("host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2320,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r39_charset_decode": r39_charset_decode,
         "r40_mirror_hosts": r40_mirror_hosts,
         "r41_cdc_chunks": r41_cdc_chunks,
+        "r42_host_boilerplate": r42_host_boilerplate,
     }
 
 

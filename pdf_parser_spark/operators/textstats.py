@@ -463,7 +463,8 @@ def repetition_signals(
 
 
 def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               materialize: bool = True) -> DataFrame:
     """Top-k adjacent-word pairs by pointwise mutual information.
 
     PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the corpus's bigram
@@ -475,6 +476,12 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
     map-side partials; the two unigram decorations join on single-word
     keys against a |vocab|-sized side (AQE broadcasts it); top-k is a
     TakeOrderedAndProject, never a full sort.
+
+    ``materialize=True`` (default) checkpoints the ≤ top_k result so the
+    vocab-sized cached intermediates can be released before returning.
+    Pass False to get the still-lazy plan (plan audits); the caller then
+    owns the persisted intermediates' lifecycle until it evaluates the
+    result.
     """
     words = words_expr(F.col(text_col))
     toks = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
@@ -533,10 +540,13 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
             ).alias("pmi"),
         )
     )
+    ordered = out.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
+    if not materialize:
+        return ordered
     # the result is ≤ top_k rows: checkpoint it so the vocab-sized
     # intermediates can be unpersisted HERE instead of leaking into the
     # session (they are invisible to the caller)
-    result = out.orderBy(F.desc("pmi"), "a", "b").limit(top_k).localCheckpoint()
+    result = ordered.localCheckpoint()
     uni.unpersist()
     bi_all.unpersist()
     return result

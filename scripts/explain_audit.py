@@ -290,7 +290,17 @@ def main() -> None:
     }
 
     for name, spec in checks.items():
-        df = qs[name](spark, SF)
+        if name == "q57_bigram_pmi":
+            # the contract entry checkpoints its tiny result (cache
+            # lifecycle); audit the still-lazy plan instead
+            from pdf_parser_spark.operators import textstats as _ts
+
+            df = _ts.bigram_pmi(
+                spark.read.parquet(os.path.join(SF, "documents.parquet")),
+                top_k=20, min_count=5, materialize=False,
+            )
+        else:
+            df = qs[name](spark, SF)
         plan, problems = audit(name, df, **spec)
         status = "OK" if not problems else "FAIL " + "; ".join(problems)
         print(f"{status:60s} {name}")
@@ -411,6 +421,19 @@ def main() -> None:
                 "pdf_parser_spark.operators.textstats", fromlist=["gopher_rules"]
             ).gopher_rules(docs_tbl),
             [],
+        ),
+        (
+            # host-boilerplate strip: the top_k rank filter must prune as
+            # WindowGroupLimit before the host window's exchange, and the
+            # whole operator stays native (no Python eval anywhere)
+            "host_boilerplate_strip",
+            __import__(
+                "pdf_parser_spark.operators.boilerplate",
+                fromlist=["strip_host_boilerplate"],
+            ).strip_host_boilerplate(
+                docs_tbl.select(F.col("source").alias("host"), "text")
+            ),
+            [r"WindowGroupLimit"],
         ),
     ):
         forbid = ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]
