@@ -4,7 +4,8 @@ Extends plans/curation.py's filter/dedup chain with the remaining stages a
 100 TB web corpus goes through before it feeds a trainer — each one is an
 operator this package ships and tests individually:
 
-    documents → Gopher shape rules [opt]                (textstats, r36)
+    documents → host-boilerplate strip [opt]            (boilerplate, r42)
+              → Gopher shape rules [opt]                (textstats, r36)
               → quality gate + language filter          (curation)
               → exact dedup → MinHash near-dup removal  (curation)
               → trained-classifier quality gate [opt]   (quality_train, r22)
@@ -49,6 +50,8 @@ def pretrain_corpus(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,
     min_quality: float = 0.5,
+    strip_boilerplate: bool = False,
+    host_col: str = "host",
     gopher_gate: bool = False,
     allowed_langs: tuple[str, ...] = ("en",),
     neardup_threshold: float = 0.85,
@@ -90,6 +93,30 @@ def pretrain_corpus(
     # the bucketed table commit (plans/checkpoint.py), which truncates
     # lineage the durable way.
     funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    # optional cross-document host-boilerplate strip (operators/boilerplate)
+    # FIRST: chrome lines would distort every downstream text signal — the
+    # Gopher shape rules, quality scores, MinHash shingles, passage grams —
+    # so the rewrite happens before anything reads the text. Docs rewritten
+    # to empty (pure-chrome pages) are dropped, same convention as
+    # passage_rewrite, so the funnel keeps its survivors-only meaning.
+    if strip_boilerplate:
+        from pdf_parser_spark.operators import boilerplate as boiler_op
+
+        if host_col not in docs.columns:
+            raise ValueError(
+                f"strip_boilerplate=True needs a {host_col!r} column on docs"
+            )
+        docs = (
+            boiler_op.strip_host_boilerplate(
+                docs, host_col=host_col, text_col=text_col
+            )
+            .drop(text_col, "n_stripped_lines")
+            .withColumnRenamed("clean_text", text_col)
+            .filter(F.length(F.col(text_col)) > 0)
+            .localCheckpoint()
+        )
+        funnel.append(("boiler_stripped", docs.count()))
 
     # optional Gopher document-shape gate (Rae et al. 2021 §A1.1) ahead
     # of the rest of the chain: zero-exchange row-local rules, so gating

@@ -204,3 +204,39 @@ def test_optional_gopher_gate(spark, corpus):
     kept_ids = {r["doc_id"] for r in out["kept"].select("doc_id").collect()}
     assert 200 not in kept_ids and 100 not in kept_ids
     assert 2 in kept_ids  # long fixture docs pass the gate
+
+
+def test_optional_boilerplate_strip(spark, corpus):
+    """strip_boilerplate=True removes host-frequent chrome lines before
+    any gate, drops pure-chrome pages, and records a funnel stage."""
+    nav = "Home | Products | Contact Sales Today"
+    chromed = corpus.withColumn("host", F.lit("shop.example")).withColumn(
+        "text", F.concat(F.lit(nav + "\n"), F.col("text"))
+    )
+    pure_chrome = spark.createDataFrame(
+        [(300, "en", nav, "shop.example")],
+        "doc_id long, lang string, text string, host string",
+    )
+    out = pretrain.pretrain_corpus(
+        chromed.unionByName(pure_chrome),
+        min_quality=0.0,
+        allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.6,
+        dup_frac_max=0.95,
+        ppl_keep_buckets=(1, 2, 3),
+        strip_boilerplate=True,
+        seed=9,
+    )
+    funnel = {r["stage"]: r["n"] for r in out["funnel"].collect()}
+    assert funnel["boiler_stripped"] == funnel["input"] - 1  # 300 erased
+    kept = out["kept"]
+    assert 300 not in {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # the nav line is gone from every surviving text
+    assert kept.filter(F.col("text").contains(nav)).count() == 0
+    # the fixture's dedup fates are unchanged by the strip (no eval_docs
+    # here, so the contaminated doc 100 legitimately survives)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 101 not in kept_ids and 102 not in kept_ids and 0 in kept_ids
+
+    with pytest.raises(ValueError):
+        pretrain.pretrain_corpus(corpus, strip_boilerplate=True)
