@@ -66,11 +66,47 @@ def minhash_signature(text: str | None, k: int = 3) -> list[int]:
     return [int(x) for x in sig.astype(_np.int64)]
 
 
-def band_hashes(sig: list[int]) -> list[int]:
-    """Band the signature: 16 band-hash ints (blake2b over the band bytes)."""
+def lsh_plan(threshold: float, n_hashes: int = N_HASHES,
+             recall_floor: float = 0.95) -> dict:
+    """Pick the (bands, rows) split of an ``n_hashes`` signature for a
+    target Jaccard ``threshold`` (the MMDS ch.3 S-curve — Leskovec,
+    Rajaraman & Ullman; public methodology).
+
+    A pair with Jaccard J shares at least one band with probability
+    P(J) = 1 − (1 − J^rows)^bands. Among the divisor splits
+    bands·rows == n_hashes, take the LARGEST rows whose P(threshold) ≥
+    ``recall_floor``: larger rows steepens the curve, so this is the
+    split with the fewest below-threshold candidate pairs (verify-join
+    work) that still guarantees the floor at the threshold itself. If no
+    split reaches the floor (tiny signatures), fall back to the max-P
+    split. Returns {"bands", "rows", "p_at_threshold"}.
+
+    The fixed module default (16×4) is exactly this plan's answer for
+    thresholds in ~[0.62, 0.88]; outside that range a fixed 16×4 either
+    leaks recall (0.6 ⇒ P=0.89, while 32×2 gives ≈1.0) or wastes verify
+    work (0.9 ⇒ 8×8 keeps P=0.99 with ~8× sharper candidate pruning).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    splits = [
+        (r, n_hashes // r, 1.0 - (1.0 - threshold ** r) ** (n_hashes // r))
+        for r in range(1, n_hashes + 1)
+        if n_hashes % r == 0
+    ]
+    ok = [s for s in splits if s[2] >= recall_floor]
+    rows, bands, p = max(ok) if ok else max(splits, key=lambda s: (s[2], s[0]))
+    return {"bands": bands, "rows": rows, "p_at_threshold": p}
+
+
+def band_hashes(sig: list[int], bands: int = N_BANDS) -> list[int]:
+    """Band the signature: ``bands`` band-hash ints (blake2b over the
+    band bytes). ``bands`` must divide the signature length."""
+    rows = len(sig) // bands
+    if bands * rows != len(sig):
+        raise ValueError(f"bands={bands} must divide signature length {len(sig)}")
     out = []
-    for b in range(N_BANDS):
-        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows]
         h = blake2b(repr(chunk).encode(), digest_size=8).digest()
         out.append(int.from_bytes(h, "big", signed=True))
     return out
@@ -123,7 +159,8 @@ def exact_duplicates(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
     )
 
 
-def minhash_band_table(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+def minhash_band_table(docs: DataFrame, id_col="doc_id", text_col="text",
+                       bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, band_hash) — the LSH index table."""
     from pdf_parser_spark.operators.parallelism import ensure_parallelism
 
@@ -133,7 +170,7 @@ def minhash_band_table(docs: DataFrame, id_col="doc_id", text_col="text") -> Dat
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                for band, h in enumerate(band_hashes(minhash_signature(text))):
+                for band, h in enumerate(band_hashes(minhash_signature(text), bands)):
                     rows.append({"doc_id": did, "band": band, "band_hash": h})
             yield pd.DataFrame(rows, columns=["doc_id", "band", "band_hash"])
 
@@ -177,10 +214,21 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float = 0.7,
 
 
 def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
-                            id_col="doc_id", text_col="text") -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: shingle→minhash→band→join→verify."""
-    bands = minhash_band_table(docs, id_col, text_col)
-    cands = minhash_candidate_pairs(bands)
+                            id_col="doc_id", text_col="text",
+                            bands: int | None = None) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle→minhash→band→join→verify.
+
+    ``bands=None`` (default) picks the banding from the threshold via
+    lsh_plan, so candidate recall tracks the threshold the exact verify
+    enforces instead of being pinned to the 16×4 ≈-0.5-knee curve: a
+    0.6 threshold gets 32×2 (16×4 would silently leak ~11% of true
+    pairs), a 0.9 threshold gets 8×8 (same guaranteed recall, far fewer
+    below-threshold candidates through the verify join). Pass an
+    explicit divisor of 64 to pin it (e.g. to match a persisted index)."""
+    if bands is None:
+        bands = lsh_plan(threshold)["bands"]
+    band_tbl = minhash_band_table(docs, id_col, text_col, bands)
+    cands = minhash_candidate_pairs(band_tbl)
     return verify_jaccard(cands, docs, threshold, id_col, text_col)
 
 
