@@ -9,7 +9,9 @@ Two snapshot tables (plans/snapshots.SnapshotTable) under one root:
   MinHash signature per kept doc, partitioned by a doc-id bucket.
 
 A batch is processed as:
-1. sign the batch once (one Arrow pass → signature + 16 band hashes);
+1. sign the batch once (one Arrow pass → signature + band hashes under
+   the index's pinned banding — derived from the threshold via
+   dedupe.lsh_plan on first open, then geometry-guarded);
 2. candidates vs the index: the batch's band table (small) BROADCASTS
    against a columnar scan of ``bands/`` — the index is never shuffled
    and never re-signed; verification joins the candidates to ``sigs/``
@@ -66,10 +68,42 @@ class IncrementalNearDup:
     """Persisted-index near-dup for append-only corpora (see module doc)."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 threshold: float = 0.7, n_buckets: int = 16) -> None:
+                 threshold: float = 0.7, n_buckets: int = 16,
+                 bands: int | None = None) -> None:
         self.spark = spark
         self.threshold = threshold
         self.n_buckets = n_buckets
+        # banding is INDEX GEOMETRY: band hashes computed under one split
+        # never equi-join against another's, so a resume with different
+        # banding would silently stop matching the persisted rows. Derive
+        # it from the threshold (dedupe.lsh_plan) on first open, then pin
+        # it in a meta file and refuse mismatched reopens — the same
+        # guard sources/shards applies to its shard geometry.
+        from pdf_parser_spark.operators.dedupe import lsh_plan
+
+        requested = bands if bands is not None else lsh_plan(threshold)["bands"]
+        meta_path = os.path.join(path, "_index_meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as fh:
+                committed = json.load(fh)["bands"]
+            if bands is not None and bands != committed:
+                raise ValueError(
+                    f"index at {path} was built with bands={committed}, "
+                    f"got bands={bands} — banding cannot change after rows "
+                    "are committed"
+                )
+            self.n_bands = committed
+        else:
+            import json
+
+            os.makedirs(path, exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"bands": requested, "n_hashes": N_HASHES}, fh)
+            os.replace(tmp, meta_path)
+            self.n_bands = requested
         self.bands = SnapshotTable(
             spark, os.path.join(path, "bands"), stats_cols=("band_hash",)
         )
@@ -94,13 +128,16 @@ class IncrementalNearDup:
     # -- signing --------------------------------------------------------------
 
     def _sign(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        n_bands = self.n_bands  # bind locally: the UDF must not close over self
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for did, text in zip(pdf[id_col], pdf[text_col]):
                     sig = minhash_signature(text)
                     rows.append(
-                        {"doc_id": did, "sig": sig, "bands": band_hashes(sig)}
+                        {"doc_id": did, "sig": sig,
+                         "bands": band_hashes(sig, n_bands)}
                     )
                 yield pd.DataFrame(rows, columns=["doc_id", "sig", "bands"])
 

@@ -121,3 +121,19 @@ def test_index_side_never_shuffles(spark, tmp_path):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_banding_is_pinned_index_geometry(spark, tmp_path):
+    """The banding is derived from the threshold on first open, written
+    to the meta file, and a reopen with conflicting bands refuses."""
+    import pytest
+
+    path = str(tmp_path / "idx")
+    idx = IncrementalNearDup(spark, path, threshold=0.9)
+    assert idx.n_bands == 8  # lsh_plan(0.9) -> 8x8
+    # reopen without bands: adopts the committed geometry even though the
+    # threshold default would pick differently
+    again = IncrementalNearDup(spark, path)
+    assert again.n_bands == 8
+    with pytest.raises(ValueError, match="banding cannot change"):
+        IncrementalNearDup(spark, path, bands=16)
