@@ -2260,6 +2260,58 @@ def r42_host_boilerplate(spark, sf_dir):
     )
 
 
+def r43_monthly_crawl(spark, sf_dir):
+    """Monthly-crawl increment (plans/crawl_increment.MonthlyCrawl —
+    incremental near-dup vs all history, curate→chunk→pack, per-batch
+    shard roots, rollup stats; every leg idempotent per batch id): two
+    crawl "months" cut from the documents table, month 2 carrying
+    near-copies of month-1 docs, then a full replay of month 1. The
+    audit returns one row per step with the survivor count, shards
+    written, and corpus-to-date doc total — the replay row MUST show
+    zero shards written and an unchanged total. Rows-only: filesystem
+    side effects; crash-window convergence is pytest-covered
+    (tests/test_crawl_increment.py)."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.plans.crawl_increment import MonthlyCrawl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = d.filter(F.col("doc_id") < 150)
+    # month 2: fresh docs + near-copies of 30 month-1 docs
+    fresh = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 280)).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    copies = m1.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    m2 = fresh.unionByName(copies)
+    kw = dict(
+        min_quality=0.0, allowed_langs=("en", "de", "es", "fr"),
+        neardup_threshold=0.6, dup_frac_max=0.95, ppl_keep_buckets=(1, 2, 3),
+        seq_len=64, rows_per_shard=32, seed=3,
+    )
+    root = tempfile.mkdtemp(prefix="crawl-")
+    try:
+        mc = MonthlyCrawl(spark, root, threshold=0.6)
+        steps = []
+        for label, docs, bid in (("month1", m1, 1), ("month2", m2, 2),
+                                 ("month1_replay", m1, 1)):
+            r = mc.ingest_month(docs, batch_id=bid, **kw)
+            total = mc.report().agg(F.sum("n_docs")).first()[0]
+            steps.append(
+                (label, r["survivors"], int(r["shards"]["shards_written"]),
+                 int(total))
+            )
+        return spark.createDataFrame(
+            steps,
+            "step string, survivors long, shards_written long, corpus_docs long",
+        ).orderBy("step")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2360,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r40_mirror_hosts": r40_mirror_hosts,
         "r41_cdc_chunks": r41_cdc_chunks,
         "r42_host_boilerplate": r42_host_boilerplate,
+        "r43_monthly_crawl": r43_monthly_crawl,
     }
 
 

@@ -75,7 +75,8 @@ def deliver_training_data(
 ) -> dict:
     """Run the full chain and write shards under ``shard_root``.
 
-    Returns {"funnel": DataFrame, "packs": the assembled pack table
+    Returns {"funnel": DataFrame, "kept": the post-filter documents
+    (for downstream stats/reporting), "packs": the assembled pack table
     (checkpointed), "shards": export summary dict}. Safe to re-run after
     any crash: the pipeline is deterministic and export_shards never
     rewrites a committed shard."""
@@ -111,4 +112,9 @@ def deliver_training_data(
         rows_per_shard=rows_per_shard, token_col="n_tokens",
         num_buckets=num_buckets,
     )
-    return {"funnel": out["funnel"], "packs": packs, "shards": summary}
+    return {
+        "funnel": out["funnel"],
+        "kept": out["kept"],
+        "packs": packs,
+        "shards": summary,
+    }
