@@ -2312,6 +2312,37 @@ def r43_monthly_crawl(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r44_fetch_schedule(spark, sf_dir):
+    """Politeness-aware fetch scheduling (weburls.schedule_fetches): the
+    q40 messy-url corpus canonicalized, each host given a deterministic
+    crawl delay (5·(xxhash64(host) mod 4) + 1 seconds), ranked per host
+    under a 50-url cap (WindowGroupLimit prune) and spread into 60 s
+    waves. The audit returns per-(host, wave) request counts — by
+    construction no (host, wave) may exceed ceil(60/delay) requests, the
+    politeness invariant a fetcher relies on. Rows-only: DuckDB parity
+    for the schedule arithmetic is pytest-asserted
+    (tests/test_weburls_pii_asof.py)."""
+    from pdf_parser_spark.operators import weburls
+
+    c = weburls.with_canonical_url(_q40_urls(spark, sf_dir))
+    urls = c.select(F.col("canonical_url").alias("url")).distinct()
+    hosts = urls.select(
+        weburls.host_col(F.col("url")).alias("host")
+    ).distinct()
+    delays = hosts.select(
+        "host",
+        (F.pmod(F.xxhash64("host"), F.lit(4)) * 5 + 1)
+        .cast("double")
+        .alias("crawl_delay_s"),
+    )
+    sched = weburls.schedule_fetches(urls, delays, per_host_cap=50, cycle_s=60.0)
+    return (
+        sched.groupBy("host", "wave")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .orderBy("host", "wave")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2413,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r41_cdc_chunks": r41_cdc_chunks,
         "r42_host_boilerplate": r42_host_boilerplate,
         "r43_monthly_crawl": r43_monthly_crawl,
+        "r44_fetch_schedule": r44_fetch_schedule,
     }
 
 

@@ -200,3 +200,65 @@ def robots_decisions(urls: DataFrame, rules: DataFrame,
             F.coalesce(F.col("_w.allow"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+def schedule_fetches(urls: DataFrame, delays: DataFrame,
+                     url_col: str = "url", priority_col: str | None = None,
+                     default_delay_s: float = 1.0,
+                     per_host_cap: int = 1000,
+                     cycle_s: float = 60.0) -> DataFrame:
+    """Politeness-aware fetch schedule — the frontier step between "urls
+    we want" and "requests a fetcher may actually send".
+
+    ``delays``: (host, crawl_delay_s) — e.g. robots Crawl-delay lines;
+    hosts absent from it get ``default_delay_s``. Per host, urls are
+    ranked (by ``priority_col`` desc when given, url asc as the total
+    tie-break), capped at ``per_host_cap`` per scheduling cycle, and the
+    i-th url is offset i·delay seconds from the host's first fetch —
+    ``wave = floor(offset / cycle_s)`` groups the output into fetch
+    batches a crawler drains in order, so a host with a 10 s delay
+    lands 6 urls in a 60 s wave no matter how many urls want it.
+
+    Scale shape: the per-host window is width-bounded BY the cap — the
+    rank filter prunes to per_host_cap rows per partition before the
+    host exchange (WindowGroupLimit), so a 10^8-url megahost costs the
+    shuffle at most per_host_cap rows, the same guard the per-domain
+    cap and anchor rollup use. The delay decoration is a host-keyed
+    equi-join (broadcast when the host universe is small, AQE otherwise);
+    everything is native expressions.
+
+    Reference parity: the reference fetches one document per request on
+    user demand (main.py upload path) — politeness scheduling has no
+    analog there; this is the crawl-tier front door the 10^12-page
+    corpus needs before extraction can run at all.
+    """
+    if per_host_cap < 1:
+        raise ValueError("per_host_cap must be >= 1")
+    if cycle_s <= 0:
+        raise ValueError("cycle_s must be positive")
+    from pyspark.sql import Window
+
+    u = urls.withColumn("_host", host_col(F.col(url_col)))
+    d = delays.select(
+        F.col("host").alias("_host"),
+        F.col("crawl_delay_s").cast("double").alias("_delay"),
+    )
+    order = (
+        [F.col(priority_col).desc()] if priority_col else []
+    ) + [F.col(url_col).asc()]
+    ranked = (
+        u.withColumn(
+            "_rk", F.row_number().over(Window.partitionBy("_host").orderBy(*order))
+        )
+        .filter(F.col("_rk") <= per_host_cap)  # rank filter ⇒ WindowGroupLimit
+    )
+    offset = (F.col("_rk") - 1) * F.coalesce(
+        F.col("_delay"), F.lit(float(default_delay_s))
+    )
+    return ranked.join(d, "_host", "left").select(
+        F.col(url_col),
+        F.col("_host").alias("host"),
+        (F.col("_rk") - 1).cast("int").alias("fetch_seq"),
+        F.round(offset, 6).alias("offset_s"),
+        F.floor(offset / F.lit(float(cycle_s))).cast("int").alias("wave"),
+    )

@@ -258,3 +258,71 @@ def test_asof_join_string_right_id_tie_break(spark):
         right_id="sig_id",
     )
     assert out.collect()[0]["asof_sig_id"] == "sig-c"
+
+
+# ---------------------------------------------------- fetch scheduling
+
+
+def test_schedule_fetches_matches_duckdb(spark):
+    """Politeness schedule vs an independent DuckDB formulation of the
+    same rule (rank per host, offset = rank*delay, wave = floor/cycle)."""
+    import duckdb
+
+    rows = [(f"https://h{i % 3}.com/p{j:02d}",) for i in range(3) for j in range(7)]
+    urls = spark.createDataFrame(rows, "url string")
+    delays = spark.createDataFrame(
+        [("h0.com", 30.0), ("h1.com", 5.0)], "host string, crawl_delay_s double"
+    )  # h2.com missing -> default 1.0
+    got = {
+        (r["url"], r["host"], r["fetch_seq"], r["offset_s"], r["wave"])
+        for r in weburls.schedule_fetches(
+            urls, delays, per_host_cap=5, cycle_s=60.0
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table u(url varchar)")
+    con.executemany("insert into u values (?)", [(r[0],) for r in rows])
+    con.execute("create table d(host varchar, delay double)")
+    con.executemany("insert into d values (?, ?)",
+                    [("h0.com", 30.0), ("h1.com", 5.0)])
+    expect = {
+        (u, h, s, o, w)
+        for u, h, s, o, w in con.execute("""
+            with ranked as (
+              select url,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host,
+                     row_number() over (partition by regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                                        order by url) - 1 as seq
+              from u
+            )
+            select r.url, r.host, r.seq,
+                   r.seq * coalesce(d.delay, 1.0) as offset_s,
+                   cast(floor(r.seq * coalesce(d.delay, 1.0) / 60.0) as int) as wave
+            from ranked r left join d on r.host = d.host
+            where r.seq < 5
+        """).fetchall()
+    }
+    assert got == expect
+    # politeness arithmetic: h0 (30s delay) spreads 5 urls over 3 waves,
+    # h2 (default 1s) keeps all its capped urls in wave 0
+    waves = {h: sorted(w for (_, hh, _, _, w) in got if hh == h) for h in
+             ("h0.com", "h1.com", "h2.com")}
+    assert waves["h0.com"] == [0, 0, 1, 1, 2]
+    assert waves["h2.com"] == [0] * 5
+
+
+def test_schedule_fetches_priority_and_plan(spark):
+    urls = spark.createDataFrame(
+        [("https://a.com/x", 1.0), ("https://a.com/y", 9.0),
+         ("https://a.com/z", 5.0)],
+        "url string, score double",
+    )
+    delays = spark.createDataFrame([("a.com", 2.0)], "host string, crawl_delay_s double")
+    out = weburls.schedule_fetches(urls, delays, priority_col="score",
+                                   per_host_cap=2)
+    rows = {r["url"]: r["fetch_seq"] for r in out.collect()}
+    # highest score fetches first; the cap drops the lowest
+    assert rows == {"https://a.com/y": 0, "https://a.com/z": 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
