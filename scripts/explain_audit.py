@@ -423,6 +423,28 @@ def main() -> None:
             [],
         ),
         (
+            # fetch scheduling: the per-host cap must prune as
+            # WindowGroupLimit before the host exchange — a megahost may
+            # not widen the shuffle past the cap
+            "fetch_schedule_capped",
+            __import__(
+                "pdf_parser_spark.operators.weburls",
+                fromlist=["schedule_fetches"],
+            ).schedule_fetches(
+                docs_tbl.select(
+                    F.concat(
+                        F.lit("https://"), F.col("source"), F.lit(".com/d/"),
+                        F.col("doc_id").cast("string"),
+                    ).alias("url")
+                ),
+                spark.createDataFrame(
+                    [("src1.com", 5.0)], "host string, crawl_delay_s double"
+                ),
+                per_host_cap=50,
+            ),
+            [r"WindowGroupLimit"],
+        ),
+        (
             # host-boilerplate strip: the top_k rank filter must prune as
             # WindowGroupLimit before the host window's exchange, and the
             # whole operator stays native (no Python eval anywhere)
