@@ -479,9 +479,11 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
 
     ``materialize=True`` (default) checkpoints the ≤ top_k result so the
     vocab-sized cached intermediates can be released before returning.
-    Pass False to get the still-lazy plan (plan audits); the caller then
-    owns the persisted intermediates' lifecycle until it evaluates the
-    result.
+    ``materialize=False`` returns the final projection un-checkpointed so
+    its plan is inspectable (plan audits); the caches are released before
+    returning either way, so evaluating that plan recomputes the two
+    aggregations. Note the corpus totals are literals IN the plan — both
+    paths run two counting jobs during construction regardless.
     """
     words = words_expr(F.col(text_col))
     toks = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
@@ -542,6 +544,11 @@ def bigram_pmi(docs: DataFrame, top_k: int = 20, min_count: int = 5,
     )
     ordered = out.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
     if not materialize:
+        # audit path: release the caches NOW (the returned lazy plan
+        # recomputes them on evaluation — the caller wanted the plan, not
+        # a leak of two vocab-sized cached tables into the session)
+        uni.unpersist()
+        bi_all.unpersist()
         return ordered
     # the result is ≤ top_k rows: checkpoint it so the vocab-sized
     # intermediates can be unpersisted HERE instead of leaking into the

@@ -239,10 +239,14 @@ def schedule_fetches(urls: DataFrame, delays: DataFrame,
     from pyspark.sql import Window
 
     u = urls.withColumn("_host", host_col(F.col(url_col)))
+    # one delay per host, conservatively the LARGEST: robots tables
+    # naturally carry one Crawl-delay row per user-agent group, and a
+    # duplicate-host join would fan every url into conflicting schedule
+    # rows (politeness prefers the slowest applicable rate anyway)
     d = delays.select(
         F.col("host").alias("_host"),
         F.col("crawl_delay_s").cast("double").alias("_delay"),
-    )
+    ).groupBy("_host").agg(F.max("_delay").alias("_delay"))
     order = (
         [F.col(priority_col).desc()] if priority_col else []
     ) + [F.col(url_col).asc()]

@@ -96,11 +96,14 @@ def drop_near_duplicates(docs: DataFrame, threshold: float = 0.85,
     # Persist the band table: the candidate self-join references it on BOTH
     # sides, and each evaluation re-runs the MinHash-signature pandas UDF
     # over the full input. Serialized cache = one signature pass, two cheap
-    # scans. (doc_id, band, band_hash) is ~24 bytes/row × 16 bands — orders
-    # of magnitude smaller than the corpus it indexes.
+    # scans. (doc_id, band, band_hash) is ~24 bytes/row × bands — orders
+    # of magnitude smaller than the corpus it indexes. Banding follows the
+    # verify threshold (dedupe.lsh_plan), same as near_duplicates_minhash —
+    # a fixed 16×4 here leaked ~11% of true pairs at threshold 0.6.
     from pyspark import StorageLevel
 
-    bands = dedupe_op.minhash_band_table(docs, id_col, text_col).persist(
+    n_bands = dedupe_op.lsh_plan(threshold)["bands"]
+    bands = dedupe_op.minhash_band_table(docs, id_col, text_col, n_bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = dedupe_op.minhash_candidate_pairs(bands)

@@ -79,37 +79,50 @@ class IncrementalNearDup:
         # it from the threshold (dedupe.lsh_plan) on first open, then pin
         # it in a meta file and refuse mismatched reopens — the same
         # guard sources/shards applies to its shard geometry.
-        from pdf_parser_spark.operators.dedupe import lsh_plan
+        from pdf_parser_spark.operators.dedupe import N_BANDS, lsh_plan
 
         requested = bands if bands is not None else lsh_plan(threshold)["bands"]
-        meta_path = os.path.join(path, "_index_meta.json")
-        if os.path.exists(meta_path):
-            import json
-
-            with open(meta_path) as fh:
-                committed = json.load(fh)["bands"]
-            if bands is not None and bands != committed:
-                raise ValueError(
-                    f"index at {path} was built with bands={committed}, "
-                    f"got bands={bands} — banding cannot change after rows "
-                    "are committed"
-                )
-            self.n_bands = committed
-        else:
-            import json
-
-            os.makedirs(path, exist_ok=True)
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"bands": requested, "n_hashes": N_HASHES}, fh)
-            os.replace(tmp, meta_path)
-            self.n_bands = requested
         self.bands = SnapshotTable(
             spark, os.path.join(path, "bands"), stats_cols=("band_hash",)
         )
         self.sigs = SnapshotTable(
             spark, os.path.join(path, "sigs"), stats_cols=("doc_id",)
         )
+        meta_path = os.path.join(path, "_index_meta.json")
+        import json
+
+        if not os.path.exists(meta_path) and (
+            self.bands.current_version() > 0 or self.sigs.current_version() > 0
+        ):
+            # pre-meta index: rows were committed by code with the fixed
+            # module-constant banding — adopt it, never re-derive from the
+            # threshold (a different split would silently stop matching
+            # every persisted row)
+            requested = N_BANDS if bands is None else bands
+        if not os.path.exists(meta_path):
+            # exclusive publish (hard link, same discipline as the snapshot
+            # log): two writers racing to create the index cannot both win
+            # and commit mixed-banding rows — the loser re-reads and must
+            # agree with the winner's geometry
+            os.makedirs(path, exist_ok=True)
+            tmp = meta_path + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump({"bands": requested, "n_hashes": N_HASHES}, fh)
+            try:
+                os.link(tmp, meta_path)
+            except FileExistsError:
+                pass  # lost the race — validate against the winner below
+            finally:
+                os.unlink(tmp)
+        with open(meta_path) as fh:
+            committed = json.load(fh)["bands"]
+        if bands is not None and bands != committed:
+            raise ValueError(
+                f"index at {path} was built with bands={committed}, "
+                f"got bands={bands} — banding cannot change after rows "
+                "are committed"
+            )
+        self.n_bands = committed
 
     # -- exactly-once bookkeeping -------------------------------------------
 

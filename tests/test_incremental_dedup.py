@@ -137,3 +137,31 @@ def test_banding_is_pinned_index_geometry(spark, tmp_path):
     assert again.n_bands == 8
     with pytest.raises(ValueError, match="banding cannot change"):
         IncrementalNearDup(spark, path, bands=16)
+
+
+def test_premeta_index_adopts_legacy_banding(spark, tmp_path):
+    """An index with committed rows but no meta file (built before the
+    geometry pin existed) must keep the old fixed banding — re-deriving
+    from the threshold would stop matching every persisted row."""
+    import os
+
+    path = str(tmp_path / "legacy")
+    # legacy geometry: the old code's fixed 16 bands
+    idx = IncrementalNearDup(spark, path, threshold=0.6, bands=16)
+    m1 = spark.createDataFrame(
+        [(i, f"some document body number {i} with plenty of words "
+              f"unique{i} filler{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx.dedup_batch(m1, 1)
+    os.remove(os.path.join(path, "_index_meta.json"))  # pre-upgrade state
+    again = IncrementalNearDup(spark, path, threshold=0.6)  # would derive 32
+    assert again.n_bands == 16
+    # cross-batch dedup against the legacy rows still works
+    m2 = spark.createDataFrame(
+        [(100, "zz some document body number 0 with plenty of words "
+               "unique0 filler0")],
+        "doc_id long, text string",
+    )
+    dec = {r["doc_id"]: r["is_dup"] for r in again.dedup_batch(m2, 2).collect()}
+    assert dec[100] is True

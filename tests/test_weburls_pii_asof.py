@@ -326,3 +326,18 @@ def test_schedule_fetches_priority_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_schedule_fetches_duplicate_delay_rows_collapse(spark):
+    """Robots tables carry one Crawl-delay per user-agent group; the
+    schedule must emit each url once, at the most conservative rate."""
+    urls = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 5.0), ("a.com", 30.0)], "host string, crawl_delay_s double"
+    )
+    rows = weburls.schedule_fetches(urls, delays).collect()
+    assert len(rows) == 2  # no fan-out
+    by_url = {r["url"]: r["offset_s"] for r in rows}
+    assert by_url == {"https://a.com/1": 0.0, "https://a.com/2": 30.0}
