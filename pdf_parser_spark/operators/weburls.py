@@ -266,3 +266,46 @@ def schedule_fetches(urls: DataFrame, delays: DataFrame,
         F.round(offset, 6).alias("offset_s"),
         F.floor(offset / F.lit(float(cycle_s))).cast("int").alias("wave"),
     )
+
+
+def sitemap_entries(docs: DataFrame, xml_col: str = "xml",
+                    url_col: str = "url") -> DataFrame:
+    """Sitemap inventory: one row per ``<loc>`` of each sitemap document
+    (sitemaps.org protocol — public spec). Returns (url, loc, kind,
+    lastmod) where kind is 'urlset' (page entry) or 'sitemapindex'
+    (nested sitemap to fetch next — the caller loops fetch→parse until
+    no index entries remain; recursion is per-round relational, never
+    driver-side page-at-a-time).
+
+    Entirely native: root-element sniff + regexp_extract_all over
+    ``<url>``/``<sitemap>`` blocks, one Generate per doc — no XML
+    library, no Python, no shuffle. lastmod is kept as the raw W3C
+    datetime string (sitemaps carry several precisions; parse
+    downstream with to_timestamp when a precision is fixed).
+    """
+    kind = F.when(
+        F.col(xml_col).rlike(r"<\s*sitemapindex[\s>]"), F.lit("sitemapindex")
+    ).when(F.col(xml_col).rlike(r"<\s*urlset[\s>]"), F.lit("urlset"))
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<\s*(?:url|sitemap)\s*>(.*?)</\s*(?:url|sitemap)\s*>"), 1
+    )
+    return (
+        docs.select(F.col(url_col).alias("url"), kind.alias("kind"),
+                    F.explode(blocks).alias("_b"))
+        .filter(F.col("kind").isNotNull())
+        .select(
+            "url",
+            F.trim(F.regexp_extract("_b", r"(?s)<\s*loc\s*>\s*(.*?)\s*</\s*loc\s*>", 1))
+            .alias("loc"),
+            "kind",
+            F.nullif(
+                F.trim(
+                    F.regexp_extract(
+                        "_b", r"(?s)<\s*lastmod\s*>\s*(.*?)\s*</\s*lastmod\s*>", 1
+                    )
+                ),
+                F.lit(""),
+            ).alias("lastmod"),
+        )
+        .filter(F.length("loc") > 0)
+    )

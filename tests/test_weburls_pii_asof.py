@@ -341,3 +341,34 @@ def test_schedule_fetches_duplicate_delay_rows_collapse(spark):
     assert len(rows) == 2  # no fan-out
     by_url = {r["url"]: r["offset_s"] for r in rows}
     assert by_url == {"https://a.com/1": 0.0, "https://a.com/2": 30.0}
+
+
+def test_sitemap_entries_urlset_and_index(spark):
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://a.com/p1 </loc><lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>https://a.com/p2</loc></url>"
+        "<url><lastmod>2026-01-03</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.com/sitemap-1.xml</loc>"
+        "<lastmod>2026-02-01T10:00:00+00:00</lastmod></sitemap></sitemapindex>"
+    )
+    docs = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", urlset),
+         ("https://a.com/sitemap_index.xml", index),
+         ("https://a.com/not-a-sitemap.xml", "<html>no</html>")],
+        "url string, xml string",
+    )
+    rows = {(r["url"], r["loc"], r["kind"], r["lastmod"])
+            for r in weburls.sitemap_entries(docs).collect()}
+    assert rows == {
+        ("https://a.com/sitemap.xml", "https://a.com/p1", "urlset", "2026-01-02"),
+        ("https://a.com/sitemap.xml", "https://a.com/p2", "urlset", None),
+        ("https://a.com/sitemap_index.xml", "https://a.com/sitemap-1.xml",
+         "sitemapindex", "2026-02-01T10:00:00+00:00"),
+    }
+    out = weburls.sitemap_entries(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
