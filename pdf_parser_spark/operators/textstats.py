@@ -706,3 +706,40 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
         )
         .drop("_lines")
     )
+
+
+def compression_ratio(text: str | None, level: int = 6) -> float:
+    """deflate(text) bytes / utf-8 bytes — the repetitiveness signal the
+    published web-curation recipes threshold on (highly repetitive pages
+    compress far below prose's ~0.4-0.6; random/encrypted blobs sit near
+    1.0). Empty text maps to 1.0 (nothing to judge)."""
+    import zlib
+
+    raw = (text or "").encode("utf-8")
+    if not raw:
+        return 1.0
+    return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+
+def with_compression_ratio(docs: DataFrame, text_col: str = "text",
+                           out_col: str = "compression_ratio",
+                           level: int = 6) -> DataFrame:
+    """Adds ``out_col`` per document.
+
+    deflate has no native Spark expression, so this is the package's one
+    deliberately-Python quality signal: a single Arrow-batched pass
+    (pandas UDF), row-local, fusable into any scan — no shuffle, and the
+    orthogonal repetition signals (repetition_signals, dup-passage
+    stats) stay native. zlib is deterministic for a fixed level across
+    platforms (same library, fixed strategy), so the column is stable
+    across partitionings and cluster sizes.
+    """
+    from pyspark.sql.types import DoubleType
+
+    from pdf_parser_spark.operators.parallelism import ensure_parallelism
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: compression_ratio(t, level))
+
+    return ensure_parallelism(docs).withColumn(out_col, _ratio(F.col(text_col)))

@@ -83,3 +83,34 @@ def test_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     row = gopher_rules(df).first()
     assert row["gopher_pass"] is False and row["ok_stopwords"] is False
+
+
+# ------------------------------------------------ compression ratio
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    import zlib
+
+    from pdf_parser_spark.operators.textstats import (
+        compression_ratio,
+        with_compression_ratio,
+    )
+
+    prose = ("the quick brown fox jumps over the lazy dog while seventeen "
+             "unrelated observers catalog entirely distinct circumstances ")
+    repetitive = "buy now click here " * 40
+    docs = spark.createDataFrame(
+        [(1, prose * 3), (2, repetitive), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in with_compression_ratio(docs).collect()}
+    # spark column == scalar reference, row for row
+    assert got[1] == compression_ratio(prose * 3)
+    assert got[2] == compression_ratio(repetitive)
+    assert got[3] == 1.0 and got[4] == 1.0
+    # the signal orders as published: repetitive << prose
+    assert got[2] < 0.15 < got[1]
+    # and the scalar is the plain zlib arithmetic
+    raw = (prose * 3).encode()
+    assert got[1] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
