@@ -151,3 +151,28 @@ def test_validation(spark):
         boilerplate.host_boilerplate_lines(docs, frac=0.0)
     with pytest.raises(ValueError):
         boilerplate.host_boilerplate_lines(docs, min_docs=1)
+
+
+def test_strip_is_idempotent(spark):
+    """Stripping only removes lines; remaining lines' document frequency
+    is unchanged and thresholds depend only on page counts — so a second
+    pass must be a no-op. Checked on randomized corpora."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        lines_pool = [f"line {i} with some words" for i in range(30)]
+        rows = []
+        for h in range(3):
+            for p in range(rng.randint(1, 8)):
+                body = rng.sample(lines_pool, rng.randint(1, 10))
+                rows.append((f"h{h}.com", f"u{h}-{p}", "\n".join(body)))
+        docs = spark.createDataFrame(rows, "host string, url string, text string")
+        once = boilerplate.strip_host_boilerplate(docs).select(
+            "host", "url", F.col("clean_text").alias("text")
+        )
+        twice = boilerplate.strip_host_boilerplate(once)
+        assert twice.filter(F.col("n_stripped_lines") > 0).count() == 0, seed
+        assert {(r["url"], r["clean_text"]) for r in twice.collect()} == {
+            (r["url"], r["text"]) for r in once.collect()
+        }, seed

@@ -186,3 +186,17 @@ def test_band_hashes_validates_split():
     sig = dedupe_op.minhash_signature("some text here")
     with pytest.raises(ValueError):
         dedupe_op.band_hashes(sig, bands=7)  # 7 does not divide 64
+
+
+def test_lsh_plan_rows_monotone_in_threshold():
+    """Higher thresholds never pick a flatter curve: rows-per-band is
+    non-decreasing in the threshold, and the S-curve value the planner
+    reports is the actual 1-(1-t^r)^b arithmetic."""
+    prev_rows = 0
+    for i in range(1, 100):
+        t = i / 100.0
+        p = dedupe_op.lsh_plan(t)
+        assert p["rows"] >= prev_rows, t
+        prev_rows = p["rows"]
+        b, r = p["bands"], p["rows"]
+        assert abs(p["p_at_threshold"] - (1 - (1 - t ** r) ** b)) < 1e-12
