@@ -33,9 +33,11 @@ are unchanged.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,13 +47,24 @@ _META = "metadata"
 _DATA = "data"
 _HINT = "version-hint.text"
 
+# writer-unique suffix: pid alone is NOT enough — two streaming sinks in
+# one driver process racing to commit would share a pid-named tmp/claim
+# file and the "winner" could publish the loser's payload. pid + thread
+# + a process-global counter is unique across every writer this process
+# can host; pid keeps it unique across processes.
+_SEQ = itertools.count()
+
+
+def _writer_tag() -> str:
+    return f"{os.getpid()}-{threading.get_ident()}-{next(_SEQ)}"
+
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first — rebase and retry."""
 
 
 def _atomic_write(path: str, payload: str) -> None:
-    tmp = path + f".tmp.{os.getpid()}"
+    tmp = path + f".tmp.{_writer_tag()}"
     with open(tmp, "w") as fh:
         fh.write(payload)
         fh.flush()
@@ -61,7 +74,7 @@ def _atomic_write(path: str, payload: str) -> None:
 
 def _publish_exclusive(path: str, payload: str) -> None:
     """Create `path` atomically, failing if it already exists."""
-    tmp = path + f".claim.{os.getpid()}"
+    tmp = path + f".claim.{_writer_tag()}"
     with open(tmp, "w") as fh:
         fh.write(payload)
         fh.flush()
@@ -75,6 +88,17 @@ def _publish_exclusive(path: str, payload: str) -> None:
 
 
 _HIVE_ESC = re.compile("%([0-9A-Fa-f]{2})")
+
+
+def _file_key(path: str) -> str:
+    """Spelling-independent identity of a data file: the path suffix from
+    its writer-unique ``snap-v...`` directory. Manifests store whatever
+    root spelling the writing session used (relative vs absolute), so raw
+    string comparison across sessions mis-identifies live files; the snap
+    suffix is unique by construction (writer-unique subdir + partition
+    dir + task filename) and survives any root respelling."""
+    i = path.rfind("snap-v")
+    return path[i:] if i >= 0 else os.path.normpath(os.path.abspath(path))
 
 
 def _hive_unescape(raw: str) -> str:
@@ -102,9 +126,13 @@ def _parquet_file_entry(path: str, stats_cols: tuple[str, ...]) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
-            mins[col] = lo if not isinstance(lo, bytes) else lo.decode("utf-8", "replace")
-            maxs[col] = hi if not isinstance(hi, bytes) else hi.decode("utf-8", "replace")
+        # binary columns: footer stats are raw bytes with no faithful JSON
+        # representation (a lossy errors='replace' decode would corrupt the
+        # bounds and let pruning drop files that DO contain matching rows) —
+        # record nothing, which plan_entries treats as "always keep"
+        if lo is not None and not isinstance(lo, bytes):
+            mins[col] = lo
+            maxs[col] = hi
     return {
         "path": path,
         "rows": md.num_rows,
@@ -138,14 +166,26 @@ class SnapshotTable:
     # -- versions -----------------------------------------------------------
 
     def current_version(self) -> int:
-        # the hint file is only a cache; the log itself is authoritative, so
-        # a hint lost to a writer race can never roll the table back
-        versions = [
-            int(n[1:-5])
-            for n in os.listdir(self.meta_dir)
-            if n.startswith("v") and n.endswith(".json")
-        ]
-        return max(versions, default=0)
+        # hint fast path with forward probe: a hint lost to a writer race
+        # can only be STALE-LOW, so probing v{hint+1}, v{hint+2}, ... always
+        # reaches the true head without trusting the hint's exactness. A
+        # missing/corrupt hint (or one pointing at an expired snapshot)
+        # falls back to the authoritative directory scan.
+        try:
+            with open(os.path.join(self.meta_dir, _HINT)) as fh:
+                h = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            h = -1
+        if h < 0 or (h > 0 and not os.path.exists(self._snapshot_path(h))):
+            versions = [
+                int(n[1:-5])
+                for n in os.listdir(self.meta_dir)
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            h = max(versions, default=0)
+        while os.path.exists(self._snapshot_path(h + 1)):
+            h += 1
+        return h
 
     def _snapshot_path(self, v: int) -> str:
         return os.path.join(self.meta_dir, f"v{v}.json")
@@ -186,26 +226,34 @@ class SnapshotTable:
         bucket values would make a later single-bucket overwrite either
         lose rows (drop the file) or duplicate them (keep it).
         """
-        # the subdir is WRITER-unique (pid), not just version-unique: two
-        # optimistic committers racing from the same base must never share
+        # the subdir is WRITER-unique (pid+thread+seq), not just
+        # version-unique: two optimistic committers racing from the same
+        # base — including two threads of one process — must never share
         # a directory, or the winner's os.walk would sweep the loser's
         # files into its manifest (duplicated rows with no conflict error)
-        sub = os.path.join(self.data_dir, f"snap-v{v}-w{os.getpid()}")
-        i = 0
-        while os.path.exists(sub):  # failed earlier attempt left debris
-            i += 1
-            sub = os.path.join(self.data_dir, f"snap-v{v}-w{os.getpid()}-r{i}")
-        df.write.partitionBy(self.partition_col).mode("error").parquet(sub)
+        sub = os.path.join(self.data_dir, f"snap-v{v}-w{_writer_tag()}")
         # parse the partition value back with the COLUMN'S type, not a
         # guess from the digits: a string column holding '03' must stay
         # '03' (int coercion would alias it with 3), and Hive %XX-escaped
         # characters ('a:b' → a%3Ab) must unescape so manifest values
-        # compare equal to DataFrame values in merge/overwrite
-        from pyspark.sql.types import IntegralType
+        # compare equal to DataFrame values in merge/overwrite. Only
+        # integral and string layouts are supported AT ALL: any other type
+        # (date, bool, float) round-trips through Hive's directory-name
+        # serialization differently than through Python equality, so
+        # merge/overwrite partition membership would silently mismatch —
+        # refuse loudly instead (bucket ids and label strings are the
+        # layouts this table is for).
+        from pyspark.sql.types import IntegralType, StringType
 
-        is_int = isinstance(
-            df.schema[self.partition_col].dataType, IntegralType
-        )
+        ptype = df.schema[self.partition_col].dataType
+        is_int = isinstance(ptype, IntegralType)
+        if not is_int and not isinstance(ptype, StringType):
+            raise ValueError(
+                f"partition column {self.partition_col!r} has type {ptype}: "
+                "only integral or string partition layouts are supported "
+                "(derive a bucket, e.g. pmod(xxhash64(col), n))"
+            )
+        df.write.partitionBy(self.partition_col).mode("error").parquet(sub)
         marker = f"{self.partition_col}="
         entries = []
         for root, _, names in os.walk(sub):
@@ -272,14 +320,23 @@ class SnapshotTable:
         )
 
     def overwrite_partitions(self, df: DataFrame,
-                             summary: dict | None = None) -> int:
+                             summary: dict | None = None,
+                             base: int | None = None) -> int:
         """Replace exactly the partitions present in df (dynamic overwrite).
 
         A file is replaced iff its partition_col min==max value appears in
         df — which holds by construction because data files are written
         repartitioned by the partition column.
+
+        ``base`` pins the snapshot this overwrite was COMPUTED FROM
+        (merge_rows passes the version it read): a commit landing between
+        that read and this publish then raises CommitConflict instead of
+        being silently overwritten — the optimistic-concurrency contract.
+        Default (None) reads the current head, which is only safe when df
+        does not derive from the table itself.
         """
-        base = self.current_version()
+        if base is None:
+            base = self.current_version()
         out = df.repartition(self.partition_col)
         new = self._write_data_files(out, base + 1)
         touched = {f["min"][self.partition_col] for f in new}
@@ -299,7 +356,9 @@ class SnapshotTable:
         The copy-on-write formulation Iceberg calls MERGE INTO: only the
         PARTITIONS df touches are rewritten — their current rows are
         anti-joined on key_cols against df (drop the matched), unioned
-        with df, and committed as one overwrite_partitions snapshot.
+        with df, and committed as one overwrite_partitions snapshot
+        PINNED to the base version read here (a racing commit to a
+        touched partition raises CommitConflict rather than being lost).
         Untouched partitions' files carry over by reference. df must
         include the partition column, and keys are expected to be
         partition-stable (a key that moves partitions is an insert in the
@@ -307,6 +366,12 @@ class SnapshotTable:
         partition-scoped merge).
         """
         base = self.current_version()
+        # pin df: it is read THREE times (touched-set collect, the
+        # anti-join branch, the union branch of the write) — without the
+        # barrier a non-deterministic input could present different
+        # partitions to the write than to the collect, leaving a written
+        # partition un-anti-joined (duplicate keys)
+        df = df.localCheckpoint()
         touched = {
             r[0]
             for r in df.select(self.partition_col).distinct().collect()
@@ -324,7 +389,7 @@ class SnapshotTable:
             out = keep.unionByName(df, allowMissingColumns=True)
         else:
             out = df
-        return self.overwrite_partitions(out, summary)
+        return self.overwrite_partitions(out, summary, base=base)
 
     def rollback(self, version: int, summary: dict | None = None) -> int:
         """New snapshot re-publishing `version`'s file set (history kept)."""
@@ -383,7 +448,14 @@ class SnapshotTable:
         all_entries = self.snapshot(version)["files"]
         if all_entries:  # pruned to nothing: keep the schema, drop the rows
             return self._read_entries(all_entries).limit(0)
-        return self.spark.createDataFrame([], f"{self.partition_col} int")
+        # a never-committed table has NO schema to honor — fabricating one
+        # (the old behavior: a single int partition column) mis-types
+        # string layouts and breaks any select downstream; refuse with a
+        # clear error so callers guard on current_version() instead
+        raise ValueError(
+            f"snapshot table at {self.path} has no committed data to read "
+            "(version 0); guard bootstrap reads with current_version() > 0"
+        )
 
     def changes(self, from_version: int,
                 to_version: int | None = None) -> DataFrame:
@@ -413,12 +485,28 @@ class SnapshotTable:
         )
         parts = []
         for v in range(from_version + 1, to_version + 1):
-            snap = self.snapshot(v)
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"CDC window expired: snapshot v{v} was removed by "
+                    "expire_snapshots — incremental readers must consume "
+                    "changes before history is retired (re-read the full "
+                    "table instead)"
+                ) from exc
             if snap["operation"] not in ("append", "overwrite_partitions"):
                 continue
-            base_paths = {
-                f["path"] for f in self.snapshot(snap["base_version"])["files"]
-            }
+            try:
+                base_paths = {
+                    f["path"] for f in self.snapshot(snap["base_version"])["files"]
+                }
+            except FileNotFoundError:
+                # base expired but v's own manifest survived: every file of
+                # v not seen in a PRIOR retained manifest is still exactly
+                # the new set — fall back to the previous retained version
+                # walked in this loop when available, else treat all of v's
+                # files as new (conservative: an upsert image, never a loss)
+                base_paths = set()
             new_entries = [
                 f for f in snap["files"] if f["path"] not in base_paths
             ]
@@ -474,12 +562,17 @@ class SnapshotTable:
         the number of files deleted. Complements expire_snapshots, which
         only sees files some snapshot once referenced.
         """
+        # compare by _file_key, not raw strings: manifests store whatever
+        # root spelling the writing session opened the table under
+        # (relative vs absolute), and raw comparison against os.walk's
+        # output would make every live file of a differently-spelled
+        # session look orphaned — and delete it
         referenced = set()
         for name in os.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(self.meta_dir, name)) as fh:
                     referenced.update(
-                        f["path"] for f in json.load(fh)["files"]
+                        _file_key(f["path"]) for f in json.load(fh)["files"]
                     )
         now = time.time()
         dropped = 0
@@ -488,7 +581,7 @@ class SnapshotTable:
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(root, name)
-                if full in referenced:
+                if _file_key(full) in referenced:
                     continue
                 try:
                     if now - os.path.getmtime(full) >= min_age_s:
@@ -502,6 +595,11 @@ class SnapshotTable:
         """Drop all but the newest `keep_last` snapshots; delete data files
         referenced by NO retained snapshot. Returns {'snapshots': n, 'files': n}.
         """
+        if keep_last < 1:
+            # keep_last=0 would retain NOTHING — including the current
+            # snapshot — and delete every manifest and data file: a
+            # table-destroying typo, not a retention policy
+            raise ValueError("keep_last must be >= 1 (the head must survive)")
         current = self.current_version()
         versions = sorted(
             int(n[1:-5])
@@ -511,13 +609,13 @@ class SnapshotTable:
         retained = [v for v in versions if v > current - keep_last]
         keep_files = set()
         for v in retained:
-            keep_files.update(f["path"] for f in self.snapshot(v)["files"])
+            keep_files.update(_file_key(f["path"]) for f in self.snapshot(v)["files"])
         dropped_files = 0
         for v in versions:
             if v in retained:
                 continue
             for f in self.snapshot(v)["files"]:
-                if f["path"] not in keep_files and os.path.exists(f["path"]):
+                if _file_key(f["path"]) not in keep_files and os.path.exists(f["path"]):
                     os.unlink(f["path"])
                     dropped_files += 1
             os.unlink(self._snapshot_path(v))

@@ -269,3 +269,129 @@ def test_changes_skips_layout_only_snapshots(spark, tmp_path):
     v3 = t.rollback(v1)
     assert t.changes(v2, v3).count() == 0
     assert "_change_version" in t.changes(v2, v3).columns  # schema kept
+
+
+# ----------------------------------------------- concurrency & safety fixes
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "bucket int, k long, v string")
+
+
+def test_overwrite_pinned_base_raises_on_racing_commit(spark, tmp_path):
+    """A commit landing between a merge's base read and its publish must
+    CommitConflict, never be silently overwritten (lost update)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = t.append(_kv(spark, [(0, 1, "a")]))
+    t.append(_kv(spark, [(0, 2, "b")]))  # the racing writer
+    with pytest.raises(CommitConflict):
+        t.overwrite_partitions(_kv(spark, [(0, 1, "A")]), base=base)
+    # the racing writer's rows survived
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_publish_exclusive_is_thread_safe(tmp_path):
+    """Two threads in ONE process racing to publish the same version:
+    exactly one wins and the published payload is the winner's own —
+    pid-only tmp naming used to let the loser overwrite it."""
+    import threading
+
+    from pdf_parser_spark.plans.snapshots import _publish_exclusive
+
+    target = str(tmp_path / "v5.json")
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def go(name):
+        barrier.wait()
+        try:
+            _publish_exclusive(target, name)
+            results[name] = "won"
+        except CommitConflict:
+            results[name] = "lost"
+
+    ts = [threading.Thread(target=go, args=(f"T{i}",)) for i in range(2)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert sorted(results.values()) == ["lost", "won"]
+    winner = next(k for k, v in results.items() if v == "won")
+    with open(target) as fh:
+        assert fh.read() == winner
+
+
+def test_vacuum_survives_path_respelling(spark, tmp_path):
+    """A table written under one root spelling and vacuumed under another
+    (same directory, different path string) must not see live files as
+    orphans — the manifests store the writer's spelling verbatim."""
+    spelled = str(tmp_path / "sub" / ".." / "t")  # un-normalized spelling
+    t = SnapshotTable(spark, spelled)
+    t.append(_kv(spark, [(0, 1, "a"), (1, 2, "b")]))
+    plain = SnapshotTable(spark, str(tmp_path / "t"))  # normalized spelling
+    assert plain.vacuum_orphans(min_age_s=0.0) == 0
+    assert plain.read().count() == 2
+
+
+def test_partition_type_guard(spark, tmp_path):
+    """Non-integral, non-string partition layouts round-trip through Hive
+    directory names differently than Python equality — refuse them."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_col="day")
+    df = spark.createDataFrame(
+        [("2026-08-19", 1)], "day string, k long"
+    ).select(F.to_date("day").alias("day"), "k")
+    with pytest.raises(ValueError, match="integral or string"):
+        t.append(df)
+
+
+def test_expire_keep_last_zero_refused(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(0, 1, "a")]))
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+    assert t.read().count() == 1  # nothing was destroyed
+
+
+def test_read_of_empty_table_raises_clearly(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_col="part")
+    with pytest.raises(ValueError, match="no committed data"):
+        t.read()
+
+
+def test_changes_after_expiry_raises_clearly(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(0, 1, "a")]))
+    t.append(_kv(spark, [(0, 2, "b")]))
+    t.append(_kv(spark, [(0, 3, "c")]))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="CDC window expired"):
+        t.changes(1).count()
+
+
+def test_binary_stats_cols_skip_pruning(spark, tmp_path):
+    """Binary footer stats have no faithful JSON form: record none and
+    keep the file under any min_max filter (conservative)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=("payload",))
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\xff\x01")), (0, bytearray(b"\x00\x02"))],
+        "bucket int, payload binary",
+    )
+    t.append(df)
+    entries = t.plan_entries()
+    assert all("payload" not in f["min"] for f in entries)
+    assert t.read(min_max={"payload": ("zzz", "zzzz")}).count() == 2
+
+
+def test_current_version_survives_corrupt_hint(spark, tmp_path):
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(0, 1, "a")]))
+    v2 = t.append(_kv(spark, [(0, 2, "b")]))
+    hint = os.path.join(str(tmp_path / "t"), "metadata", "version-hint.text")
+    with open(hint, "w") as fh:
+        fh.write("not a number")
+    assert t.current_version() == v2
+    with open(hint, "w") as fh:
+        fh.write("1")  # stale-low: forward probe must still find the head
+    assert t.current_version() == v2
