@@ -37,6 +37,57 @@ from pdf_parser_spark.sources import pages as pages_src
 LINEAGE_DIR = "_lineage"
 
 
+def _check_layout(out_dir: str, n_buckets: int) -> None:
+    """Pin the bucket layout: resuming with a different n_buckets would
+    hash every url into a different bucket than the committed markers
+    claim — uncommitted urls of renumbered buckets would be skipped
+    FOREVER and two hash layouts would mix in one table. Same geometry
+    guard as sources/shards and the MinHash index."""
+    from pdf_parser_spark.plans.snapshots import _atomic_write
+
+    meta = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            committed = json.load(fh)["n_buckets"]
+        if committed != n_buckets:
+            raise ValueError(
+                f"job at {out_dir} was committed with n_buckets={committed}, "
+                f"got n_buckets={n_buckets} — the bucket layout cannot change "
+                "across resumes"
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        _atomic_write(meta, json.dumps({"n_buckets": n_buckets}))
+
+
+def _extract_group(get_pages, group: list[int], n_buckets: int):
+    """The shared per-group body of both job classes: bucket-filter the
+    input, extract, re-bucket. Returns (extracted [persisted], txns)."""
+    pages = pages_src.with_bucket(get_pages(), "url", n_buckets)
+    pages = pages.where(F.col("bucket").isin([int(b) for b in group]))
+    extracted = extract_op.extract_documents(pages.drop("bucket"))
+    extracted = pages_src.with_bucket(extracted, "url", n_buckets).persist()
+    txns = extract_op.extracted_transactions(extracted.drop("bucket"))
+    txns = pages_src.with_bucket(txns, "url", n_buckets)
+    return extracted, txns
+
+
+def _group_stats(extracted: DataFrame) -> dict[int, dict]:
+    """Per-bucket extraction metrics (tiny: one row per bucket)."""
+    return {
+        int(r["bucket"]): r.asDict()
+        for r in extracted.groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_txns").alias("txns"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+        )
+        .collect()
+    }
+
+
 class ResumableExtractionJob:
     """pages → transactions, committed bucket-group by bucket-group."""
 
@@ -53,6 +104,7 @@ class ResumableExtractionJob:
         self.lineage_dir = os.path.join(out_dir, LINEAGE_DIR)
         self.n_buckets = n_buckets
         self.buckets_per_commit = buckets_per_commit
+        _check_layout(out_dir, n_buckets)
         os.makedirs(self.lineage_dir, exist_ok=True)
 
     # -- lineage state ------------------------------------------------------
@@ -65,14 +117,13 @@ class ResumableExtractionJob:
         }
 
     def _commit_marker(self, bucket: int, metrics: dict) -> None:
-        """Atomic per-bucket commit: write tmp, fsync, rename."""
-        final = os.path.join(self.lineage_dir, f"bucket={bucket}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(metrics, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, final)
+        """Atomic per-bucket commit (snapshots' shared tmp+fsync+rename)."""
+        from pdf_parser_spark.plans.snapshots import _atomic_write
+
+        _atomic_write(
+            os.path.join(self.lineage_dir, f"bucket={bucket}.json"),
+            json.dumps(metrics),
+        )
 
     def lineage(self) -> DataFrame:
         """The committed-partition lineage/metrics table (A8)."""
@@ -103,40 +154,38 @@ class ResumableExtractionJob:
             for i in range(0, len(todo), self.buckets_per_commit)
         ]
         done = 0
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         for group in groups:
             if max_commits is not None and done >= max_commits:
                 break
             t0 = time.perf_counter()
-            pages = pages_src.with_bucket(get_pages(), "url", self.n_buckets)
-            pages = pages.where(F.col("bucket").isin([int(b) for b in group]))
-            extracted = extract_op.extract_documents(pages.drop("bucket"))
-            extracted = pages_src.with_bucket(extracted, "url", self.n_buckets).persist()
-            txns = extract_op.extracted_transactions(extracted.drop("bucket"))
-            txns = pages_src.with_bucket(txns, "url", self.n_buckets)
+            extracted, txns = _extract_group(get_pages, group, self.n_buckets)
             # data first: dynamic overwrite replaces exactly the bucket dirs
-            # in `group`, so a re-run after a crash is duplicate-free
+            # in `group`, so a re-run after a crash is duplicate-free. The
+            # overwrite mode rides on THIS writer only — setting it on the
+            # session would silently change the semantics of every later
+            # partitioned mode('overwrite') write in the same session.
             (
                 txns.repartition(len(group), "bucket")
                 .write.partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .parquet(self.data_dir)
             )
             wall = time.perf_counter() - t0
             # per-bucket metrics (tiny: one row per bucket) → markers LAST
-            stats = {
-                int(r["bucket"]): r.asDict()
-                for r in extracted.groupBy("bucket")
-                .agg(
-                    F.count("*").alias("docs"),
-                    F.sum("n_txns").alias("txns"),
-                    F.sum("bytes_in").alias("bytes_in"),
-                    F.sum("chars_out").alias("chars_out"),
-                    F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
-                )
-                .collect()
-            }
+            stats = _group_stats(extracted)
             extracted.unpersist()
+            # a bucket whose CURRENT output is empty writes no directory, so
+            # a crashed earlier attempt's data for it would survive under the
+            # fresh marker — clear it before committing
+            import shutil
+
+            for b in group:
+                if int(stats.get(b, {}).get("txns") or 0) == 0:
+                    shutil.rmtree(
+                        os.path.join(self.data_dir, f"bucket={b}"),
+                        ignore_errors=True,
+                    )
             # The wall clock covers the whole bucket *group* (one commit), so
             # the throughput metric is group-level: group docs / group wall,
             # shared identically across the group's markers. Labeling it
@@ -216,6 +265,7 @@ class SnapshotExtractionJob:
         self.spark = spark
         self.n_buckets = n_buckets
         self.buckets_per_commit = buckets_per_commit
+        _check_layout(out_dir, n_buckets)
         self.table = SnapshotTable(spark, out_dir, partition_col="bucket")
 
     # -- lineage state ------------------------------------------------------
@@ -250,6 +300,7 @@ class SnapshotExtractionJob:
                     s["lineage_id"],
                     [int(b) for b in s["buckets"]],
                     int(s["docs"]), int(s["txns"]), int(s["bytes_in"]),
+                    int(s.get("chars_out", 0)),
                     int(s["parse_failures"]),
                     float(s["group_wall_s"]), float(s["group_docs_per_sec"]),
                 ))
@@ -257,7 +308,7 @@ class SnapshotExtractionJob:
         return self.spark.createDataFrame(
             rows,
             "version int, lineage_id string, buckets array<int>, docs long, "
-            "txns long, bytes_in long, parse_failures long, "
+            "txns long, bytes_in long, chars_out long, parse_failures long, "
             "group_wall_s double, group_docs_per_sec double",
         )
 
@@ -275,36 +326,33 @@ class SnapshotExtractionJob:
             if max_commits is not None and done >= max_commits:
                 break
             t0 = time.perf_counter()
-            pages = pages_src.with_bucket(get_pages(), "url", self.n_buckets)
-            pages = pages.where(F.col("bucket").isin([int(b) for b in group]))
-            extracted = extract_op.extract_documents(pages.drop("bucket"))
-            extracted = pages_src.with_bucket(
-                extracted, "url", self.n_buckets
-            ).persist()
-            txns = extract_op.extracted_transactions(extracted.drop("bucket"))
-            txns = pages_src.with_bucket(txns, "url", self.n_buckets)
-            agg = extracted.agg(
-                F.count("*").alias("docs"),
-                F.sum("n_txns").alias("txns"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
-            ).first()
-            wall = time.perf_counter() - t0
-            docs = int(agg["docs"] or 0)
-            self.table.overwrite_partitions(
-                txns,
-                summary={
+            extracted, txns = _extract_group(get_pages, group, self.n_buckets)
+            stats = _group_stats(extracted)
+
+            def total(col):
+                return sum(int(stats.get(b, {}).get(col) or 0) for b in group)
+
+            docs = total("docs")
+
+            def _summary() -> dict:
+                # called AFTER the data write (summary_factory), so the
+                # wall clock — and the docs/sec the north star reads from
+                # lineage() — includes the write, matching the marker sink
+                wall = time.perf_counter() - t0
+                return {
                     "lineage_id": f"extract:{self.n_buckets}:"
                     + ",".join(str(b) for b in group),
                     "buckets": [int(b) for b in group],
                     "docs": docs,
-                    "txns": int(agg["txns"] or 0),
-                    "bytes_in": int(agg["bytes_in"] or 0),
-                    "parse_failures": int(agg["parse_failures"] or 0),
+                    "txns": total("txns"),
+                    "bytes_in": total("bytes_in"),
+                    "chars_out": total("chars_out"),
+                    "parse_failures": total("parse_failures"),
                     "group_wall_s": round(wall, 3),
                     "group_docs_per_sec": round(docs / wall, 2) if wall else 0.0,
-                },
-            )
+                }
+
+            self.table.overwrite_partitions(txns, summary_factory=_summary)
             extracted.unpersist()
             done += 1
         return {

@@ -321,7 +321,8 @@ class SnapshotTable:
 
     def overwrite_partitions(self, df: DataFrame,
                              summary: dict | None = None,
-                             base: int | None = None) -> int:
+                             base: int | None = None,
+                             summary_factory=None) -> int:
         """Replace exactly the partitions present in df (dynamic overwrite).
 
         A file is replaced iff its partition_col min==max value appears in
@@ -334,11 +335,20 @@ class SnapshotTable:
         being silently overwritten — the optimistic-concurrency contract.
         Default (None) reads the current head, which is only safe when df
         does not derive from the table itself.
+
+        ``summary_factory`` (() -> dict) is called AFTER the data write,
+        just before the publish — for summaries that must observe the
+        write's cost (wall-clock throughput metrics) while still riding
+        the same atomic commit. Mutually exclusive with ``summary``.
         """
         if base is None:
             base = self.current_version()
         out = df.repartition(self.partition_col)
         new = self._write_data_files(out, base + 1)
+        if summary_factory is not None:
+            if summary is not None:
+                raise ValueError("pass summary or summary_factory, not both")
+            summary = summary_factory()
         touched = {f["min"][self.partition_col] for f in new}
         # every data file is single-partition (see _write_data_files), so
         # membership of its one value decides replacement exactly

@@ -20,6 +20,14 @@ Two equivalent Spark realizations:
    ``Trigger.availableNow`` + ``foreachBatch``: Spark's own checkpoint
    directory replaces the hand-rolled cursor (exactly-once file-source
    progress tracking), and each micro-batch applies the same merge.
+
+Late/duplicate safety (S3) is seq-based and DURABLE: the stored target keeps
+every key's applied ``seq`` and keeps removes as TOMBSTONE rows, so a change
+row only wins if its seq is strictly newer than the committed state — a
+redelivered old upsert can neither regress a newer value nor resurrect a
+deleted key, across any sync()/micro-batch boundary and in any delivery
+order. ``table()`` serves the live view (tombstones and bookkeeping columns
+dropped).
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,27 +45,62 @@ CHANGE_RE = re.compile(r"changes-(\d+)\.parquet$")
 
 
 def apply_changes(target: DataFrame | None, batch: DataFrame, key: str = "id") -> DataFrame:
-    """MERGE semantics on DataFrames: upsert keep-latest, then apply removes.
+    """MERGE semantics on DataFrames; returns the new STORED state.
 
     `batch` columns: key, op ('upsert'|'remove'), seq (monotone), payload...
-    D3/E2 keep-latest: one survivor per key, ordered by seq desc — late or
-    duplicated change rows (S3) collapse to the newest state.
+    The output still carries ``op`` and ``seq``: removes persist as
+    tombstones and seq persists per key, so a later merge of a REDELIVERED
+    old change row loses to the committed state instead of clobbering it
+    (filter with :func:`live_rows` for the payload view). A target stored
+    by an older version of this module (no op/seq columns) participates at
+    seq = -1, preserving its previous any-change-wins behavior once.
+
+    Ties on seq are broken toward 'remove' — deterministic, and
+    conservative for the undefined same-seq-conflicting-ops case. Columns
+    new to either side null-fill on the other (additive schema evolution,
+    both directions).
     """
     if target is not None:
-        # existing rows participate with seq = -1 so any change row wins
-        existing = target.withColumn("op", F.lit("upsert")).withColumn(
-            "seq", F.lit(-1).cast("long")
-        )
-        allrows = existing.unionByName(batch.select(*existing.columns))
+        if "seq" not in target.columns:  # legacy stored target
+            target = target.withColumn("op", F.lit("upsert")).withColumn(
+                "seq", F.lit(-1).cast("long")
+            )
+        allrows = target.unionByName(batch, allowMissingColumns=True)
     else:
         allrows = batch
-    w = W.partitionBy(key).orderBy(F.col("seq").desc())
-    latest = (
+    w = W.partitionBy(key).orderBy(F.col("seq").desc(), F.col("op").asc())
+    return (
         allrows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return latest.filter(F.col("op") != "remove").drop("op", "seq")
+
+
+def live_rows(stored: DataFrame) -> DataFrame:
+    """The payload view of a stored state: tombstones out, bookkeeping off."""
+    return stored.filter(F.col("op") != "remove").drop("op", "seq")
+
+
+def _swap_in(data: str, write) -> None:
+    """Replace the ``data`` directory with freshly-written content.
+
+    ``write(tmp_path)`` materializes the new version; the swap is then
+    rename-then-delete (never delete-then-rename): a crash mid-swap leaves
+    ``data.old``, which _read_target restores — the window where no table
+    version exists on disk is a single rename. One shared convention
+    (``data.tmp``) so a crash's debris is reclaimed by the next run's
+    overwrite instead of accumulating per-batch directories.
+    """
+    tmp = data + ".tmp"
+    write(tmp)
+    old = data + ".old"
+    if os.path.isdir(old) and os.path.isdir(data):
+        shutil.rmtree(old, ignore_errors=True)  # stale .old from a crash
+    if os.path.isdir(data):
+        os.replace(data, old)
+    os.replace(tmp, data)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 class IncrementalSync:
@@ -76,23 +120,35 @@ class IncrementalSync:
         return -1
 
     def _persist_cursor(self, seq: int) -> None:
+        from pdf_parser_spark.plans.snapshots import _atomic_write
+
         os.makedirs(self.target_dir, exist_ok=True)
-        tmp = self.cursor_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"seq": seq}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self.cursor_path)
+        _atomic_write(self.cursor_path, json.dumps({"seq": seq}))
 
     def pending_files(self) -> list[tuple[int, str]]:
+        """Pending change files in seq order — only COMPLETE ones.
+
+        A directory-shaped change file is admitted only once its _SUCCESS
+        marker exists (Spark's committer writes it last): listing a
+        half-written directory, reading its partial rows, and advancing
+        the cursor past it would silently drop the rows that landed after
+        the read. Plain-file changes (atomic rename producers) are always
+        complete by construction.
+        """
         cur = self.cursor()
         out = []
         if not os.path.isdir(self.source_dir):
             return out
         for f in os.listdir(self.source_dir):
             m = CHANGE_RE.search(f)
-            if m and int(m.group(1)) > cur:
-                out.append((int(m.group(1)), os.path.join(self.source_dir, f)))
+            if not m or int(m.group(1)) <= cur:
+                continue
+            full = os.path.join(self.source_dir, f)
+            if os.path.isdir(full) and not os.path.exists(
+                os.path.join(full, "_SUCCESS")
+            ):
+                continue  # in-flight writer — picked up by a later sync
+            out.append((int(m.group(1)), full))
         return sorted(out)
 
     def _read_target(self) -> DataFrame | None:
@@ -111,10 +167,10 @@ class IncrementalSync:
     def sync(self) -> dict:
         """Apply all pending change files in seq order; commit-last cursor.
 
-        All pending files are applied as ONE merge (they are already ordered
-        by seq, and keep-latest makes the composition associative), then one
-        table rewrite, then the cursor advance — minimal commits, idempotent
-        re-run after any crash point.
+        All pending files are applied as ONE merge (keep-latest over seq
+        is associative and order-free), then one table rewrite, then the
+        cursor advance — minimal commits, idempotent re-run after any
+        crash point.
         """
         pending = self.pending_files()
         if not pending:
@@ -122,28 +178,13 @@ class IncrementalSync:
         batch = self.spark.read.parquet(*[p for _, p in pending])
         merged = apply_changes(self._read_target(), batch, self.key)
         data = os.path.join(self.target_dir, "data")
-        tmp = data + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        # atomic swap (Iceberg snapshot-commit analog for plain parquet).
-        # A stale .old from a crash after the tmp→data rename must be cleared
-        # first: renaming onto a non-empty directory raises ENOTEMPTY.
-        old = data + ".old"
-        if os.path.isdir(old) and os.path.isdir(data):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(data):
-            os.replace(data, old)
-        os.replace(tmp, data)
-        if os.path.isdir(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+        _swap_in(data, lambda tmp: merged.write.mode("overwrite").parquet(tmp))
         self._persist_cursor(max(seq for seq, _ in pending))
         return {"applied_files": len(pending), "cursor": self.cursor()}
 
     def table(self) -> DataFrame | None:
-        return self._read_target()
+        stored = self._read_target()
+        return None if stored is None else live_rows(stored)
 
 
 def stream_sync(
@@ -158,30 +199,17 @@ def stream_sync(
 
     The file source's checkpoint (`checkpoint_dir`) is the cursor — restarts
     resume from the last committed micro-batch with exactly-once file
-    accounting; the merge inside foreachBatch is idempotent per key.
+    accounting. The merge inside foreachBatch is seq-safe: because the
+    stored target keeps per-key seq and tombstones, two change files landing
+    in DIFFERENT micro-batches apply correctly in either discovery order
+    (the file source orders by modification time, not by seq).
     """
     sync = IncrementalSync(spark, source_dir, target_dir, key)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merged = apply_changes(sync._read_target(), batch_df, key)
         data = os.path.join(target_dir, "data")
-        tmp = data + f".b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        # rename-then-delete (never delete-then-rename): a crash here leaves
-        # data.old, which _read_target restores on the next start — the
-        # window where no table version exists on disk is a single rename.
-        old = data + ".old"
-        if os.path.isdir(old) and os.path.isdir(data):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)  # stale .old from a crash
-        if os.path.isdir(data):
-            os.replace(data, old)
-        os.replace(tmp, data)
-        if os.path.isdir(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+        _swap_in(data, lambda tmp: merged.write.mode("overwrite").parquet(tmp))
 
     (
         spark.readStream.schema(schema)

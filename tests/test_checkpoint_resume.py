@@ -204,3 +204,111 @@ def test_snapshot_job_resume_matches_one_shot(spark, pages, tmp_path_factory):
     half_buckets = {r["bucket"] for r in half.select("bucket").distinct().collect()}
     assert half_buckets <= {0, 1, 2, 3}
     assert half.count() == got.filter(F.col("bucket") < 4).count()
+
+
+# ------------------------------------------- review-fix regression tests
+
+
+def test_late_redelivery_cannot_regress_committed_state(spark, tmp_path_factory):
+    """A redelivered OLD change row must lose to newer committed state
+    across sync boundaries (the seq is persisted, not reset to -1)."""
+    src = str(tmp_path_factory.mktemp("late_src"))
+    tgt = str(tmp_path_factory.mktemp("late_tgt"))
+    sync = IncrementalSync(spark, src, tgt, key="id")
+    _write_changes(spark, src, 1, [("a", "upsert", 1, 1.0)])
+    sync.sync()
+    _write_changes(spark, src, 2, [("a", "upsert", 2, 9.0), ("b", "upsert", 2, 2.0)])
+    sync.sync()
+    # seq-1 row redelivered in a LATER file (out-of-order delivery)
+    _write_changes(spark, src, 3, [("a", "upsert", 1, 1.0)])
+    sync.sync()
+    assert {x["id"]: x["value"] for x in sync.table().collect()} == {
+        "a": 9.0, "b": 2.0
+    }
+
+
+def test_tombstone_blocks_resurrection(spark, tmp_path_factory):
+    """A redelivered old upsert must not resurrect a key removed at a
+    newer seq — removes persist as tombstones."""
+    src = str(tmp_path_factory.mktemp("tomb_src"))
+    tgt = str(tmp_path_factory.mktemp("tomb_tgt"))
+    sync = IncrementalSync(spark, src, tgt, key="id")
+    _write_changes(spark, src, 1, [("a", "upsert", 1, 1.0)])
+    sync.sync()
+    _write_changes(spark, src, 2, [("a", "remove", 2, 0.0)])
+    sync.sync()
+    _write_changes(spark, src, 3, [("a", "upsert", 1, 1.0)])  # stale replay
+    sync.sync()
+    assert sync.table().count() == 0
+
+
+def test_change_feed_schema_evolution(spark, tmp_path_factory):
+    """A column added to the change feed reaches the target (old rows
+    null-filled); an old-schema redelivery neither wedges nor drops it."""
+    src = str(tmp_path_factory.mktemp("evo_src"))
+    tgt = str(tmp_path_factory.mktemp("evo_tgt"))
+    sync = IncrementalSync(spark, src, tgt, key="id")
+    _write_changes(spark, src, 1, [("a", "upsert", 1, 1.0)])
+    sync.sync()
+    spark.createDataFrame(
+        [("b", "upsert", 2, 2.0, "EUR")],
+        "id string, op string, seq long, value double, currency string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/changes-2.parquet")
+    sync.sync()
+    got = {x["id"]: (x["value"], x["currency"]) for x in sync.table().collect()}
+    assert got == {"a": (1.0, None), "b": (2.0, "EUR")}
+    _write_changes(spark, src, 3, [("c", "upsert", 3, 3.0)])  # old schema again
+    sync.sync()
+    assert sync.table().count() == 3
+
+
+def test_half_written_change_dir_is_not_consumed(spark, tmp_path_factory):
+    """A directory-shaped change file without _SUCCESS (in-flight writer)
+    must not be admitted — consuming it would advance the cursor past
+    rows that land after the read."""
+    import os
+
+    src = str(tmp_path_factory.mktemp("half_src"))
+    tgt = str(tmp_path_factory.mktemp("half_tgt"))
+    sync = IncrementalSync(spark, src, tgt, key="id")
+    _write_changes(spark, src, 1, [("a", "upsert", 1, 1.0)])
+    os.remove(os.path.join(src, "changes-1.parquet", "_SUCCESS"))
+    assert sync.sync() == {"applied_files": 0, "cursor": -1}
+    with open(os.path.join(src, "changes-1.parquet", "_SUCCESS"), "w"):
+        pass  # writer finished
+    assert sync.sync()["applied_files"] == 1
+
+
+def test_layout_guard_refuses_changed_n_buckets(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("layout"))
+    job = ResumableExtractionJob(spark, out, n_buckets=N_BUCKETS, buckets_per_commit=4)
+    job.run(lambda: pages, max_commits=1)
+    with pytest.raises(ValueError, match="n_buckets"):
+        ResumableExtractionJob(spark, out, n_buckets=4)
+
+
+def test_overwrite_mode_not_leaked_to_session(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noleak"))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    ResumableExtractionJob(spark, out, n_buckets=N_BUCKETS).run(lambda: pages)
+    assert spark.conf.get(key) == before  # writer-scoped, not session-wide
+
+
+def test_empty_rerun_clears_crashed_bucket_debris(spark, pages, tmp_path_factory):
+    """Bucket whose rerun yields ZERO txns: a crashed attempt's data for
+    it must not survive under the fresh marker."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("debris"))
+    job = ResumableExtractionJob(spark, out, n_buckets=N_BUCKETS, buckets_per_commit=N_BUCKETS)
+    job.run(lambda: pages)
+    # pick a committed bucket with rows; simulate "crashed before marker"
+    lineage = {r["bucket"]: r["txns"] for r in job.lineage().collect()}
+    victim = next(b for b, n in sorted(lineage.items()) if n > 0)
+    os.remove(os.path.join(out, "_lineage", f"bucket={victim}.json"))
+    # rerun with an input that yields nothing for the victim bucket
+    job.run(lambda: pages.limit(0))
+    assert victim in job.committed()
+    out_df = job.output()
+    assert out_df.filter(F.col("bucket") == victim).count() == 0
