@@ -29,6 +29,11 @@ from pdf_parser_spark import extraction_core as core
 from pdf_parser_spark import html_extract, pdf_layout
 
 # One row per input document; txns nested, exploded downstream.
+# Span-struct caveat: the HTML path fills real char offsets (start/end into
+# extracted_text, n_chars = block size); the PDF layout path reuses the
+# struct as a GEOMETRIC region record (start=end=0, n_chars = the region's
+# LINE count, tag = region kind) — consumers computing offsets must scope
+# themselves to payload_kind='html' (the r20 span audit does exactly that).
 EXTRACT_SCHEMA = (
     "url string, lang string, source_type_hint string, payload_kind string, strategy string, "
     "source_account string, closing_date string, extracted_text string, "
@@ -40,13 +45,44 @@ EXTRACT_SCHEMA = (
 )
 
 
-def _payload_kind(url: str) -> str:
+def _payload_kind(url: str, payload: bytes | None) -> str:
+    """Magic bytes first, url suffix second: a PDF served at a non-.pdf
+    url (query-string download endpoints, 'a.pdf?sig=x') must not be
+    regex-parsed as HTML — that path returns mangled text with
+    parse_failed=False, a silent mis-extraction. The suffix keeps routing
+    fixture-convention .pdf payloads (raw text bytes, no magic) into the
+    synthesized-char-box layout path."""
+    if payload is not None and bytes(payload[:5]) == b"%PDF-":
+        return "pdf"
     return "pdf" if url.endswith(".pdf") else "html"
 
 
+_FAIL_KEYS = dict(
+    strategy="", source_account="", closing_date="", extracted_text="",
+    chars_out=0, n_blocks=0, n_txns=0, parse_failed=True, txns=[], spans=[],
+)
+
+
 def _extract_one(url: str, html: bytes, keep_text: bool) -> dict:
-    kind = _payload_kind(url)
+    """One document through the full extraction; NEVER raises.
+
+    Any per-document failure — engine chain exhausted, pathological
+    markup tripping the layout pass, undecodable payload — returns a
+    parse_failed=True record instead of propagating: at corpus scale one
+    poisoned document must land in the failure funnel (extraction_metrics
+    parse_failures), not kill the job after four task retries.
+    """
     bytes_in = len(html) if html is not None else 0
+    try:
+        return _extract_one_inner(url, html, keep_text, bytes_in)
+    except Exception:
+        return {"url": url, "payload_kind": _payload_kind(url, html),
+                "bytes_in": bytes_in, **_FAIL_KEYS}
+
+
+def _extract_one_inner(url: str, html: bytes, keep_text: bool,
+                       bytes_in: int) -> dict:
+    kind = _payload_kind(url, html)
     parse_failed = False
     spans: list[dict] = []
     page_texts: list[str] | None = None
@@ -152,10 +188,8 @@ def extracted_transactions(extracted: DataFrame, uid: str = "batch") -> DataFram
             "url",
             "lang",
             "source_type_hint",
-            "source_account",
-            F.posexplode_outer("txns").alias("_pos", "t"),
+            F.explode("txns").alias("t"),
         )
-        .filter(F.col("t").isNotNull())
         .select(
             F.concat_ws("#", "url", F.col("t.txn_index").cast("string")).alias("txn_id"),
             "url",

@@ -39,12 +39,28 @@ def distribute_pages(pages: DataFrame, partitions: int | None = None) -> DataFra
     return pages.repartition(F.xxhash64("url"))
 
 
+def release_pipeline_caches() -> None:
+    """Unpersist the barrier caches of every transactions_pipeline call
+    made since the last release. Loops that rebuild the pipeline in one
+    SparkSession (bench repeats, per-group checkpoint runs, the monthly
+    ingest) should call this between iterations — the barrier handle is
+    internal, and without a release each call pins another serialized
+    copy of the transactions table until LRU eviction."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+_PERSISTED: list[DataFrame] = []
+
+
 def transactions_pipeline(
     pages: DataFrame,
     user_memory: DataFrame | None = None,
     global_memory: DataFrame | None = None,
     repartition: int | None = None,
-    keep_text: bool = False,
     cache: bool = True,
     sparse_decorations: bool = False,
 ) -> DataFrame:
@@ -88,11 +104,16 @@ def transactions_pipeline(
 
     if repartition:
         pages = distribute_pages(pages, repartition)
-    extracted = extract_op.extract_documents(pages, keep_text=keep_text)
+    # keep_text stays False unconditionally: extracted_transactions never
+    # reads extracted_text, so carrying it would only inflate the Arrow
+    # transfer out of the extraction UDF (callers who want the text use
+    # extract_documents directly)
+    extracted = extract_op.extract_documents(pages, keep_text=False)
     txns = extract_op.extracted_transactions(extracted)
     base = normalize_op.assign_source_type(txns)
     if cache:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(base)
     flags = normalize_op.bank_match_flags(base)
     decorations = pairing_op.pair_decorations(base)
     # Joins back-to-back, scalar decorations after: the vendor-key pandas

@@ -5,9 +5,11 @@ The production target is an Iceberg table partitioned by
 partitioning). This sandbox has no Iceberg runtime jar, so the same layout is
 realized as a hash-bucketed parquet directory tree
 (``bucket=K/part-*.parquet``) with atomic per-bucket commit markers — the
-data layout, pruning behavior, and commit semantics Iceberg would give; on a
-real cluster `write_table(fmt='iceberg')` switches to
-``df.writeTo(name).partitionedBy(bucket(N, col('url'))).createOrReplace()``.
+data layout, pruning behavior, and commit semantics Iceberg would give. On a
+real cluster the write becomes
+``df.writeTo(name).partitionedBy(bucket(N, col('url'))).createOrReplace()``
+— a catalog write this sandbox cannot express, so ``write_table`` refuses
+``fmt='iceberg'`` rather than silently producing a different layout.
 
 Reference lineage: HTTP byte source main.py:217-226; Firestore scan
 main.py:167; 450-doc batched sink main.py:234-274 (the batching concern maps
@@ -15,8 +17,6 @@ to parquet target file sizing, not hand-rolled chunking).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,19 +81,29 @@ def write_table(
     bucket-to-bucket join of two tables written with the same (col, N) spec
     shuffles nothing but the bucket ids.
     """
+    if fmt == "iceberg":
+        # the documented cluster path is df.writeTo(name).partitionedBy(
+        # bucket(N, col)).createOrReplace() — a CATALOG write with Iceberg's
+        # murmur3 bucket transform. Routing 'iceberg' through the path-based
+        # .format().save() below would silently produce a different,
+        # non-interoperable layout (literal xxhash64 bucket column), so
+        # refuse rather than lie.
+        raise ValueError(
+            "fmt='iceberg' needs a catalog + the Iceberg runtime: use "
+            "df.writeTo(table).partitionedBy(bucket(N, col(url))) on a "
+            "cluster; this sandbox writes the equivalent parquet layout"
+        )
     out = with_bucket(df, bucket_col, n_buckets)
-    # one shuffle keyed on the bucket id: each output partition holds exactly
-    # one bucket directory's rows (no small-files explosion at high DOP)
-    out = out.repartition(n_buckets, "bucket")
+    # one RANGE exchange on the bucket id: contiguous ranges give ~one bucket
+    # per task (a plain hash repartition sends murmur3(bucket) % n, which
+    # collides multiple buckets into one task and leaves ~1/e of tasks empty
+    # — 2-3x write stragglers). Ranges come from a sample pass; either way
+    # partitionBy splits the task output per bucket dir, so file count stays
+    # one per bucket.
+    out = out.repartitionByRange(n_buckets, "bucket")
     out.write.partitionBy("bucket").mode(mode).format(fmt).save(path)
 
 
 def read_bucket(spark: SparkSession, path: str, bucket: int) -> DataFrame:
     """Partition-pruned single-bucket scan (bucket=K directory only)."""
     return spark.read.parquet(path).where(F.col("bucket") == bucket)
-
-
-def table_exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        e.startswith("bucket=") or e.endswith(".parquet") for e in os.listdir(path)
-    )

@@ -312,3 +312,47 @@ def test_sparse_decorations_identical(pages_tiny, txns):
     b = sparse.select(*key)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_pdf_magic_routes_regardless_of_url(spark):
+    """PDF bytes at a non-.pdf url must take the PDF path (or fail into
+    the funnel) — never be regex-parsed as HTML with parse_failed=False."""
+    from pdf_parser_spark.operators import extract as extract_op
+
+    rows = [
+        ("https://x.com/statement?id=7", bytearray(b"%PDF-1.4\ngarbage")),
+        ("https://x.com/page.html", bytearray(b"<html><p>hello world</p></html>")),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in extract_op.extract_documents(pages).collect()}
+    assert got["https://x.com/statement?id=7"]["payload_kind"] == "pdf"
+    assert got["https://x.com/page.html"]["payload_kind"] == "html"
+    # truncated pdf: funnel, not silent html mis-parse
+    assert got["https://x.com/statement?id=7"]["parse_failed"] is True
+
+
+def test_poison_document_lands_in_funnel_not_job_failure(monkeypatch):
+    """Any per-document exception must produce a parse_failed=True record,
+    not propagate (a task failure would kill the whole job). _extract_one
+    is exercised in-process — the same function the worker runs."""
+    from pdf_parser_spark import html_extract
+    from pdf_parser_spark.operators import extract as extract_op
+
+    def boom(payload):
+        raise IndexError("pathological markup")
+
+    monkeypatch.setattr(html_extract, "extract_main_text", boom)
+    rec = extract_op._extract_one("https://bad.com/b", b"<html>x</html>", False)
+    assert rec["parse_failed"] is True
+    assert rec["txns"] == [] and rec["extracted_text"] == ""
+    assert rec["url"] == "https://bad.com/b" and rec["bytes_in"] == 14
+    # schema completeness: the failure record must satisfy EXTRACT_SCHEMA
+    # (missing keys would fail the Arrow conversion for the whole batch)
+    rec["lang"] = None
+    rec["source_type_hint"] = None
+    fields = [f.split(":")[0].strip().split(" ")[0]
+              for f in ("url,lang,source_type_hint,payload_kind,strategy,"
+                        "source_account,closing_date,extracted_text,bytes_in,"
+                        "chars_out,n_blocks,n_txns,parse_failed,txns,spans"
+                        ).split(",")]
+    assert set(fields) <= set(rec.keys())
