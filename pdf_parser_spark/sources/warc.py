@@ -127,19 +127,40 @@ def write_warc(
 # ---------------------------------------------------------------- reader
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompress concatenated gzip members one by one."""
-    pos = 0
+    """Decompress concatenated gzip members one by one — LINEAR in archive
+    size: input is fed as fixed 1 MiB memoryview slices (zero-copy), so
+    neither the per-member `decompress(data[pos:])` slice nor its
+    `unused_data` tail ever copies the remaining archive (the old shape
+    was quadratic: tens of TB of memcpy on a real ~1 GB crawl archive).
+
+    Corruption tolerance: a corrupt member (bit flip, garbage between
+    members, partial upload) ENDS the iteration instead of raising —
+    every record already parsed from the archive survives, and the
+    partial member is dropped rather than yielded (a truncated payload
+    would silently mis-extract downstream).
+    """
+    mv = memoryview(data)
     n = len(data)
+    pos = 0
     while pos < n:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        chunk = d.decompress(data[pos:])
-        chunk += d.flush()
-        yield chunk
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:  # corrupt trailer: stop rather than loop
+        out = []
+        try:
+            while pos < n and not d.eof:
+                nxt = min(pos + _GZ_CHUNK, n)
+                out.append(d.decompress(mv[pos:nxt]))
+                pos = nxt
+            out.append(d.flush())
+        except zlib.error:
+            return  # corrupt member: keep what already parsed, drop the rest
+        if not d.eof:  # truncated final member: drop it
             return
-        pos += consumed
+        yield b"".join(out)
+        pos -= len(d.unused_data)  # rewind to the next member's start
 
 
 def _decode_header(raw: bytes) -> str:
@@ -174,7 +195,9 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         pos = 0
         n = len(stream)
         while pos < n:
-            if not stream[pos:].startswith(b"WARC/"):
+            # startswith with an offset — stream[pos:] would copy the
+            # remaining stream per record (quadratic on plain .warc files)
+            if not stream.startswith(b"WARC/", pos):
                 nxt = stream.find(b"WARC/", pos)
                 if nxt < 0:
                     break
@@ -228,7 +251,9 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
         return {}, payload
     lines = payload[:hdr_end].split(_CRLF)
     headers = _parse_headers(_CRLF.join(lines[1:]))
-    status = lines[0].split(b" ")
+    # split on whitespace RUNS: sloppy servers emit 'HTTP/1.1  200 OK'
+    # (double space), which a single-space split turns into status ''
+    status = lines[0].split()
     headers[":status"] = status[1].decode("latin-1") if len(status) > 1 else ""
     body = payload[hdr_end + len(_HDR_END) :]
     if "chunked" in headers.get("transfer-encoding", "").lower():
@@ -238,7 +263,12 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
         if "gzip" in enc:
             body = gzip.decompress(body)
         elif "deflate" in enc:
-            body = zlib.decompress(body, -zlib.MAX_WBITS)
+            # RFC 9110 'deflate' is the zlib-WRAPPED format; some broken
+            # servers send raw deflate — try spec-compliant first
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
     except Exception:
         pass  # keep raw bytes; charset/extraction layers degrade gracefully
     return headers, body
@@ -297,6 +327,37 @@ WARC_PAGES_SCHEMA = (
 )
 
 
+_SPLIT_ROWS = 2000
+_SPLIT_BYTES = 64 << 20
+
+
+def warc_split_batches(batches, rows_per_batch: int = _SPLIT_ROWS,
+                       bytes_per_batch: int = _SPLIT_BYTES):
+    """THE mapInPandas splitter, shared by the batch reader and the
+    streaming source so their behavior cannot drift.
+
+    Emits bounded Arrow batches (row- and byte-capped) instead of one
+    DataFrame per archive: a ~1 GB gzipped archive decompresses to
+    several GB of html, and materializing all of it as one list + one
+    pandas frame + one Arrow batch holds three copies concurrently in one
+    Python worker — an executor OOM at exactly the production file size.
+    """
+    import pandas as pd
+
+    rows: list[dict] = []
+    acc_bytes = 0
+    for batch in batches:
+        for content in batch["content"]:
+            for row in warc_to_page_rows(bytes(content)):
+                rows.append(row)
+                acc_bytes += len(row.get("html") or b"")
+                if len(rows) >= rows_per_batch or acc_bytes >= bytes_per_batch:
+                    yield pd.DataFrame(rows)
+                    rows, acc_bytes = [], 0
+    if rows:
+        yield pd.DataFrame(rows)
+
+
 def read_warc(spark, path: str, glob: str = "*.warc*"):
     """WARC files on disk → pages rows, one Spark task per archive file.
 
@@ -305,19 +366,10 @@ def read_warc(spark, path: str, glob: str = "*.warc*"):
     IS the parallelism unit — exactly how the archives are produced — so
     there is no shuffle anywhere in this source.
     """
-    import pandas as pd
-
-    def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            for content in batch["content"]:
-                rows = list(warc_to_page_rows(bytes(content)))
-                if rows:
-                    yield pd.DataFrame(rows)
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("content")
     )
-    return files.mapInPandas(split, schema=WARC_PAGES_SCHEMA)
+    return files.mapInPandas(warc_split_batches, schema=WARC_PAGES_SCHEMA)

@@ -37,9 +37,10 @@ _BINARY_FILE_SCHEMA = (
 
 def read_warc_stream(spark: SparkSession, path: str, glob: str = "*.warc*",
                      max_files_per_trigger: int | None = None) -> DataFrame:
-    """Streaming twin of sources/warc.read_warc: archives → pages rows."""
-    import pandas as pd
+    """Streaming twin of sources/warc.read_warc: archives → pages rows.
 
+    The splitter IS sources/warc.warc_split_batches — one implementation
+    for batch and stream, bounded Arrow batches included."""
     reader = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
@@ -48,15 +49,9 @@ def read_warc_stream(spark: SparkSession, path: str, glob: str = "*.warc*",
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.load(path).select("content")
-
-    def split(batches):
-        for batch in batches:
-            for content in batch["content"]:
-                rows = list(warc_src.warc_to_page_rows(bytes(content)))
-                if rows:
-                    yield pd.DataFrame(rows)
-
-    return files.mapInPandas(split, schema=warc_src.WARC_PAGES_SCHEMA)
+    return files.mapInPandas(
+        warc_src.warc_split_batches, schema=warc_src.WARC_PAGES_SCHEMA
+    )
 
 
 class WarcIngest:
@@ -64,21 +59,34 @@ class WarcIngest:
 
     def __init__(self, spark: SparkSession, src_path: str, table_path: str,
                  checkpoint_dir: str, n_buckets: int = 16,
-                 glob: str = "*.warc*", transform=None) -> None:
+                 glob: str = "*.warc*", transform=None,
+                 max_files_per_trigger: int | None = None) -> None:
         """``transform``: optional DataFrame→DataFrame applied to each
         batch's pages BEFORE the bucket/commit — pass the extraction
         pipeline here and the table holds extracted documents instead of
         raw pages (crawl → text, incremental end to end). Must keep a
-        ``url`` column (the bucket key)."""
+        ``url`` column (the bucket key).
+
+        ``max_files_per_trigger`` bounds each micro-batch's archive count
+        — without it a 10k-archive drain runs as ONE monolithic batch,
+        and any failure loses all progress (replay protection is
+        per-batch)."""
         self.spark = spark
         self.src_path = src_path
         self.checkpoint_dir = checkpoint_dir
         self.n_buckets = n_buckets
         self.glob = glob
         self.transform = transform
+        self.max_files_per_trigger = max_files_per_trigger
         self.table = SnapshotTable(spark, table_path, partition_col="bucket")
+        # committed-batch cache: the walk re-parses the whole snapshot
+        # chain; doing it per micro-batch is O(batches^2) driver metadata
+        # I/O. Populated once here, advanced per commit; a conflicting
+        # concurrent writer surfaces as CommitConflict, not a stale skip
+        # (single-writer per checkpoint lineage is the documented contract).
+        self._done: set[int] = self._walk_committed()
 
-    def committed_batches(self) -> set[int]:
+    def _walk_committed(self) -> set[int]:
         done: set[int] = set()
         v = self.table.current_version()
         while v > 0:
@@ -92,18 +100,27 @@ class WarcIngest:
             v = snap.get("base_version", v - 1)
         return done
 
+    def committed_batches(self) -> set[int]:
+        return set(self._done)
+
     def _commit_batch(self, df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in self.committed_batches():
+        if int(batch_id) in self._done:
             return  # replayed batch: the snapshot log already has it
         if self.transform is not None:
             df = self.transform(df)
         out = pages_src.with_bucket(df, "url", self.n_buckets)
-        n = out.persist().count()
-        self.table.append(
-            out,
-            summary={"stream_batch_id": int(batch_id), "pages": int(n)},
-        )
-        out.unpersist()
+        out.persist()
+        try:
+            n = out.count()
+            self.table.append(
+                out,
+                summary={"stream_batch_id": int(batch_id), "pages": int(n)},
+            )
+        finally:
+            # without the finally, a failed transform/append pins the
+            # cached raw-html batch in executor storage for the session
+            out.unpersist()
+        self._done.add(int(batch_id))
 
     def run_available_now(self, timeout_s: float = 120.0) -> dict:
         """Drain everything currently in the directory, then stop.
@@ -112,7 +129,10 @@ class WarcIngest:
         (after stopping the query) — returning stats for a half-finished
         drain would let a caller read an incomplete table as complete.
         """
-        pages = read_warc_stream(self.spark, self.src_path, self.glob)
+        pages = read_warc_stream(
+            self.spark, self.src_path, self.glob,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
         q = (
             pages.writeStream.foreachBatch(self._commit_batch)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -181,3 +181,76 @@ def test_warc_ingest_with_extraction_transform(spark, tmp_path):
     assert set(got) == set(want)
     mismatch = [u for u in want if got[u] != want[u]]
     assert mismatch == []
+
+
+# ------------------------------------------- review-fix regression tests
+
+
+def test_corrupt_gzip_member_keeps_prior_records():
+    """Garbage between/inside per-record gzip members ends parsing
+    tolerantly — the records already decoded survive, nothing raises."""
+    good = warc.write_warc(_pages()[:2], per_record_gzip=True)
+    blob = good + b"\x1f\x8b\x08\x00GARBAGE-NOT-A-MEMBER" + b"\xff" * 64
+    rows = list(warc.warc_to_page_rows(blob))
+    assert {r["url"] for r in rows} == {"https://a.com/p1", "https://a.com/p2"}
+    # truncated final member: same tolerance
+    blob2 = good + warc.write_warc(_pages()[2:3], per_record_gzip=True)[:20]
+    assert len(list(warc.warc_to_page_rows(blob2))) == 2
+
+
+def test_zlib_wrapped_deflate_body():
+    """RFC 9110 'deflate' is zlib-wrapped; raw-deflate-only decoding
+    stored compressed bytes as html."""
+    import zlib
+
+    entity = b"<html><p>deflated</p></html>"
+    for body, label in ((zlib.compress(entity), "zlib-wrapped"),
+                        (zlib.compress(entity)[2:-4], "raw")):
+        payload = (
+            b"HTTP/1.1 200 OK\r\ncontent-encoding: deflate\r\n\r\n" + body
+        )
+        headers, got = warc.split_http_response(payload)
+        assert got == entity, label
+
+
+def test_sloppy_status_line_double_space():
+    payload = b"HTTP/1.1  200 OK\r\ncontent-type: text/html\r\n\r\nx"
+    headers, _ = warc.split_http_response(payload)
+    assert headers[":status"] == "200"
+
+
+def test_split_batches_are_bounded():
+    """The shared splitter emits capped Arrow batches, never one
+    DataFrame per archive."""
+    pages = [
+        (f"https://a.com/{i}", "2024-01-01T00:00:00Z", b"x" * 100)
+        for i in range(25)
+    ]
+    blob = warc.write_warc(pages, per_record_gzip=False)
+
+    class FakeBatch(dict):
+        pass
+
+    batches = [{"content": [blob]}]
+    out = list(warc.warc_split_batches(iter(batches), rows_per_batch=10))
+    assert [len(b) for b in out] == [10, 10, 5]
+    # byte cap triggers too
+    out2 = list(warc.warc_split_batches(iter(batches), bytes_per_batch=500))
+    assert all(len(b) <= 5 for b in out2) and sum(len(b) for b in out2) == 25
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    from pdf_parser_spark.streaming.warc_stream import WarcIngest
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    pages = _pages()
+    (src / "a.warc.gz").write_bytes(warc.write_warc(pages[:2]))
+    (src / "b.warc.gz").write_bytes(warc.write_warc(pages[2:3]))
+    ing = WarcIngest(
+        spark, str(src), str(tmp_path / "tbl3"), str(tmp_path / "ck3"),
+        n_buckets=2, max_files_per_trigger=1,
+    )
+    r = ing.run_available_now(timeout_s=120.0)
+    assert r["batches_committed"] == 2  # one archive per micro-batch
+    assert ing.output().count() == 3
