@@ -2634,7 +2634,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE l_rank = 1 AND s_rank = 1
         """,
         "q14_dedup_exact": """
-            SELECT md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fingerprint,
+            SELECT md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS fingerprint,
                    CAST(min(doc_id) AS BIGINT) AS keeper_id,
                    CAST(count(*) AS BIGINT) AS group_size
             FROM documents

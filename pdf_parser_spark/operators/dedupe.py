@@ -147,8 +147,19 @@ def jaccard(a: str | None, b: str | None, k: int = 3) -> float:
 
 
 def exact_duplicates(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """Exact dedupe by normalized-text md5: keeper = min id per group."""
-    normalized = F.md5(F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")))
+    """Exact dedupe by normalized-text md5: keeper = min id per group.
+
+    Normalization trims BEFORE collapsing internal whitespace: without the
+    trim, 'foo bar\\n' and 'foo bar' fingerprint differently ('foo bar '
+    vs 'foo bar') and trailing-newline scrapes — the norm in web text —
+    silently leak exact duplicates."""
+    normalized = F.md5(
+        F.lower(
+            F.trim(
+                F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+            )
+        )
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"), normalized.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -170,6 +181,14 @@ def minhash_band_table(docs: DataFrame, id_col="doc_id", text_col="text",
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                # empty/whitespace docs short-circuit: they all share the
+                # constant [0]*64 signature, so ONE degenerate band key
+                # would collect every empty doc — bands*E^2 self-join rows
+                # on a single hot key (quadratic, the exact thing banding
+                # exists to avoid). Empty docs are byte-identical anyway:
+                # the exact-dedup path groups them.
+                if not (text or "").strip():
+                    continue
                 for band, h in enumerate(band_hashes(minhash_signature(text), bands)):
                     rows.append({"doc_id": did, "band": band, "band_hash": h})
             yield pd.DataFrame(rows, columns=["doc_id", "band", "band_hash"])
@@ -206,7 +225,29 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, threshold: float = 0.7,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sim = [jaccard(a, b) for a, b in zip(pdf["a_text"], pdf["b_text"])]
+            # memoize shingle sets per doc id within the batch: a hub doc
+            # appearing in P candidate pairs otherwise re-shingles its full
+            # text P times — verify CPU must scale with distinct docs, not
+            # pairs
+            cache: dict = {}
+
+            def shingles(did, text):
+                s = cache.get(did)
+                if s is None:
+                    s = cache[did] = word_shingles(text)
+                return s
+
+            sim = []
+            for aid, bid, a, b in zip(
+                pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"]
+            ):
+                sa, sb = shingles(aid, a), shingles(bid, b)
+                if not sa and not sb:
+                    sim.append(1.0)
+                else:
+                    inter = len(sa & sb)
+                    union = len(sa | sb)
+                    sim.append(inter / union if union else 0.0)
             out = pdf[["a_id", "b_id"]].assign(jaccard=[round(s, 6) for s in sim])
             yield out[out["jaccard"] >= threshold]
 
@@ -299,7 +340,10 @@ def _simhash_band_keys(sig_table: DataFrame, max_hamming: int,
     bounds = _block_bounds(nb)
     block_cols = [
         F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
-            F.lit((1 << width) - 1)
+            # width == 64 (n_blocks=1, i.e. max_hamming=0 exact match):
+            # (1<<64)-1 overflows the int64 literal — all-ones is -1 in
+            # two's complement
+            F.lit((1 << width) - 1 if width < 64 else -1).cast("long")
         )
         for start, width in bounds
     ]
@@ -614,33 +658,47 @@ def span_dedup(docs: DataFrame, k: int = 16, id_col: str = "doc_id",
     )
 
     # row-local interval merge + stitch: fold the sorted duplicated start
-    # positions with a (cursor, kept-text, removed-count) accumulator;
-    # cursor = first not-yet-emitted 1-based word index
+    # positions with a (cursor, kept-intervals, removed-count) accumulator;
+    # cursor = first not-yet-emitted 1-based word index. The fold collects
+    # (start, len) INTERVAL structs and the text is sliced+joined ONCE in
+    # finish — accumulating the output string itself would re-copy the
+    # whole accumulated document on every removal position (quadratic in
+    # removals × doc length; a boilerplate-heavy 200k-word doc turned into
+    # a multi-minute straggler).
     acc0 = F.struct(
-        F.lit(1).alias("cur"), F.lit("").alias("out"), F.lit(0).alias("rm")
+        F.lit(1).alias("cur"),
+        F.array().cast("array<struct<s:int,l:int>>").alias("keeps"),
+        F.lit(0).alias("rm"),
     )
 
     def step(acc, p):
-        gap = F.when(
+        keeps = F.when(
             p > acc["cur"],
-            F.array_join(F.slice(wcol, acc["cur"], p - acc["cur"]), " "),
-        ).otherwise(F.lit(""))
-        out = F.array_join(
-            F.filter(F.array(acc["out"], gap), lambda x: x != F.lit("")), " "
-        )
+            F.array_append(
+                acc["keeps"],
+                F.struct(
+                    acc["cur"].alias("s"), (p - acc["cur"]).alias("l")
+                ),
+            ),
+        ).otherwise(acc["keeps"])
         new_cur = F.greatest(acc["cur"], p + k)
         rm = acc["rm"] + (new_cur - F.greatest(acc["cur"], p))
-        return F.struct(new_cur.alias("cur"), out.alias("out"), rm.alias("rm"))
+        return F.struct(new_cur.alias("cur"), keeps.alias("keeps"), rm.alias("rm"))
 
     def finish(acc):
-        tail = F.when(
+        keeps = F.when(
             F.size(wcol) >= acc["cur"],
-            F.array_join(
-                F.slice(wcol, acc["cur"], F.size(wcol) - acc["cur"] + 1), " "
+            F.array_append(
+                acc["keeps"],
+                F.struct(
+                    acc["cur"].alias("s"),
+                    (F.size(wcol) - acc["cur"] + 1).alias("l"),
+                ),
             ),
-        ).otherwise(F.lit(""))
+        ).otherwise(acc["keeps"])
         text = F.array_join(
-            F.filter(F.array(acc["out"], tail), lambda x: x != F.lit("")), " "
+            F.flatten(F.transform(keeps, lambda kp: F.slice(wcol, kp["s"], kp["l"]))),
+            " ",
         )
         return F.struct(text.alias("text"), acc["rm"].alias("rm"))
 

@@ -42,12 +42,19 @@ def with_cosine_to(embeddings: DataFrame, query_vec: list[float],
 
 
 def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k by cosine to the query row (excluded), deterministic ties."""
-    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
-    if not qrow:
-        return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
-    query_vec = [float(x) for x in qrow[0][0]]
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_vec: list | None = None) -> DataFrame:
+    """Exact top-k by cosine to the query row (excluded), deterministic ties.
+
+    ``query_vec`` skips the collect when the caller already holds the
+    query's vector: the ANN wrappers pass ``embeddings`` as a candidate
+    FRAME whose lineage includes the whole bucket/cluster chain, and
+    collecting the query row out of it re-runs that chain once more."""
+    if query_vec is None:
+        qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+        if not qrow:
+            return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+        query_vec = [float(x) for x in qrow[0][0]]
     return (
         with_cosine_to(embeddings, query_vec, vec_col)
         .filter(F.col(id_col) != query_id)
@@ -101,8 +108,6 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     `max_rows` guard below refuses to collect an unbounded table to the
     driver (fail fast instead of OOM-ing a 100 TB job).
     """
-    import numpy as np
-
     pdf = embeddings.select(id_col, vec_col).limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:
         raise ValueError(
@@ -112,7 +117,12 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
         )
     b_ids = pdf[id_col].to_numpy()
     b_mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-    b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    # zero-norm guard (failed embedder / padding rows): dividing by 0 makes
+    # every comparison with that row NaN — silently unreported pairs. A
+    # unit divisor leaves the zero vector at cosine 0 to everything, the
+    # same guard the semdedup/PQ kernels use.
+    _nb = np.linalg.norm(b_mat, axis=1, keepdims=True)
+    b_mat = b_mat / np.where(_nb == 0.0, 1.0, _nb)
     bc = embeddings.sparkSession.sparkContext.broadcast((b_ids, b_mat))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +130,8 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
         for batch in batches:
             a_ids = batch[id_col].to_numpy()
             a_mat = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            _na = np.linalg.norm(a_mat, axis=1, keepdims=True)
+            a_mat = a_mat / np.where(_na == 0.0, 1.0, _na)
             sims = np.round(a_mat @ mat_b.T, 6)
             out_a, out_b, out_c = [], [], []
             for i, aid in enumerate(a_ids):
@@ -235,7 +246,11 @@ def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
         cents = bc.value
         for batch in batches:
             mat = np.stack(batch[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # zero-norm guard: an all-NaN score row would argmax to cluster
+            # 0, silently piling every degenerate vector there and dragging
+            # its centroid toward zero
+            _n = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(_n == 0.0, 1.0, _n)
             yield pd.DataFrame(
                 {id_col: batch[id_col].values, "cluster": (mat @ cents.T).argmax(axis=1)}
             )
@@ -301,7 +316,10 @@ def ann_topk_ivf(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 6
         F.col(id_col).alias("_cand_id")
     )
     cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["_cand_id"], "left_semi")
-    return cosine_topk(cands, query_id, k, id_col, vec_col)
+    # q is already in hand (collected above, pre-normalization copy below):
+    # letting cosine_topk re-collect it would re-run the assign chain
+    return cosine_topk(cands, query_id, k, id_col, vec_col,
+                       query_vec=[float(x) for x in qrow[0][0]])
 
 
 def _multiprobe_buckets(q_bucket: int, n_planes: int, multiprobe: int) -> list[int]:
@@ -340,7 +358,11 @@ def ann_topk_lsh(embeddings: DataFrame, query_id: int, k: int = 10, dim: int = 6
         F.col(id_col).alias("_cand_id")
     )
     cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids["_cand_id"], "left_semi")
-    return cosine_topk(cands, query_id, k, id_col, vec_col)
+    # fetch the query vector from the BASE table (narrow scan) — collecting
+    # it through `cands` would re-run the full-corpus bucket UDF once more
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    return cosine_topk(cands, query_id, k, id_col, vec_col,
+                       query_vec=[float(x) for x in qvec[0][0]])
 
 
 def semdedup(embeddings: DataFrame, threshold: float = 0.92,
@@ -469,7 +491,6 @@ def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
         bc = sc.broadcast(books)
         rows = (
             embeddings.select(vec_col)
-            .withColumn(id_col, F.lit(0))  # keep the UDF signature stable
             .mapInPandas(
                 partials(bc),
                 schema="sub int, code int, vsum array<double>, cnt long",
@@ -566,4 +587,7 @@ def ann_topk_pq(embeddings: DataFrame, query_id: int, k: int = 10,
     cands = embeddings.join(
         cand.select(id_col), id_col, "left_semi"
     ).unionByName(embeddings.filter(F.col(id_col) == query_id))
-    return cosine_topk(cands, query_id, k, id_col, vec_col)
+    # q is already in hand: letting cosine_topk re-collect it would re-run
+    # the train/encode/ADC chain once more
+    return cosine_topk(cands, query_id, k, id_col, vec_col,
+                       query_vec=[float(x) for x in qrow[0][0]])

@@ -200,3 +200,42 @@ def test_lsh_plan_rows_monotone_in_threshold():
         prev_rows = p["rows"]
         b, r = p["bands"], p["rows"]
         assert abs(p["p_at_threshold"] - (1 - (1 - t ** r) ** b)) < 1e-12
+
+
+def test_exact_duplicates_trim_before_fingerprint(spark):
+    """Trailing-newline scrapes are exact duplicates of their trimmed
+    twins — the fingerprint must trim before collapsing whitespace."""
+    docs = spark.createDataFrame(
+        [(1, "foo bar"), (2, "foo bar\n"), (3, "  foo  bar  "), (4, "foo barx")],
+        "doc_id long, text string",
+    )
+    groups = {r["keeper_id"]: r["group_size"]
+              for r in dedupe_op.exact_duplicates(docs).collect()}
+    assert groups == {1: 3, 4: 1}
+
+
+def test_simhash_exact_match_mode(spark):
+    """max_hamming=0 (one 64-bit block) must work — the all-ones mask
+    previously overflowed the int64 literal."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "a completely different document about other things")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a_id"], r["b_id"])
+             for r in dedupe_op.simhash_near_duplicates(docs, max_hamming=0).collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+def test_empty_docs_never_become_minhash_candidates(spark):
+    """Empty/whitespace docs share the constant signature: without the
+    short-circuit they all collide on ONE band key (quadratic) and pair
+    with jaccard 1.0. They must produce no band rows at all."""
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(50)] + [(100, None), (101, "   ")]
+        + [(200, "real content document with several words here")],
+        "doc_id long, text string",
+    )
+    assert dedupe_op.minhash_band_table(docs).count() == 16  # only doc 200
+    assert dedupe_op.near_duplicates_minhash(docs, 0.7).count() == 0

@@ -381,3 +381,25 @@ def test_pq_adc_recall_with_exact_rerank(spark):
     recall = len(set(pq) & set(exact)) / 10
     print(f"\nPQ recall@10 (m=4, 8 codes, rerank 3x): {recall}")
     assert recall >= 0.5
+
+
+def test_zero_norm_embeddings_do_not_poison_pairs(spark):
+    """An all-zero embedding (failed embedder) must not NaN-out the
+    comparisons of OTHER rows, and must not land in every IVF cluster 0
+    by argmax-over-NaN."""
+    import numpy as np
+
+    from pdf_parser_spark.operators import similarity as sim
+
+    rows = [(0, [0.0] * 8)]
+    base = np.eye(8).tolist()
+    rows += [(i + 1, base[i]) for i in range(8)]
+    rows += [(100, (np.array(base[0]) * 0.999 + 0.001).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a_id"], r["b_id"])
+             for r in sim.cosine_near_duplicates(emb, threshold=0.9).collect()}
+    assert (1, 100) in pairs            # the real near-pair is found
+    assert all(0 not in p for p in pairs)  # zero vector pairs with nothing
+    cents = sim.ivf_train(emb, n_centroids=4, dim=8)
+    assigned = sim.ivf_assign(emb, cents)
+    assert assigned.count() == 10       # no NaN row dropped
