@@ -27,10 +27,11 @@ from pyspark.sql import functions as F
 
 
 def _words_col(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    # THE shared tokenizer (textstats.words_expr) — a tokenization fix
+    # there must reach decontamination grams too
+    from pdf_parser_spark.operators.textstats import words_expr
+
+    return words_expr(F.col(text_col))
 
 
 def with_kgrams(docs: DataFrame, k: int, text_col: str = "text",
@@ -88,31 +89,52 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, k: int = 5,
         .select(F.explode("_grams").alias("gram"))
         .distinct()
     )
-    exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
     if bloom_bits is not None:
         from pdf_parser_spark.operators import bloom
 
-        bitmap = bloom.build_bloom(eval_grams, "gram", n_bits=bloom_bits)
-        exploded = bloom.with_bloom_probe(exploded, "gram", bitmap).filter(
-            F.col("_bloom_maybe")
-        ).drop("_bloom_maybe")
+        # the bloom path needs the gram stream in two shapes (the probe
+        # filter feeds the exact join; totals are per-doc) — persist the
+        # gram arrays so the distinct-k-gram construction, the chain's
+        # dominant CPU stage, runs once instead of twice
+        corpus = corpus.persist()
+        exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
+        exploded = bloom.with_bloom_probe(exploded, "gram", bloom.build_bloom(
+            eval_grams, "gram", n_bits=bloom_bits
+        )).filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
         matched = (
             exploded.join(eval_grams, "gram")  # exact; no broadcast hint
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_matched"))
         )
-    else:
-        matched = (
-            exploded.join(F.broadcast(eval_grams), "gram")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_matched"))
+        totals = corpus.select(
+            "doc_id", F.size("_grams").cast("long").alias("n_grams")
         )
-    totals = corpus.select("doc_id", F.size("_grams").cast("long").alias("n_grams"))
-    out = totals.join(matched, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
-    )
+        out = totals.join(matched, "doc_id", "left").select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+    else:
+        # ONE gram pass: hits are decorated by a broadcast LEFT join and
+        # counted in the same doc-keyed aggregate as the totals (partial
+        # aggregation collapses the gram stream map-side — the exchange
+        # carries ~one row per doc). The old two-branch shape evaluated
+        # the distinct-k-gram construction twice per corpus document.
+        exploded = corpus.select("doc_id", F.explode("_grams").alias("gram"))
+        scored = exploded.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_matched"),
+        )
+        # docs with zero grams (shorter than k words) never explode a row
+        base = docs.select(F.col(id_col).alias("doc_id"))
+        out = base.join(agg, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        )
     frac = F.when(
         F.col("n_grams") > 0, F.col("n_matched") / F.col("n_grams")
     ).otherwise(F.lit(0.0))

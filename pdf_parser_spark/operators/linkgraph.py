@@ -27,22 +27,16 @@ from pyspark.sql import functions as F
 
 from pdf_parser_spark.operators import weburls
 
-_HREF_RE = r'href="([^"]*)"'
-# real crawl HTML quotes attributes three ways; normalize the other two to
-# double quotes BEFORE extraction so one capture group covers them all
-_HREF_SQUOTE_RE = r"href\s*=\s*'([^']*)'"
-_HREF_UNQUOTED_RE = r"""href\s*=\s*([^'"\s>][^\s>]*)"""
-_HREF_SPACED_RE = r'href\s*=\s*"'
-
-
-def _normalize_href_quotes(html_str):  # Column -> Column
-    """Rewrite single-quoted and unquoted href values to double-quoted form
-    (native regexp_replace chain, whole-stage codegen) so the extraction
-    regexes need only one attribute shape. Unquoted values end at
-    whitespace or '>' per the HTML spec."""
-    h = F.regexp_replace(html_str, _HREF_SQUOTE_RE, 'href="$1"')
-    h = F.regexp_replace(h, _HREF_UNQUOTED_RE, 'href="$1"')
-    return F.regexp_replace(h, _HREF_SPACED_RE, 'href="')
+# Three quoting styles extracted DIRECTLY from the raw html, one pattern
+# per style (a normalize-to-double-quotes rewrite pass corrupted two real
+# shapes: href= text inside OTHER quoted attribute values became a phantom
+# link, and single-quoted values containing double quotes got truncated at
+# the first "). Each pattern requires whitespace before `href`, so
+# attribute-VALUE text like title='href=evil' can never match — the html
+# spec requires whitespace between attributes.
+_HREF_DQUOTE_RE = r'\shref\s*=\s*"([^"]*)"'
+_HREF_SQUOTE_RE = r"\shref\s*=\s*'([^']*)'"
+_HREF_UNQUOTED_RE = r"""\shref\s*=\s*([^'"\s>][^\s>]*)"""
 
 
 def extract_outlinks(pages: DataFrame, html_col: str = "html",
@@ -50,33 +44,47 @@ def extract_outlinks(pages: DataFrame, html_col: str = "html",
     """One row per (source page, href target url) — native, no DOM pass.
 
     `html_col` may be string or binary (cast to string — the pages table's
-    html column is utf-8 bytes). Single-quoted and unquoted href values
-    are normalized to double-quoted form first (common in real crawl
-    HTML), so all three quoting styles yield identical link sets. Relative
-    links are kept verbatim; callers that only consume absolute links
-    filter on a scheme match, which is what host_indegree does.
+    html column is utf-8 bytes). Double-quoted, single-quoted, and
+    unquoted href values are each extracted with their own pattern from
+    the raw markup; within a page the three groups concatenate (per-style
+    document order — consumers are set-shaped: in-degree, edges,
+    pagerank). Relative links are kept verbatim; callers that only
+    consume absolute links filter on a scheme match, which is what
+    host_indegree does.
     """
-    html_str = _normalize_href_quotes(F.col(html_col).cast("string"))
-    return pages.select(
-        *id_cols,
-        F.explode(
-            F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1))
-        ).alias("out_url"),
+    html_str = F.col(html_col).cast("string")
+    hrefs = F.concat(
+        F.regexp_extract_all(html_str, F.lit(_HREF_DQUOTE_RE), F.lit(1)),
+        F.regexp_extract_all(html_str, F.lit(_HREF_SQUOTE_RE), F.lit(1)),
+        F.regexp_extract_all(html_str, F.lit(_HREF_UNQUOTED_RE), F.lit(1)),
     )
+    return pages.select(*id_cols, F.explode(hrefs).alias("out_url"))
+
+
+def _link_host(url_col):
+    """Host of a link TARGET. Protocol-relative links (``//cdn.com/x``)
+    carry a host despite lacking a scheme — they are the standard real-
+    HTML pattern for CDN/cross-scheme references, and dropping them
+    undercounts exactly the heavily-linked infrastructure hosts the
+    in-degree signal ranks. Path-relative links still yield ''."""
+    fixed = F.when(
+        url_col.startswith("//"), F.concat(F.lit("http:"), url_col)
+    ).otherwise(url_col)
+    return weburls.host_col(fixed)
 
 
 def host_indegree(links: DataFrame, src_col: str = "url",
                   out_col: str = "out_url") -> DataFrame:
     """Per target host: total inbound links + distinct linking source pages.
 
-    Absolute links only (a scheme-less href has no host). Both aggregates
-    are a single hash exchange keyed by host; count(distinct src) is
-    Spark's standard two-phase expand — fine because the key space is
-    |hosts|, not |pages|.
+    Links with a host only — absolute or protocol-relative (path-relative
+    hrefs have none). Both aggregates are a single hash exchange keyed by
+    host; count(distinct src) is Spark's standard two-phase expand — fine
+    because the key space is |hosts|, not |pages|.
     """
     h = links.select(
         F.col(src_col).alias("_src"),
-        weburls.host_col(F.col(out_col)).alias("host"),
+        _link_host(F.col(out_col)).alias("host"),
     ).filter(F.col("host") != "")
     return h.groupBy("host").agg(
         F.count("*").alias("n_links"),
@@ -89,7 +97,7 @@ def host_edges(links: DataFrame, src_col: str = "url",
     """Distinct (src_host, dst_host) edges, self-loops dropped."""
     e = links.select(
         weburls.host_col(F.col(src_col)).alias("src"),
-        weburls.host_col(F.col(out_col)).alias("dst"),
+        _link_host(F.col(out_col)).alias("dst"),
     ).filter((F.col("src") != "") & (F.col("dst") != ""))
     return e.filter(F.col("src") != F.col("dst")).distinct()
 
@@ -133,7 +141,13 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     if n == 0:
         for df in (nodes, e):
             df.unpersist()
-        return spark.createDataFrame([], "node string, rank double")
+        # keep the NODE TYPE of the input: a hard-coded string schema made
+        # the output type flip with data (bigint graphs returned bigint
+        # ranks on every non-empty batch but string on the empty one,
+        # breaking unions/joins downstream under ANSI)
+        return nodes.select("node").withColumn(
+            "rank", F.lit(0.0).cast("double")
+        ).limit(0)
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     edges_deg = e.join(out_deg, "src").persist()
     edges_deg.count()  # materialize once; reused every iteration
@@ -198,19 +212,26 @@ def extract_anchors(pages: DataFrame, html_col: str = "html",
                     id_cols: tuple[str, ...] = ("url",)) -> DataFrame:
     """(source page, href target, anchor text) triples — native, no DOM.
 
-    Pairs the href inventory with the anchor's inner text via two aligned
+    Pairs the href inventory with the anchor's inner text via aligned
     regexp_extract_all passes zipped positionally (the <a ...>text</a>
     shape; nested markup inside an anchor is out of scope for the fast
-    path — the DOM extractor handles those pages). Quote styles are
-    normalized as in extract_outlinks, so single-quoted/unquoted hrefs
-    pair identically.
+    path — the DOM extractor handles those pages). One pair pattern per
+    quote style, extracted from the RAW markup — same rationale as
+    extract_outlinks (the old normalize-rewrite corrupted two shapes).
     """
-    html_str = _normalize_href_quotes(F.col(html_col).cast("string"))
-    pair_re = r'<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
-    pairs = F.arrays_zip(
-        F.regexp_extract_all(html_str, F.lit(pair_re), F.lit(1)).alias("out_url"),
-        F.regexp_extract_all(html_str, F.lit(pair_re), F.lit(2)).alias("anchor"),
-    )
+    html_str = F.col(html_col).cast("string")
+    pair_res = [
+        r'<a[^>]*\shref\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>',
+        r"<a[^>]*\shref\s*=\s*'([^']*)'[^>]*>([^<]*)</a>",
+        r"""<a[^>]*\shref\s*=\s*([^'"\s>][^\s>]*)[^>]*>([^<]*)</a>""",
+    ]
+    pairs = F.concat(*[
+        F.arrays_zip(
+            F.regexp_extract_all(html_str, F.lit(p), F.lit(1)).alias("out_url"),
+            F.regexp_extract_all(html_str, F.lit(p), F.lit(2)).alias("anchor"),
+        )
+        for p in pair_res
+    ])
     return pages.select(*id_cols, F.explode(pairs).alias("_p")).select(
         *id_cols,
         F.col("_p.out_url").alias("out_url"),

@@ -26,10 +26,11 @@ from pyspark.sql import functions as F
 
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    words = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    # THE shared tokenizer (textstats.words_expr) — LM scores must
+    # tokenize like the rest of the pipeline
+    from pdf_parser_spark.operators.textstats import words_expr
+
+    words = words_expr(F.col(text_col))
     return docs.select(F.col(id_col).alias("doc_id"), words.alias("_w")).select(
         "doc_id", F.explode("_w").alias("word")
     )
@@ -71,14 +72,28 @@ def unigram_scores(docs: DataFrame, model: DataFrame | None = None,
     ln(1/(N+V))) so out-of-vocabulary tokens are penalized instead of
     silently dropped from the mean.
     """
-    if model is None:
+    self_fit = model is None
+    if self_fit:
         model = unigram_model(docs, text_col, id_col)
+    elif oov_logp is None:
+        # all-OOV docs must not win: with logp NULL for every token, the
+        # NULL-skipping avg coalesced to 0 scored pure gibberish at ppl 1 —
+        # the best possible value. Default the OOV floor just below the
+        # capped model's rarest word (~ the add-one floor ln(1/(N+V)):
+        # min logp is ln((c_min+1)/(N+V)) with c_min >= 1).
+        oov_logp = float(model.agg(F.min("logp")).first()[0]) - 0.6931471805599453
     tok = _tokens(docs, text_col, id_col)
     logp = F.col("logp")
     if oov_logp is not None:
         logp = F.coalesce(logp, F.lit(float(oov_logp)))
+    # broadcast only a CAPPED external model: the self-fit model is the
+    # full corpus vocabulary — billions of rows at 10^12 docs, far past
+    # any broadcast limit; AQE picks the join for that side
+    side = model.select("word", "logp")
+    if not self_fit:
+        side = F.broadcast(side)
     scored = (
-        tok.join(F.broadcast(model.select("word", "logp")), "word", "left")
+        tok.join(side, "word", "left")
         .withColumn("logp", logp)
         .groupBy("doc_id")
         .agg(
@@ -116,10 +131,9 @@ def bigram_scores(docs: DataFrame, text_col: str = "text",
     broadcasts when the model is small and shuffles by the pair key when
     it is not (never a cross product, never Python).
     """
-    words = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    from pdf_parser_spark.operators.textstats import words_expr
+
+    words = words_expr(F.col(text_col))
     n = F.size("_w")
     pairs = F.arrays_zip(
         F.slice(F.col("_w"), 1, n - 1).alias("a"),
@@ -164,7 +178,9 @@ def bigram_scores(docs: DataFrame, text_col: str = "text",
 def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
                 by: tuple[str, ...] = ("lang",), text_col: str = "text",
                 id_col: str = "doc_id", approximate: bool = False,
-                keep_score_cols: tuple[str, ...] = ()) -> DataFrame:
+                keep_score_cols: tuple[str, ...] = (),
+                model: DataFrame | None = None,
+                oov_logp: float | None = None) -> DataFrame:
     """CCNet-style perplexity bucketing: split each language's documents
     into equal head / middle / tail thirds by LM perplexity (Wenzek et al.
     2020 keep the head/middle for training — public methodology).
@@ -189,12 +205,23 @@ def ppl_buckets(docs: DataFrame, n_buckets: int = 3,
     # avg_logprob) carried through the bucketing — callers that need both
     # scores and buckets get them from ONE model fit instead of running
     # the token-aggregate twice (q47_lm_quality's shape)
-    scores = unigram_scores(docs, text_col=text_col, id_col=id_col)
+    # model/oov_logp pass through to unigram_scores: the at-scale caller
+    # fits ONE capped model offline (unigram_model(corpus, vocab_size=V))
+    # and scores against it — self-fit here would broadcast the full
+    # corpus vocabulary (see unigram_scores)
+    scores = unigram_scores(docs, model=model, text_col=text_col,
+                            id_col=id_col, oov_logp=oov_logp)
     keys = docs.select(F.col(id_col).alias("doc_id"), *by)
     joined = keys.join(
         scores.select("doc_id", "ppl", *keep_score_cols), "doc_id"
     )
     if approximate:
+        # pin the scored table: the cutoff aggregate AND the bucket join
+        # both consume it — without the barrier the whole tokenize + fit +
+        # score chain runs twice (measured: the scoring subtrees appeared
+        # twice in the executed plan), doubling the pipeline's dominant
+        # CPU cost in exactly the mode documented as the at-scale shape
+        joined = joined.localCheckpoint()
         probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
         cuts = joined.groupBy(*by).agg(
             F.percentile_approx("ppl", probs, 10_000).alias("_cuts")

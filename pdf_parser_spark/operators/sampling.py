@@ -76,15 +76,25 @@ def domain_mixing_weights(
         F.sum("n_tokens").alias("_total"),
         F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("_scaled_sum"),
     )
-    share = F.col("n_tokens") / F.col("_total")
-    weight = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_scaled_sum")
+    # zero guards (Spark 4 ANSI mode turns x/0 into a job-killing
+    # SparkArithmeticException): a domain whose docs are all empty has
+    # share 0 — its sampling factor is 0 by definition, not an error; an
+    # all-empty corpus likewise yields all-zero shares/weights.
+    share = F.when(
+        F.col("_total") > 0, F.col("n_tokens") / F.col("_total")
+    ).otherwise(F.lit(0.0))
+    weight = F.when(
+        F.col("_scaled_sum") > 0,
+        F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_scaled_sum"),
+    ).otherwise(F.lit(0.0))
+    factor = F.when(share > 0, weight / share).otherwise(F.lit(0.0))
     return per_domain.crossJoin(F.broadcast(totals)).select(
         *domain_cols,
         "n_docs",
         "n_tokens",
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("mix_weight"),
-        F.round(weight / share, 4).alias("sampling_factor"),
+        F.round(factor, 4).alias("sampling_factor"),
     )
 
 

@@ -258,3 +258,43 @@ def test_bigram_scores_rank_orders_shuffled_spam_below_natural(spark):
     # unigram scores are IDENTICAL for the shuffle (same bag of words)
     u = {r["doc_id"]: r["ppl"] for r in lm_quality.unigram_scores(docs).collect()}
     assert u[8] == u[0]
+
+
+def test_mixing_weights_zero_token_domain_no_ansi_crash(spark):
+    """A domain whose docs are all empty must yield factor 0, not a
+    DIVIDE_BY_ZERO job abort under Spark 4 ANSI mode."""
+    from pdf_parser_spark.operators import sampling as sampling_op
+    from pdf_parser_spark.operators import textstats as textstats_op
+
+    docs = spark.createDataFrame(
+        [("en", "a", "real content with several words here"),
+         ("en", "b", ""), ("en", "b", "   ")],
+        "lang string, source string, text string",
+    )
+    rows = {r["source"]: r for r in sampling_op.domain_mixing_weights(
+        docs, ("lang", "source"),
+        textstats_op.token_count_col(F.col("text")), alpha=0.5,
+    ).collect()}
+    assert rows["b"]["token_share"] == 0.0
+    assert rows["b"]["sampling_factor"] == 0.0
+    assert rows["a"]["token_share"] == 1.0
+
+
+def test_all_oov_doc_scores_worst_not_best(spark):
+    """Against a capped external model, a doc of entirely unseen tokens
+    must score BELOW in-vocabulary docs (it used to get ppl=1, the best)."""
+    from pdf_parser_spark.operators import lm_quality as lm
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = lm.unigram_model(corpus, vocab_size=20)
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzqx wvut qqpl mmnb")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"]
+           for r in lm.unigram_scores(probe, model=model).collect()}
+    assert got[2] > got[1]          # gibberish scores worse
+    assert got[2] > 1.0             # and no longer the perfect score

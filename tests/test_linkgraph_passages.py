@@ -301,3 +301,42 @@ def test_connected_components_self_loop_singleton(spark):
     got = {r["node"]: r["component"]
            for r in linkgraph.connected_components(edf).collect()}
     assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_href_value_text_inside_other_attributes_is_not_a_link(spark):
+    """href= text inside ANOTHER attribute's value must not fabricate a
+    phantom outlink, and quoted values keep embedded other-quotes."""
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<a title='href=evil' href='real'>t</a>"),
+            ("u2", '<a href=\'say"hi"\'>q</a>'),
+            ("u3", '<div data-x="href=nope"><a href=bare>b</a></div>'),
+        ],
+        "url string, html string",
+    )
+    got = {(r["url"], r["out_url"])
+           for r in linkgraph.extract_outlinks(pages).collect()}
+    assert got == {("u1", "real"), ("u2", 'say"hi"'), ("u3", "bare")}
+    anchors = {(r["url"], r["out_url"], r["anchor"])
+               for r in linkgraph.extract_anchors(pages).collect()}
+    assert ("u1", "real", "t") in anchors
+    assert all("evil" not in a[1] and "nope" not in a[1] for a in anchors)
+
+
+def test_protocol_relative_links_count_toward_indegree(spark):
+    links = spark.createDataFrame(
+        [("https://a.com/p", "//cdn.example.com/lib.js"),
+         ("https://a.com/p", "https://b.com/x"),
+         ("https://a.com/p", "/relative/path")],
+        "url string, out_url string",
+    )
+    hosts = {r["host"]: r["n_links"]
+             for r in linkgraph.host_indegree(links).collect()}
+    assert hosts == {"cdn.example.com": 1, "b.com": 1}
+
+
+def test_pagerank_empty_graph_keeps_node_type(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = linkgraph.pagerank(edges)
+    assert out.count() == 0
+    assert dict(out.dtypes)["node"] == "bigint"  # not a hard-coded string
