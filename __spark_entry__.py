@@ -3058,7 +3058,10 @@ def oracle_sql() -> dict[str, str]:
             c AS (
               SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                      ws[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)] AS chunk
-              FROM w, unnest(range(0, CAST(floor((len(ws) - 1) / 40) AS BIGINT) + 1)) AS r(i)
+              FROM w, unnest(range(0,
+                     CASE WHEN len(ws) > 50
+                          THEN CAST(floor((len(ws) - 10 - 1) / 40) AS BIGINT)
+                          ELSE 0 END + 1)) AS r(i)
               WHERE len(ws) > 0),
             gi AS (
               SELECT doc_id,

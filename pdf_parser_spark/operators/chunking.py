@@ -31,6 +31,13 @@ def chunk_documents(
     Tokens are whitespace-split words; empty documents produce no rows. The
     final chunk may be shorter than ``chunk_tokens`` (it still starts at a
     stride boundary < n_tokens, so every token is covered at least once).
+
+    Chunk count is ceil(max(n - overlap, 1) / stride): a window stops
+    being emitted once the PREVIOUS chunk already reached the document's
+    end — the naive floor((n-1)/stride)+1 count emits a final chunk that
+    is a strict subset of its predecessor whenever (n-1) % stride <
+    overlap (~overlap/stride of all docs, 25% at the defaults), silently
+    duplicating training text the rest of the pipeline works to dedupe.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -40,16 +47,21 @@ def chunk_documents(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
     )
     n = F.size(tokens)
-    starts = F.when(
-        n > 0,
-        F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
+    # last start index: 0 when one chunk covers the doc (n <= chunk_tokens),
+    # else floor((n - overlap - 1) / stride) — int-ranged, double div exact
+    last = F.when(
+        n > F.lit(chunk_tokens),
+        F.floor((n - F.lit(overlap) - 1) / stride).cast("int"),
+    ).otherwise(F.lit(0))
+    starts = F.when(n > 0, F.sequence(F.lit(0), last)).otherwise(
+        F.array().cast("array<int>")
+    )
 
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens.alias("_toks"),
-        F.posexplode(starts).alias("chunk_idx", "_i"),
+        F.explode(starts).alias("chunk_idx"),
     )
-    chunk = F.slice(F.col("_toks"), F.col("_i") * stride + 1, chunk_tokens)
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
     return base.select(
         "doc_id",
         "chunk_idx",
@@ -84,7 +96,11 @@ def pack_sequences(
     Every pack except the last holds exactly seq_len tokens (asserted in
     the pytest suite), the slices of one pack tile it exactly, and the
     whole mapping is a pure function of (ids, lengths, order) —
-    partition-layout invariant.
+    partition-layout invariant — PROVIDED (order_col, id_col) totally
+    orders the rows. With ties (e.g. many chunks per doc ordered only by
+    a per-doc key) the prefix sum breaks them arbitrarily and pack
+    assignments change between runs; callers must supply a unique
+    tiebreaker (deliver.py builds `ord`; r24 uses chunk_uid).
 
     Scale shape: the only exchange is the order-aligned bucket window
     inside indexing.with_global_prefix_sum (never a SinglePartition
@@ -105,8 +121,11 @@ def pack_sequences(
     start = F.col("_start").cast("long")
     length = F.col(len_col).cast("long")
     end = start + length
-    p0 = F.floor(start / L).cast("long")
-    p1 = F.floor((end - 1) / L).cast("long")
+    # INTEGER division: floor(long / long) routes through a double and
+    # loses exactness past 2^53 — exactly the corpus-token offsets the
+    # prefix sum keeps as longs on purpose; `div` stays in long arithmetic
+    p0 = F.expr(f"_start div {int(seq_len)}").cast("long")
+    p1 = F.expr(f"(_start + {len_col} - 1) div {int(seq_len)}").cast("long")
     exploded = pos.select(
         "*", F.explode(F.sequence(p0, p1)).alias("pack_id")
     )

@@ -13,7 +13,7 @@ run Python `re` for byte identity with the reference).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -81,15 +81,6 @@ def keyword_account_col(memo_col, accounts: list[str] | None = None):
     )
 
 
-def empty_memory(spark: SparkSession, with_uid: bool) -> DataFrame:
-    schema = (
-        "uid string, vendor_key string, account string"
-        if with_uid
-        else "vendor_key string, account string"
-    )
-    return spark.createDataFrame([], schema)
-
-
 def classify(
     txns: DataFrame,
     user_memory: DataFrame | None = None,
@@ -111,12 +102,15 @@ def classify(
     # critical path — pure fixed cost that a small-corpus run pays without
     # any benefit. Callers with real memory tables get the broadcast joins.
     if user_memory is not None:
+        # memory tables are point lookups (one account per key) — enforce
+        # it with a deterministic max per key: duplicate key rows (an
+        # appended re-mapping instead of an upsert) would otherwise fan
+        # out every matching transaction, double-counting journal legs
+        # and aggregates downstream
         u = F.broadcast(
-            user_memory.select(
-                F.col("uid").alias("u_uid"),
-                F.col("vendor_key").alias("u_vk"),
-                F.col("account").alias("user_account"),
-            )
+            user_memory.groupBy(
+                F.col("uid").alias("u_uid"), F.col("vendor_key").alias("u_vk")
+            ).agg(F.max("account").alias("user_account"))
         )
         t = t.join(
             u, (t["uid"] == u["u_uid"]) & (t["vendor_key"] == u["u_vk"]), "left"
@@ -125,9 +119,8 @@ def classify(
         t = t.withColumn("user_account", F.lit(None).cast("string"))
     if global_memory is not None:
         g = F.broadcast(
-            global_memory.select(
-                F.col("vendor_key").alias("g_vk"),
-                F.col("account").alias("global_account"),
+            global_memory.groupBy(F.col("vendor_key").alias("g_vk")).agg(
+                F.max("account").alias("global_account")
             )
         )
         t = t.join(g, t["vendor_key"] == g["g_vk"], "left").drop("g_vk")

@@ -20,10 +20,8 @@ def filter_shadows(txns: DataFrame) -> DataFrame:
     which is False for missing keys, so coalesce NULLs before comparing.
     """
     return txns.filter(
-        ~(
-            F.coalesce(F.col("eventLeader"), F.lit(True)).eqNullSafe(F.lit(False))
-            | (F.coalesce(F.col("pairReason"), F.lit("")) == "shadow")
-        )
+        F.coalesce(F.col("eventLeader"), F.lit(True))
+        & (F.coalesce(F.col("pairReason"), F.lit("")) != "shadow")
     )
 
 

@@ -52,21 +52,25 @@ def bank_match_flags(txns: DataFrame) -> DataFrame:
         need.select("txn_id", "amount", "dateKey")
     ).select("txn_id", "_cents_p", "_bucket_p", "_cents", "_day")
 
+    # aggregate the build side to DISTINCT (cents, bucket, day) keys — the
+    # flag only asks "does ANY bank row match", so thousands of identical
+    # recurring amounts in one week must collapse to one build row instead
+    # of fanning the join |probe-hits| x |duplicates| wide before the final
+    # distinct. (The old txn_id != b_txn_id predicate was vacuous: the
+    # probe side is card-only, the build side bank-only.)
     bank = banding.with_build_keys(
         txns.filter(F.col("sourceType") == "bank").select("txn_id", "amount", "dateKey")
     ).select(
-        F.col("txn_id").alias("b_txn_id"),
         F.col("_cents").alias("b_cents"),
         F.col("_day").alias("b_day"),
         F.col("_bucket").alias("b_bucket"),
-    )
+    ).distinct()
 
     return (
         probe.join(
             bank,
             (probe["_cents_p"] == bank["b_cents"])
-            & (probe["_bucket_p"] == bank["b_bucket"])
-            & (probe["txn_id"] != bank["b_txn_id"]),
+            & (probe["_bucket_p"] == bank["b_bucket"]),
             "inner",
         )
         .filter(

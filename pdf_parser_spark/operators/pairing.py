@@ -39,12 +39,6 @@ from pdf_parser_spark.operators import banding
 PAIR_COLS = ["pairId", "eventLeader", "pairedWith", "pairReason"]
 
 
-def candidate_pairs(txns: DataFrame) -> DataFrame:
-    """All (leader, shadow) candidates passing the banded join + residual,
-    deduplicated across the 3×3 band fan-out."""
-    return _banded_candidates(txns).dropDuplicates(["l_id", "s_id"])
-
-
 def _banded_candidates(txns: DataFrame) -> DataFrame:
     """Raw banded-join candidates — each pair may appear up to 3× (one per
     matching probe band). Consumers doing per-key argmin selection use this

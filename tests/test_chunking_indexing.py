@@ -260,3 +260,46 @@ def test_bm25_query_filter_precedes_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_redundant_tail_chunk(spark):
+    """A final window wholly contained in its predecessor must not be
+    emitted — it duplicates training text verbatim."""
+    from pdf_parser_spark.operators import chunking as ch
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(45))),   # one chunk covers all
+         (2, " ".join(f"w{i}" for i in range(50))),   # exactly chunk_tokens
+         (3, " ".join(f"w{i}" for i in range(51))),   # needs a real tail
+         (4, " ".join(f"w{i}" for i in range(90)))],  # tail ends exactly at n
+        "doc_id long, text string",
+    )
+    out = ch.chunk_documents(docs, chunk_tokens=50, overlap=10)
+    counts = {r["doc_id"]: r["cnt"] for r in
+              out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 2}
+    # every token still covered, and no chunk is a subset of its neighbor
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"].split()
+            for r in out.collect()}
+    assert rows[(3, 1)][-1] == "w50"           # tail reaches the end
+    assert not set(rows[(4, 1)]) <= set(rows[(4, 0)])
+
+
+def test_pack_id_uses_integer_division(spark):
+    """floor(long/long) routes through a double and mis-assigns packs past
+    2^53 corpus tokens; the div must stay in long arithmetic."""
+    from pdf_parser_spark.operators import chunking as ch
+
+    big = (1 << 53) + 1  # not representable as a double
+    chunks = spark.createDataFrame(
+        [(1, big, 2)], "chunk_uid long, order_key long, n_chunk_tokens int"
+    )
+    # order_key doubles as the prefix-sum key; with one row _start == 0,
+    # so exercise the div directly on the internal expression instead:
+    from pyspark.sql import functions as SF
+    got = spark.createDataFrame([(big,)], "_start long").select(
+        SF.expr("_start div 3").alias("d"),
+        SF.floor(SF.col("_start") / SF.lit(3).cast("long")).alias("f"),
+    ).collect()[0]
+    assert got["d"] == big // 3          # exact
+    assert got["f"] != big // 3          # the old form demonstrably wrong
