@@ -61,10 +61,16 @@ def with_probe_keys(df: DataFrame, amount="amount", datekey="dateKey") -> DataFr
 
 def residual(
     a_amount: Column, a_day: Column, b_amount: Column, b_day: Column,
-    tol_cents: int = 1, window_days: int = 5
 ) -> Column:
-    """Exact tolerance predicate re-applied after the banded equi-join."""
+    """Exact tolerance predicate re-applied after the banded equi-join.
+
+    The tolerance is FIXED (±1 cent, ±5 days) because the band keys are:
+    the ±1-cent probe fan-out and the width-6 day buckets guarantee every
+    pair within this tolerance meets in the equi-join — a wider tolerance
+    passed only here would silently MISS pairs the bands never co-locate
+    (the old tunable tol_cents/window_days parameters were exactly that
+    trap, and no caller used them)."""
     return (
-        (F.abs(F.round(F.abs(a_amount) * 100) - F.round(F.abs(b_amount) * 100)) <= tol_cents)
-        & (F.abs(a_day - b_day) <= window_days)
+        (F.abs(F.round(F.abs(a_amount) * 100) - F.round(F.abs(b_amount) * 100)) <= 1)
+        & (F.abs(a_day - b_day) <= 5)
     )

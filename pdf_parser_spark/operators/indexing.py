@@ -78,6 +78,16 @@ def with_global_index(
     )
     offsets, acc = [], 0
     for b, n in counts:
+        if n >= (1 << 31):
+            # row_number() is 32-bit: a bucket past 2^31-1 rows wraps the
+            # local rank before the long cast — wrong indices, silently.
+            # The per-bucket counts are already on the driver, so guard
+            # here instead: resize num_buckets so buckets stay bounded.
+            raise ValueError(
+                f"bucket {b} holds {n} rows >= 2^31 (row_number is 32-bit):"
+                f" raise num_buckets (~{acc + n} total rows need"
+                f" >= {(acc + n) // (1 << 31) + 1} buckets minimum)"
+            )
         offsets.append((b, acc))
         acc += n
     off_df = df.sparkSession.createDataFrame(offsets, "_bucket int, _offset long")
@@ -157,7 +167,16 @@ def with_global_prefix_sum(
 
     return (
         local.join(F.broadcast(off_df), "_bucket")
-        .withColumn(out_col, F.col("_woff") + F.col("_incl") - wsum)
+        # coalesce the row's own weight: the window sum skips NULL weights
+        # (so _incl already equals the preceding sum for such a row), but
+        # subtracting a NULL wsum would null the whole exclusive sum —
+        # violating the single-window-parity contract, whose row gets the
+        # preceding rows' total
+        .withColumn(
+            out_col,
+            F.col("_woff") + F.col("_incl")
+            - F.coalesce(wsum, F.lit(0).cast(sum_type)),
+        )
         .drop("_bucket", "_incl", "_woff")
     )
 
@@ -244,6 +263,7 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query under BM25 (Robertson &
     Zaragoza 2009; the Lucene/ES practical-scoring idf variant) —
@@ -265,9 +285,15 @@ def bm25_search(
     from pdf_parser_spark.operators.textstats import words_expr
 
     words = words_expr(F.col(text_col))
+    # persist the tokenized corpus: it feeds THREE consumers (the N/avgdl
+    # scalars, the query-term hits, the candidate doc lengths) — without
+    # the pin each one re-runs the full tokenization over every document.
+    # materialize=True (default) checkpoints the <= k result rows and
+    # releases the cache before returning; pass False to inspect the lazy
+    # plan (plan-contract tests), owning the cache until evaluation.
     base = docs.select(
         F.col(id_col).alias("doc_id"), words.alias("_words")
-    )
+    ).persist()
 
     # two corpus scalars: N and average doc length
     stats = base.agg(
@@ -310,6 +336,12 @@ def bm25_search(
         .limit(k)
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).select(
+    ranked = scored.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", F.round("score", 6).alias("score"), "n_matched"
     )
+    if not materialize:
+        base.unpersist()  # caller owns evaluation; plan recomputes base
+        return ranked
+    result = ranked.localCheckpoint()
+    base.unpersist()
+    return result

@@ -26,8 +26,14 @@ DEFAULT_SALT_BUCKETS = 32
 
 
 def host_of(url) -> Column:
-    """url → host (native, codegen): strip scheme, cut at first '/'."""
-    return F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    """url → host — THE canonical extraction (weburls.host_col): scheme
+    case-insensitive, authority cut at /?#, lowercased, port stripped.
+    A local regexp here had silently diverged (uppercase schemes collapsed
+    to '', ports/query fragments kept), fragmenting per-host stats into
+    several groups per real host."""
+    from pdf_parser_spark.operators.weburls import host_col
+
+    return host_col(url)
 
 
 def with_salt(df: DataFrame, entropy_col: str = "url",

@@ -65,12 +65,15 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     digit_chars = F.length(F.regexp_replace(text, r"[^0-9]", ""))
     punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     # tokens are lowercased before the stopword test (sentence-initial
-    # 'The'/'It' must count) — same normalization as lang_id/gopher_rules
-    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    # 'The'/'It' must count) — same normalization as lang_id/gopher_rules.
+    # Native column expression, not an f-string into F.expr: interpolating
+    # text_col broke for any name needing backticks and silently resolved
+    # dotted names as struct fields
     n_stop = F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.expr(
-            f"size(filter(split(lower(trim({text_col})), '\\\\s+'),"
-            f" x -> x in ({stop_list})))"
+        F.size(
+            F.filter(
+                words_expr(F.col(text_col)), lambda w: w.isin(*STOPWORDS)
+            )
         )
     )
     return (
@@ -297,9 +300,7 @@ def tfidf_top_terms(
     """
     terms = docs.select(
         F.col(id_col).alias("_doc"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("term"),
+        F.explode(words_expr(F.col(text_col))).alias("term"),
     )
     n_docs = docs.count()  # one tiny job; the scalar D in idf
     agg = terms.groupBy("term").agg(
@@ -351,7 +352,7 @@ def repetition_signals(
         F.transform(F.split("_t", "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
-    words = F.filter(F.split(F.lower(F.col("_t")), r"\s+"), lambda w: w != "")
+    words = words_expr(F.col("_t"))  # THE shared tokenizer
     # Materialize the words array into its own column BEFORE building
     # bigrams from it: an `element_at(words, i)` inside a lambda would
     # re-evaluate the whole split/lower/filter expression once per element

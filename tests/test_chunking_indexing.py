@@ -256,7 +256,7 @@ def test_bm25_query_filter_precedes_exchange(spark):
     )
     from pdf_parser_spark.operators.indexing import bm25_search
 
-    df = bm25_search(docs, ["common"], k=3)
+    df = bm25_search(docs, ["common"], k=3, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -303,3 +303,25 @@ def test_pack_id_uses_integer_division(spark):
     ).collect()[0]
     assert got["d"] == big // 3          # exact
     assert got["f"] != big // 3          # the old form demonstrably wrong
+
+
+def test_prefix_sum_null_weight_matches_single_window(spark):
+    """A NULL-weight row gets the PRECEDING rows' sum (window parity),
+    not NULL."""
+    from pyspark.sql import Window as W
+
+    from pdf_parser_spark.operators.indexing import with_global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "k long, wt int"
+    )
+    got = {r["k"]: r["ps"] for r in with_global_prefix_sum(
+        df, "wt", key="k", tiebreaker="k", num_buckets=2, out_col="ps",
+        sum_type="long",
+    ).collect()}
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {r["k"]: r["ps"] for r in df.withColumn(
+        "ps", (F.sum(F.col("wt").cast("long")).over(w)
+               - F.coalesce(F.col("wt").cast("long"), F.lit(0))),
+    ).collect()}
+    assert got == expect == {1: 0, 2: 10, 3: 10}
