@@ -79,6 +79,12 @@ def sniff_decode(raw: bytes | None, head_bytes: int = 2048) -> tuple[str, str, s
     if decl and decl not in ("utf-8", "utf8"):
         try:
             codec = codecs.lookup(decl)
+            # WHATWG encoding sniffing: a DECLARED utf-16/utf-32 without a
+            # matching BOM is remapped to utf-8 — the declaration itself was
+            # readable as ASCII, so the payload cannot actually be UTF-16/32,
+            # and decoding even-length ASCII as UTF-16 "succeeds" as mojibake.
+            if codec.name.startswith(("utf-16", "utf-32")):
+                raise LookupError(decl)
             return b.decode(codec.name), codec.name, "declared"
         except (LookupError, UnicodeDecodeError):
             pass  # unknown or lying declaration

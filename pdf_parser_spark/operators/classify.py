@@ -81,6 +81,30 @@ def keyword_account_col(memo_col, accounts: list[str] | None = None):
     )
 
 
+# Recency columns recognized on memory tables, in preference order. An
+# append-style memory table (re-mappings appended, not upserted) carries
+# one of these; latest-wins dedup then matches the reference's upsert
+# semantics (Firestore set() at routes/transactions.py memory writes).
+_MEMORY_SEQ_COLS = ("seq", "updated_at", "updatedAt", "ts")
+
+
+def _latest_per_key(memory: DataFrame, keys: list[str]) -> DataFrame:
+    """One (key → account) row per key. With a recency column present,
+    keep the most-recent mapping (max_by, ties broken by account to stay
+    deterministic); without one, duplicate keys fall back to max(account)
+    — deterministic but order-blind, so append-style tables SHOULD carry
+    a seq/updated_at column. Dedup runs before the broadcast so duplicate
+    key rows can never fan out transactions (double-counted journal legs)."""
+    seq = next((c for c in _MEMORY_SEQ_COLS if c in memory.columns), None)
+    if seq is None:
+        return memory.groupBy(*keys).agg(F.max("account").alias("account"))
+    return memory.groupBy(*keys).agg(
+        F.max_by(
+            "account", F.struct(F.col(seq), F.col("account"))
+        ).alias("account")
+    )
+
+
 def classify(
     txns: DataFrame,
     user_memory: DataFrame | None = None,
@@ -102,15 +126,13 @@ def classify(
     # critical path — pure fixed cost that a small-corpus run pays without
     # any benefit. Callers with real memory tables get the broadcast joins.
     if user_memory is not None:
-        # memory tables are point lookups (one account per key) — enforce
-        # it with a deterministic max per key: duplicate key rows (an
-        # appended re-mapping instead of an upsert) would otherwise fan
-        # out every matching transaction, double-counting journal legs
-        # and aggregates downstream
         u = F.broadcast(
-            user_memory.groupBy(
-                F.col("uid").alias("u_uid"), F.col("vendor_key").alias("u_vk")
-            ).agg(F.max("account").alias("user_account"))
+            _latest_per_key(user_memory, ["uid", "vendor_key"])
+            .select(
+                F.col("uid").alias("u_uid"),
+                F.col("vendor_key").alias("u_vk"),
+                F.col("account").alias("user_account"),
+            )
         )
         t = t.join(
             u, (t["uid"] == u["u_uid"]) & (t["vendor_key"] == u["u_vk"]), "left"
@@ -119,8 +141,9 @@ def classify(
         t = t.withColumn("user_account", F.lit(None).cast("string"))
     if global_memory is not None:
         g = F.broadcast(
-            global_memory.groupBy(F.col("vendor_key").alias("g_vk")).agg(
-                F.max("account").alias("global_account")
+            _latest_per_key(global_memory, ["vendor_key"]).select(
+                F.col("vendor_key").alias("g_vk"),
+                F.col("account").alias("global_account"),
             )
         )
         t = t.join(g, t["vendor_key"] == g["g_vk"], "left").drop("g_vk")

@@ -114,6 +114,12 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, k: int = 5,
             "n_grams",
             F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
         )
+        # release the per-doc gram-array cache HERE instead of leaking it
+        # into the session (the caller never sees `corpus`). The checkpoint
+        # stores 4 scalars per doc — no heavier than the doc-keyed exchange
+        # the aggregate above already paid — mirroring bigram_pmi/bm25.
+        out = out.localCheckpoint()
+        corpus.unpersist()
     else:
         # ONE gram pass: hits are decorated by a broadcast LEFT join and
         # counted in the same doc-keyed aggregate as the totals (partial

@@ -186,6 +186,40 @@ def export_shards(
 
     todo = planned
     if manifest is not None:
+        # Resume guard: the skip-committed-shards contract is only safe if
+        # the input is the SAME row set the committed shards were planned
+        # from. With a grown input, new rows whose rank lands inside an
+        # already-committed shard (notably the partial last shard) would be
+        # silently dropped — never written, never flagged. Cross-check the
+        # plan against the manifest: every committed shard must be planned
+        # with the same row count and _gidx bounds; a committed shard the
+        # plan no longer produces means the input shrank. Cost: one
+        # aggregate over the planned frame (which the resume evaluates
+        # anyway for the anti-join); no data-column pass.
+        plan_stats = planned.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("p_rows"),
+            F.min("_gidx").alias("p_min"),
+            F.max("_gidx").alias("p_max"),
+        )
+        drift = (
+            manifest.select("shard_id", "n_rows", "min_idx", "max_idx")
+            .join(plan_stats, "shard_id", "left")
+            .filter(
+                F.col("p_rows").isNull()
+                | (F.col("p_rows") != F.col("n_rows"))
+                | (F.col("p_min") != F.col("min_idx"))
+                | (F.col("p_max") != F.col("max_idx"))
+            )
+        )
+        bad = drift.limit(5).collect()
+        if bad:
+            raise ValueError(
+                f"resume under {root} with a changed row set: committed "
+                f"shards no longer match the plan, e.g. "
+                f"{[r.asDict() for r in bad]} — shards are immutable once "
+                "committed; export new/changed rows to a fresh root (or a "
+                "new shard range) instead of appending to this one"
+            )
         committed = manifest.select("shard_id")
         todo = planned.join(committed, "shard_id", "left_anti")
 

@@ -81,3 +81,22 @@ def test_spark_decode_provenance_column(spark):
     assert got["u2"][0] == "bom"
     assert got["u3"][0] == "declared" and "café" in got["u3"][1]
     assert got["u4"][0] == "latin-1" and "é" in got["u4"][1]
+
+
+def test_declared_utf16_without_bom_remapped_to_utf8():
+    """WHATWG encoding sniffing: a DECLARED utf-16/utf-32 with no matching
+    BOM cannot be honest (the declaration itself parsed as ASCII) — decode
+    as utf-8, never as even-length mojibake labeled source='declared'."""
+    raw = b"<meta charset='utf-16'>hello web"  # even length: utf-16 "works"
+    text, enc, src = sniff_decode(raw)
+    assert (enc, src) == ("utf-8", "utf-8") and "hello web" in text
+
+    raw = b"<meta charset='utf-16le'>abc"  # odd length
+    text, enc, src = sniff_decode(raw)
+    assert src == "utf-8" and "abc" in text
+
+    # a REAL utf-16 payload still decodes via its BOM, before declarations
+    raw = "﻿réal utf-16".encode("utf-16-le")
+    bom_raw = b"\xff\xfe" + "réal utf-16".encode("utf-16-le")
+    text, enc, src = sniff_decode(bom_raw)
+    assert src == "bom" and "réal utf-16" in text

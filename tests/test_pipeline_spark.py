@@ -356,3 +356,31 @@ def test_poison_document_lands_in_funnel_not_job_failure(monkeypatch):
                         "chars_out,n_blocks,n_txns,parse_failed,txns,spans"
                         ).split(",")]
     assert set(fields) <= set(rec.keys())
+
+
+def test_classify_memory_latest_wins_with_seq(spark, txns):
+    """Append-style memory tables (re-mappings appended, not upserted)
+    carrying a recency column resolve to the NEWEST mapping — matching the
+    reference's upsert semantics — not the lexicographically greatest."""
+    from pdf_parser_spark.operators import classify as classify_op
+
+    vk = txns.select("vendor_key").first()["vendor_key"]
+    # newest mapping ("6110 - Utilities") sorts BEFORE the stale one
+    # ("6310 - Bank Fees"), so max(account) would wrongly pick the stale row
+    user_mem = spark.createDataFrame(
+        [("batch", vk, "6310 - Bank Fees", 1), ("batch", vk, "6110 - Utilities", 2)],
+        "uid string, vendor_key string, account string, seq int",
+    )
+    base = txns.drop("account", "classificationSource", "vendor_key")
+    out = classify_op.classify(base, user_mem)
+    hit = out.filter(F.col("vendor_key") == vk).select("account").distinct().collect()
+    assert [r["account"] for r in hit] == ["6110 - Utilities"]
+    # no fan-out: duplicate memory rows must not duplicate transactions
+    assert out.count() == base.count()
+
+    # without a recency column the dedup stays deterministic (max)
+    no_seq = user_mem.drop("seq")
+    out2 = classify_op.classify(base, no_seq)
+    hit2 = out2.filter(F.col("vendor_key") == vk).select("account").distinct().collect()
+    assert [r["account"] for r in hit2] == ["6310 - Bank Fees"]
+    assert out2.count() == base.count()

@@ -186,3 +186,22 @@ def test_empty_rerun_against_manifestless_data(spark, tmp_root):
         df.filter(F.col("doc_id") < 0), tmp_root, "doc_id", "doc_id", rows_per_shard=20
     )
     assert s["shards_written"] == 0 and s["total_shards"] == 0
+
+
+def test_grown_input_refused_not_dropped(spark, tmp_root):
+    """A re-run with MORE rows must fail loudly: new rows whose rank maps
+    into an already-committed shard (here the partial last shard) can
+    never be appended — committed shards are immutable."""
+    sh.export_shards(_docs(spark, 50), tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+    with pytest.raises(ValueError, match="changed row set"):
+        sh.export_shards(_docs(spark, 60), tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+    # and nothing was lost or half-written by the refused run
+    ok = sh.verify_shards(spark, tmp_root)
+    assert ok.filter(~F.col("ok")).isEmpty()
+    assert sh.read_shards(spark, tmp_root).count() == 50
+
+
+def test_shrunk_input_refused(spark, tmp_root):
+    sh.export_shards(_docs(spark, 50), tmp_root, "doc_id", "doc_id", rows_per_shard=20)
+    with pytest.raises(ValueError, match="changed row set"):
+        sh.export_shards(_docs(spark, 30), tmp_root, "doc_id", "doc_id", rows_per_shard=20)
