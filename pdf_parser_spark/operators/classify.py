@@ -38,14 +38,47 @@ FALLBACK_ACCOUNT = core.fallback_account(core.ALLOWED_ACCOUNTS)
 
 @F.pandas_udf(StringType())
 def vendor_key_udf(memo: pd.Series) -> pd.Series:
-    """G1 vendor key, vectorized (Python re for byte identity; ref main.py:281).
+    """G1 vendor key, vectorized (Python re; ref main.py:281).
 
     Memos repeat heavily (merchant names), so the regex chain runs once per
     DISTINCT memo in the batch and fans out via a dict map — typically a
     5-20x cut in Python-regex CPU on statement-shaped data.
+
+    Kept as the reference-twin fallback; the hot path uses the native
+    vendor_key_col below (parity pytest-asserted against this one).
     """
     uniq = {m: core.vendor_key(m) for m in memo.unique()}
     return memo.map(uniq)
+
+
+def vendor_key_col(memo_col):
+    """G1 vendor key as a NATIVE column expression — no Python stage.
+
+    This was the fused transaction chain's only post-extraction Python
+    stage (ArrowEvalPython): it broke whole-stage codegen between the
+    decoration joins and the classification projections and added a
+    Python-worker launch per task per run — a fixed driver/executor-serial
+    cost that showed up directly in the full-chain scaling floor.
+
+    Parity with core.vendor_key (ref utils/clean_vendor_name.py:3-18),
+    clause by clause, using Java regex with embedded (?U) so \\s matches
+    Python's Unicode whitespace:
+    - email strip: identical ASCII-class pattern;
+    - url strip: ``https?://\\S+`` with (?U) (Python \\S is Unicode);
+    - non-alpha → space: ``[^A-Za-z\\s]`` with (?U);
+    - Python's collapse+strip+split() ≡ split on ``(?U)\\s+`` with empty
+      tokens dropped (the length>2 filter drops them);
+    - tokens are pure A-Za-z runs by construction, so Python's
+      ``w.isalpha()`` is vacuously true and ``.title().lower()`` over the
+      joined key is just lower(join) — applied directly.
+    """
+    s = F.coalesce(memo_col, F.lit(""))
+    s = F.regexp_replace(s, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "")
+    s = F.regexp_replace(s, r"(?U)https?://\S+", "")
+    s = F.regexp_replace(s, r"(?U)[^A-Za-z\s]", " ")
+    words = F.filter(F.split(s, r"(?U)\s+"), lambda w: F.length(w) > 2)
+    key = F.lower(F.array_join(F.slice(words, 1, 5), " "))
+    return F.when(key == "", F.lit("unknown vendor")).otherwise(key)
 
 
 def keyword_account_col(memo_col, accounts: list[str] | None = None):
@@ -119,7 +152,7 @@ def classify(
     `accounts` overrides the chart of accounts (default: the reference's
     static chart); keyword targets and the fallback resolve against it.
     """
-    t = txns.withColumn("vendor_key", vendor_key_udf(F.col("memo")))
+    t = txns.withColumn("vendor_key", vendor_key_col(F.col("memo")))
     # Absent memory tables join nothing: emit the null column directly
     # instead of a broadcast join against an empty frame. Each skipped join
     # removes a broadcast exchange (a driver-side build + job) from the

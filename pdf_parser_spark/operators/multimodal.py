@@ -20,6 +20,41 @@ synthetic decode (a pure function of the payload bytes) so the Spark-side
 plumbing — schema, partitioning, UDF signature, batch shape — is testable
 for all three kinds including video.
 
+Format-coverage table (the one place to size real-crawl media coverage;
+each row names its implementing module and what happens OUTSIDE scope —
+"refuses" means a loud ValueError/NotImplementedError, never a silent
+mis-decode):
+
+    kind   format / layer                  real decode?  out-of-scope behavior
+    -----  ------------------------------  ------------  -------------------------------
+    image  PNG (all standard bit depths)   yes           media_codecs.py
+    image  JPEG baseline sequential SOF0,  yes           jpeg_codec.py; progressive
+           8-bit gray/YCbCr, any sampling,               (SOF2), arithmetic, 12-bit,
+           restart markers                               CMYK → ValueError. Progressive
+                                                         is a nontrivial share of web
+                                                         images (~10-20% of JFIF
+                                                         payloads on large crawls) —
+                                                         budget coverage accordingly.
+    image  GIF/WebP/AVIF/TIFF/BMP          no            unrecognized magic → ValueError
+    audio  WAV 16-bit PCM                  yes           media_codecs.py
+    audio  mp3 / AAC bitstreams            no            NotImplementedError at the
+                                                         codec layer (multimodal.py
+                                                         _decode gate)
+    video  YUV4MPEG2 (raw frames)          yes           media_codecs.py
+    video  mp4/ISO-BMFF container          demux: yes    mp4_demux.py; compressed
+           (any codec inside)              decode: raw   fourccs (h264/h265/av01…)
+                                           RGB only      → NotImplementedError AFTER
+                                                         a real demux (stsz/stco/stts
+                                                         tables, frame offsets/pts all
+                                                         returned)
+    video  mkv/webm EBML container         demux: yes    mkv_demux.py; compressed codec
+                                           decode: raw   ids (V_VP9/V_AV1…) →
+                                           RGB only      NotImplementedError after demux
+
+A production 100 TB media pipeline attaches ffmpeg/libjpeg at exactly the
+gated seams above; everything up to them (container demux, schema,
+partitioning, batch shaping, feature plumbing) is real and tested here.
+
 Scale notes:
 - media rows are 10^3-10^6× wider than text rows: batches are capped via
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py sets 2048;

@@ -86,13 +86,21 @@ def pretrain_corpus(
     reruns and repartitionings produce identical tables.
     """
     # Barriers are localCheckpoint (eager): unlike bare persist it TRUNCATES
-    # the logical plan, so the many small downstream jobs (funnel counts,
-    # shuffle quantiles/offsets, chunk explode) plan against a short lineage
+    # the logical plan, so the many small downstream jobs (shuffle
+    # quantiles/offsets, chunk explode) plan against a short lineage
     # instead of re-optimizing the whole chain each time — at sf0.01 that
     # planning overhead dominated wall time 2:1. The production analog is
     # the bucketed table commit (plans/checkpoint.py), which truncates
     # lineage the durable way.
-    funnel: list[tuple[str, int]] = [("input", docs.count())]
+    #
+    # The funnel is LAZY: each stage contributes a count-aggregate over its
+    # (checkpointed) frame, and the returned funnel DataFrame unions them.
+    # Callers that read the audit trail pay its ~one job per stage when they
+    # evaluate it; callers that don't (the monthly-crawl loop, the fused
+    # bench chain) no longer pay 5-6 eager driver-serial count jobs per run.
+    # Determinism is unaffected — every stage is a pure function of its
+    # checkpointed input, so a deferred count equals the eager one.
+    funnel: list[tuple[str, DataFrame]] = [("input", docs)]
 
     # optional cross-document host-boilerplate strip (operators/boilerplate)
     # FIRST: chrome lines would distort every downstream text signal — the
@@ -116,7 +124,7 @@ def pretrain_corpus(
             .filter(F.length(F.col(text_col)) > 0)
             .localCheckpoint()
         )
-        funnel.append(("boiler_stripped", docs.count()))
+        funnel.append(("boiler_stripped", docs))
 
     # optional Gopher document-shape gate (Rae et al. 2021 §A1.1) ahead
     # of the rest of the chain: zero-exchange row-local rules, so gating
@@ -130,12 +138,12 @@ def pretrain_corpus(
         docs = docs.join(
             passed.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
         )
-        funnel.append(("gopher_kept", docs.count()))
+        funnel.append(("gopher_kept", docs))
 
     curated = curation.curate(
         docs, min_quality, allowed_langs, neardup_threshold, id_col, text_col
     ).localCheckpoint()
-    funnel.append(("curated", curated.count()))
+    funnel.append(("curated", curated))
 
     # optional trained-classifier gate (the C4/GPT-3-style quality filter):
     # callers pass PRETRAINED weights (quality_train.train_quality_classifier
@@ -158,7 +166,7 @@ def pretrain_corpus(
         curated = curated.join(
             good.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
         ).localCheckpoint()
-        funnel.append(("classifier_kept", curated.count()))
+        funnel.append(("classifier_kept", curated))
 
     # duplicate-passage gate: drop docs dominated by cross-doc boilerplate
     passage = dedupe_op.duplicate_passage_stats(
@@ -203,7 +211,7 @@ def pretrain_corpus(
         d = d.join(clean.select(F.col("doc_id").alias(id_col)), id_col, "left_semi")
 
     d = d.localCheckpoint()
-    funnel.append(("passage_decontam", d.count()))
+    funnel.append(("passage_decontam", d))
 
     # CCNet perplexity gate — approximate cutoffs (the at-scale mode),
     # grouped by the PREDICTED language the curation stage attached
@@ -214,7 +222,7 @@ def pretrain_corpus(
     kept = d.join(
         buckets.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     ).localCheckpoint()
-    funnel.append(("ppl_kept", kept.count()))
+    funnel.append(("ppl_kept", kept))
 
     # optional DSIR importance selection toward a target corpus (r23):
     # hashed-unigram likelihood-ratio weights + deterministic priority
@@ -229,7 +237,7 @@ def pretrain_corpus(
         kept = kept.join(
             chosen.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
         ).localCheckpoint()
-        funnel.append(("dsir_kept", kept.count()))
+        funnel.append(("dsir_kept", kept))
 
     mixing = sampling_op.domain_mixing_weights(
         kept, ["lang_pred"], F.col("n_tokens"), alpha=mixing_alpha
@@ -246,10 +254,21 @@ def pretrain_corpus(
     ).join(
         ordered.select(F.col(id_col).alias("doc_id"), "shuffle_idx"), "doc_id"
     )
-    funnel.append(("chunks", chunks.count()))
+    funnel.append(("chunks", chunks))
 
-    spark = docs.sparkSession
-    funnel_df = spark.createDataFrame(funnel, "stage string, n bigint")
+    from functools import reduce
+
+    funnel_df = reduce(
+        DataFrame.unionByName,
+        [
+            frame.agg(
+                F.lit(i).alias("_ord"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            for i, (stage, frame) in enumerate(funnel)
+        ],
+    ).orderBy("_ord").drop("_ord")
     return {
         "curated": curated,
         "kept": kept,

@@ -384,3 +384,71 @@ def test_classify_memory_latest_wins_with_seq(spark, txns):
     hit2 = out2.filter(F.col("vendor_key") == vk).select("account").distinct().collect()
     assert [r["account"] for r in hit2] == ["6310 - Bank Fees"]
     assert out2.count() == base.count()
+
+
+def test_vendor_key_native_parity(spark):
+    """The native vendor_key_col must agree byte-for-byte with the Python
+    reference twin (core.vendor_key) — it replaced the chain's only
+    post-extraction Python stage, so its parity IS the byte-identity story
+    for classification keys. Cases cover every clause: emails, urls,
+    digits/punct, short words, unicode whitespace (nbsp, ideographic),
+    casing, empties, None, and statement-shaped memos."""
+    from pdf_parser_spark.operators import classify as classify_op
+
+    memos = [
+        None, "", "  ", "ab", "abc", "AMAZON MKTPL*2K3LL0", "Foo-Bar_baz 99",
+        "pay bob@example.com now", "see https://x.co/abc?q=1 details",
+        "CHECKCARD 0712 STARBUCKS #1234 SEATTLE WA",
+        "a big gap", "tab\tsep\tmemo", "newline\nmemo",
+        " leading nbsp", "trailing nbsp ",
+        "ideographic　space", "mixed   separators   here",
+        "ALL CAPS VENDOR NAME HERE MORE WORDS",
+        "über café naïve",  # non-ASCII letters → stripped to spaces
+        "one two three four five six seven",
+        "aa bb cc",  # all short → unknown vendor
+        "x" * 300, "$12.34 (45.00) #tag",
+        "email@bad@double.com stray",
+        "http://lone.url", "https://end.with.ws after",
+    ]
+    from pdf_parser_spark import extraction_core as core
+
+    df = spark.createDataFrame([(m,) for m in memos], "memo string")
+    got = {
+        r["memo"]: r["vk"]
+        for r in df.select(
+            "memo", classify_op.vendor_key_col(F.col("memo")).alias("vk")
+        ).collect()
+    }
+    for m in memos:
+        assert got[m] == core.vendor_key(m), repr(m)
+
+
+def test_vendor_key_native_parity_hypothesis(spark):
+    """Property check over adversarial unicode memos, one Spark job."""
+    from hypothesis import given, settings, HealthCheck, strategies as st
+    from pdf_parser_spark.operators import classify as classify_op
+    from pdf_parser_spark import extraction_core as core
+
+    collected = []
+
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("L", "N", "P", "S", "Z", "C"),
+        ),
+        max_size=60,
+    ))
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    # lone surrogates can't round-trip through Arrow; utf-8 codec above
+    # already excludes them
+    df = spark.createDataFrame([(m,) for m in collected], "memo string")
+    rows = df.select(
+        "memo", classify_op.vendor_key_col(F.col("memo")).alias("vk")
+    ).collect()
+    for r in rows:
+        assert r["vk"] == core.vendor_key(r["memo"]), repr(r["memo"])
