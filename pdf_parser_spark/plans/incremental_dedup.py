@@ -57,6 +57,11 @@ from pdf_parser_spark.plans.snapshots import SnapshotTable
 
 _BATCH_KEY = "dedup_batch_id"
 
+# bound on the driver-side manifest Bloom probe (see dedup_batch): batches
+# whose distinct band-hash count exceeds this fall back to the unpruned
+# index scan — correct either way, pruning is a pure optimization
+_MAX_PROBE_HASHES = 200_000
+
 
 def _est_jaccard(a: str, b: str):
     """Native MinHash Jaccard estimate: equal-component fraction."""
@@ -83,7 +88,14 @@ class IncrementalNearDup:
 
         requested = bands if bands is not None else lsh_plan(threshold)["bands"]
         self.bands = SnapshotTable(
-            spark, os.path.join(path, "bands"), stats_cols=("band_hash",)
+            spark, os.path.join(path, "bands"), stats_cols=("band_hash",),
+            # per-file Bloom over band_hash: min/max stats cannot prune a
+            # uniform hash key, but a batch only matches files that hold
+            # its EXACT band hashes — file-sparse by construction — so the
+            # Bloom bounds each batch's index scan by its candidate bands
+            # instead of all history (year-3 fix: 36 months of bands were
+            # re-read per monthly batch before this)
+            bloom_cols=("band_hash",),
         )
         self.sigs = SnapshotTable(
             spark, os.path.join(path, "sigs"), stats_cols=("doc_id",)
@@ -182,7 +194,21 @@ class IncrementalNearDup:
 
         dup_parts = []
         if self.sigs.current_version() > 0:
-            idx_bands = self.bands.read().select(
+            # scan-prune the index by the batch's band hashes: the batch's
+            # band table already broadcasts (driver-sized by assumption),
+            # so collecting its distinct hashes for the manifest Bloom
+            # probe costs nothing new. _MAX_PROBE_HASHES bounds the probe
+            # (past it, fall back to the full scan — never wrong, just
+            # unpruned); at cluster scale the same probe runs as a
+            # distributed manifest join instead of a driver loop.
+            probe_rows = (
+                bands.select("band_hash").distinct()
+                .limit(_MAX_PROBE_HASHES + 1).collect()
+            )
+            bloom_probe = None
+            if len(probe_rows) <= _MAX_PROBE_HASHES:
+                bloom_probe = {"band_hash": [r[0] for r in probe_rows]}
+            idx_bands = self.bands.read(bloom_probe=bloom_probe).select(
                 "band", "band_hash", F.col("doc_id").alias("idx_id")
             )
             cand = (
@@ -190,17 +216,33 @@ class IncrementalNearDup:
                 .filter(F.col("idx_id") != F.col("doc_id"))  # replay safety
                 .select("doc_id", "idx_id")
                 .distinct()
+                # pinned: consumed twice below (sigs range-prune + join)
+                .localCheckpoint()
             )
-            idx_sigs = self.sigs.read().select(
-                F.col("doc_id").alias("idx_id"), F.col("sig").alias("idx_sig")
-            )
-            dup_parts.append(
-                cand.join(idx_sigs, "idx_id")
-                .join(batch.select("doc_id", "sig"), "doc_id")
-                .withColumn("est", _est_jaccard("sig", "idx_sig"))
-                .filter(F.col("est") >= self.threshold)
-                .select("doc_id", F.col("idx_id").alias("matched_id"), "est")
-            )
+            # candidate ids are batch-bounded and doc ids are batch-monotone
+            # (the predecessor-rule contract), so each sigs file covers a
+            # narrow id range: one min/max range-prunes the signature scan
+            # to the candidates' batches instead of all history.
+            id_range = cand.agg(
+                F.min("idx_id").alias("lo"), F.max("idx_id").alias("hi")
+            ).first()
+            if id_range["lo"] is not None:
+                idx_sigs = self.sigs.read(
+                    min_max={"doc_id": (id_range["lo"], id_range["hi"])}
+                ).select(
+                    F.col("doc_id").alias("idx_id"),
+                    F.col("sig").alias("idx_sig"),
+                )
+                dup_parts.append(
+                    cand.join(idx_sigs, "idx_id")
+                    .join(batch.select("doc_id", "sig"), "doc_id")
+                    .withColumn("est", _est_jaccard("sig", "idx_sig"))
+                    .filter(F.col("est") >= self.threshold)
+                    .select(
+                        "doc_id", F.col("idx_id").alias("matched_id"), "est"
+                    )
+                )
+            # no index candidates at all: skip the sigs scan entirely
 
         a = bands.select("band", "band_hash", F.col("doc_id").alias("a_id"))
         b = bands.select("band", "band_hash", F.col("doc_id").alias("b_id"))

@@ -106,8 +106,86 @@ def _hive_unescape(raw: str) -> str:
     return _HIVE_ESC.sub(lambda m: chr(int(m.group(1), 16)), raw)
 
 
-def _parquet_file_entry(path: str, stats_cols: tuple[str, ...]) -> dict:
-    """Manifest entry from the parquet FOOTER only (no data scan)."""
+# -- per-file Bloom summaries (Iceberg stores the same idea as Puffin
+# blob sidecars — public spec). Min/max stats cannot prune files on a
+# UNIFORM key (every large file spans ~the whole value range: band
+# hashes, xxhash64 ids), but exact-match probes against such keys are
+# file-sparse — a file holding 10^7 of 2^64 possible hashes almost never
+# contains a given probe value unless it actually holds a matching row.
+# A small per-file Bloom over the column turns that sparsity into scan
+# pruning: files whose Bloom rejects every probe value are skipped.
+# Hashing is splitmix64 double-hashing — pure arithmetic, stable across
+# processes (no PYTHONHASHSEED dependence), vectorized via numpy.
+
+_BLOOM_K = 4
+_BLOOM_BITS_PER_VALUE = 16  # ~0.2% FPR at k=4
+
+
+def _splitmix64(v):
+    import numpy as np
+
+    v = v.astype(np.uint64, copy=True)
+    v += np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def _bloom_indices(values, n_bits: int):
+    """(k, n) array of bit indices for each value (double hashing)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64).astype(np.uint64)
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    n = np.uint64(n_bits)
+    return np.stack(
+        [(h1 + np.uint64(i) * h2) % n for i in range(_BLOOM_K)]
+    )
+
+
+def _bloom_build(values) -> dict | None:
+    """values (int64 array-like) → manifest-storable bloom dict."""
+    import base64
+
+    import numpy as np
+
+    v = np.unique(np.asarray(values, dtype=np.int64))
+    if v.size == 0:
+        return {"bits": 8, "b64": base64.b64encode(b"\x00").decode()}
+    n_bits = 1 << int(
+        np.ceil(np.log2(max(64, int(v.size) * _BLOOM_BITS_PER_VALUE)))
+    )
+    idx = _bloom_indices(v, n_bits).ravel()
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    np.bitwise_or.at(
+        bitmap, (idx >> np.uint64(3)).astype(np.int64),
+        (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+    )
+    return {"bits": n_bits, "b64": base64.b64encode(bitmap.tobytes()).decode()}
+
+
+def _bloom_any_maybe(bloom: dict, values) -> bool:
+    """True iff ANY probe value is possibly in the file (conservative)."""
+    import base64
+
+    import numpy as np
+
+    bitmap = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    idx = _bloom_indices(values, int(bloom["bits"]))  # (k, n)
+    bits = (
+        bitmap[(idx >> np.uint64(3)).astype(np.int64)]
+        >> (idx & np.uint64(7)).astype(np.uint8)
+    ) & np.uint8(1)
+    return bool(bits.all(axis=0).any())
+
+
+def _parquet_file_entry(
+    path: str, stats_cols: tuple[str, ...], bloom_cols: tuple[str, ...] = ()
+) -> dict:
+    """Manifest entry from the parquet FOOTER (plus, for the declared
+    ``bloom_cols``, ONE column read of the just-written local file to
+    build its Bloom — the only data touched, at write time, never read)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -133,13 +211,24 @@ def _parquet_file_entry(path: str, stats_cols: tuple[str, ...]) -> dict:
         if lo is not None and not isinstance(lo, bytes):
             mins[col] = lo
             maxs[col] = hi
-    return {
+    entry = {
         "path": path,
         "rows": md.num_rows,
         "bytes": os.path.getsize(path),
         "min": mins,
         "max": maxs,
     }
+    blooms = {}
+    for col in bloom_cols:
+        if names.get(col) is None:
+            continue
+        tbl = pq.read_table(path, columns=[col])
+        b = _bloom_build(tbl.column(col).to_numpy(zero_copy_only=False))
+        if b is not None:
+            blooms[col] = b
+    if blooms:
+        entry["bloom"] = blooms
+    return entry
 
 
 class SnapshotTable:
@@ -153,11 +242,13 @@ class SnapshotTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  partition_col: str = "bucket",
-                 stats_cols: tuple[str, ...] = ()) -> None:
+                 stats_cols: tuple[str, ...] = (),
+                 bloom_cols: tuple[str, ...] = ()) -> None:
         self.spark = spark
         self.path = path
         self.partition_col = partition_col
         self.stats_cols = tuple(stats_cols)
+        self.bloom_cols = tuple(bloom_cols)
         self.meta_dir = os.path.join(path, _META)
         self.data_dir = os.path.join(path, _DATA)
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -279,7 +370,8 @@ class SnapshotTable:
             for name in sorted(names):
                 if name.endswith(".parquet") and part is not None:
                     e = _parquet_file_entry(
-                        os.path.join(root, name), self.stats_cols
+                        os.path.join(root, name), self.stats_cols,
+                        self.bloom_cols,
                     )
                     # the partition value lives in the path, not the footer
                     e["min"][self.partition_col] = part
@@ -411,12 +503,20 @@ class SnapshotTable:
     # -- reads --------------------------------------------------------------
 
     def plan_entries(self, version: int | None = None,
-                     min_max: dict[str, tuple] | None = None) -> list[dict]:
+                     min_max: dict[str, tuple] | None = None,
+                     bloom_probe: dict[str, list] | None = None) -> list[dict]:
         """Manifest-level scan planning: file entries, stats-pruned.
 
         min_max: {col: (lo, hi)} keeps a file only if its [min, max] for
         col overlaps [lo, hi] (files without stats are kept — pruning is
         always conservative).
+
+        bloom_probe: {col: [values]} keeps a file only if its per-file
+        Bloom (declared via ``bloom_cols`` at write time) says SOME probe
+        value may be present — the equi-join scan-pruning min/max cannot
+        give on uniform hash keys. Files written without a Bloom for the
+        column are kept; an empty probe list prunes everything (no probe
+        values → no possible match).
         """
         files = self.snapshot(version)["files"]
         if min_max:
@@ -427,11 +527,23 @@ class SnapshotTable:
                     if f["min"].get(col) is None
                     or not (f["max"][col] < lo or f["min"][col] > hi)
                 ]
+        if bloom_probe:
+            for col, values in bloom_probe.items():
+                files = [
+                    f
+                    for f in files
+                    if (f.get("bloom") or {}).get(col) is None
+                    or (len(values) > 0
+                        and _bloom_any_maybe(f["bloom"][col], values))
+                ]
         return files
 
     def plan_files(self, version: int | None = None,
-                   min_max: dict[str, tuple] | None = None) -> list[str]:
-        return [f["path"] for f in self.plan_entries(version, min_max)]
+                   min_max: dict[str, tuple] | None = None,
+                   bloom_probe: dict[str, list] | None = None) -> list[str]:
+        return [
+            f["path"] for f in self.plan_entries(version, min_max, bloom_probe)
+        ]
 
     def _read_entries(self, entries: list[dict]) -> DataFrame:
         # the partition value lives in the directory name, so each snap
@@ -451,8 +563,9 @@ class SnapshotTable:
         return out
 
     def read(self, version: int | None = None,
-             min_max: dict[str, tuple] | None = None) -> DataFrame:
-        entries = self.plan_entries(version, min_max)
+             min_max: dict[str, tuple] | None = None,
+             bloom_probe: dict[str, list] | None = None) -> DataFrame:
+        entries = self.plan_entries(version, min_max, bloom_probe)
         if entries:
             return self._read_entries(entries)
         all_entries = self.snapshot(version)["files"]

@@ -165,3 +165,51 @@ def test_premeta_index_adopts_legacy_banding(spark, tmp_path):
     )
     dec = {r["doc_id"]: r["is_dup"] for r in again.dedup_batch(m2, 2).collect()}
     assert dec[100] is True
+
+
+def test_index_scan_bloom_pruned_by_candidate_bands(spark, tmp_path):
+    """As history accumulates, a batch's index scan must read files
+    proportional to its CANDIDATE bands, not the index size: the manifest
+    Bloom over band_hash prunes every historical file holding none of the
+    batch's exact band hashes. Here months 1-4 commit disjoint docs; a
+    month-5 batch overlapping only month-3's docs must plan a scan that
+    skips the other months' band files — and decide identically to an
+    unpruned index."""
+    idx = IncrementalNearDup(spark, str(tmp_path / "idx"))
+    for m in range(1, 5):
+        idx.dedup_batch(
+            _df(spark, [(m * 100 + i, _text(m * 100 + i)) for i in range(6)]),
+            batch_id=m,
+        )
+    total_files = len(idx.bands.plan_files())
+
+    batch = _df(spark, [(900, _text(302)), (901, _text(999))])
+    got = _decisions(idx.dedup_batch(batch, batch_id=5))
+    assert got[900] == (True, 302)  # cross-batch dup still found
+    assert got[901] == (False, None)
+
+    # replicate the probe the operator ran: files planned for month-5's
+    # bands are a strict subset — pruning scales with candidates
+    sigs = idx._sign(batch, "doc_id", "text")
+    hashes = [
+        r[0]
+        for r in sigs.select(F.explode("bands").alias("h"))
+        .distinct()
+        .collect()
+    ]
+    planned = len(idx.bands.plan_files(version=4, bloom_probe={"band_hash": hashes}))
+    assert planned < total_files, (planned, total_files)
+    # disjoint probe values plan an empty scan
+    assert idx.bands.plan_files(version=4, bloom_probe={"band_hash": [123456789]}) == []
+
+
+def test_bloom_probe_conservative_without_blooms(spark, tmp_path):
+    """Files committed before bloom_cols existed (no 'bloom' entry) are
+    always kept — pruning must stay conservative on legacy manifests."""
+    from pdf_parser_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))  # no bloom_cols
+    t.append(
+        spark.createDataFrame([(0, 1), (1, 2)], "bucket int, k long")
+    )
+    assert len(t.plan_files(bloom_probe={"k": [999]})) == len(t.plan_files())
