@@ -119,6 +119,64 @@ def run_level(cpus: int, n_docs: int) -> dict:
     raise RuntimeError(f"child local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+# -- steal-gated pass selection -----------------------------------------
+# The selection rule used to live as prose in BENCH.md; encoding it here
+# makes headlines COMPUTED, not narrated, so BENCH.md cannot drift from
+# the raw data. A pass is CLEAN iff:
+#   (a) no timed run in either child saw CPU steal > MAX_STEAL_PCT, and
+#   (b) its low-side (local[N]) extract throughput is on-anchor: within
+#       ANCHOR_TOL of the best low-side throughput seen across passes —
+#       a slowed low child inflates the ratio (drift can only FAKE
+#       efficiency upward, never downward, so the anchor is the max).
+# Headline = the clean pass with the LOWEST extract efficiency (the
+# conservative representative; medians over 2-3 passes are dominated by
+# the same pass anyway). With zero clean passes the minimum-efficiency
+# pass is reported, flagged evidence_quality="contaminated".
+
+MAX_STEAL_PCT = 1.0
+ANCHOR_TOL = 0.90
+
+
+def select_headline(passes: list[dict]) -> dict:
+    anchor = max(p["low"]["extract_docs_per_sec"] for p in passes)
+    annotated = []
+    for i, p in enumerate(passes):
+        reasons = []
+        steal = max(
+            max(p["low"]["extract_steal_pct"] + p["low"]["full_steal_pct"]),
+            max(p["high"]["extract_steal_pct"] + p["high"]["full_steal_pct"]),
+        )
+        if steal > MAX_STEAL_PCT:
+            reasons.append(f"steal {steal}% > {MAX_STEAL_PCT}%")
+        low_tp = p["low"]["extract_docs_per_sec"]
+        if low_tp < ANCHOR_TOL * anchor:
+            reasons.append(
+                f"low-side off-anchor ({low_tp} < {ANCHOR_TOL:.2f}*{anchor})"
+            )
+        annotated.append(
+            {"pass": i + 1, "clean": not reasons, "reasons": reasons,
+             "max_steal_pct": steal,
+             "eff_extract": p["scaling_efficiency_extract"],
+             "eff_full": p["scaling_efficiency_full_pipeline"]}
+        )
+    clean = [a for a in annotated if a["clean"]]
+    pool = clean if clean else annotated
+    pick = min(pool, key=lambda a: a["eff_extract"])
+    return {
+        "rule": (
+            f"clean = every timed run steal <= {MAX_STEAL_PCT}% and "
+            f"low-side extract throughput >= {ANCHOR_TOL} * best low-side; "
+            "headline = min-efficiency clean pass (conservative); no clean "
+            "pass => min-efficiency pass, flagged contaminated"
+        ),
+        "passes": annotated,
+        "headline_pass": pick["pass"],
+        "evidence_quality": "clean" if clean else "contaminated",
+        "eff_extract": pick["eff_extract"],
+        "eff_full": pick["eff_full"],
+    }
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
     # 4 vs 16 JVM threads: each pandas-UDF task runs a JVM thread + a Python
@@ -155,25 +213,34 @@ def main() -> None:
     # level, still median-of-3 within the child) — for time-boxed runs
     if not os.environ.get("BENCH_SINGLE_PASS"):
         passes.append(pass_eff(run_level(n, n_docs), run_level(four_n, n_docs)))
-    headline = min(passes, key=lambda p: p["scaling_efficiency_extract"])
+    sel = select_headline(passes)
+    headline = passes[sel["headline_pass"] - 1]
     lo, hi = headline["low"], headline["high"]
-    eff_extract = headline["scaling_efficiency_extract"]
-    eff_full = headline["scaling_efficiency_full_pipeline"]
+    eff_extract = sel["eff_extract"]
+    eff_full = sel["eff_full"]
     result = {
         "n_docs": n_docs,
         "low": lo,
         "high": hi,
         "scaling_efficiency_extract": eff_extract,
         "scaling_efficiency_full_pipeline": eff_full,
+        "selection": sel,
         "all_passes": [
             {k: p[k] for k in
              ("scaling_efficiency_extract", "scaling_efficiency_full_pipeline")}
             for p in passes
         ],
         "criterion": ">= 0.8",
-        "pass": eff_extract >= 0.8,
+        "pass": eff_extract >= 0.8 and sel["evidence_quality"] == "clean",
     }
     print(json.dumps(result))
+
+    pass_table = "\n".join(
+        f"| {a['pass']} | {a['eff_extract']} | {a['eff_full']} | "
+        f"{a['max_steal_pct']}% | "
+        f"{'HEADLINE' if a['pass'] == sel['headline_pass'] else ('clean' if a['clean'] else 'REJECTED: ' + '; '.join(a['reasons']))} |"
+        for a in sel["passes"]
+    )
 
     md = f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
 
@@ -197,6 +264,13 @@ unoversubscribed while preserving the required N->4N shape.
 |---|---|---|---|
 | extraction (mapInPandas, shuffle-free) | {lo['extract_docs_per_sec']} | {hi['extract_docs_per_sec']} | **{eff_extract}** |
 | full pipeline (extract → normalize → classify → pair) | {lo['full_docs_per_sec']} | {hi['full_docs_per_sec']} | **{eff_full}** |
+
+Pass selection (computed, not narrated — rule: {sel['rule']};
+evidence quality: **{sel['evidence_quality']}**):
+
+| pass | eff extract | eff full | max steal | status |
+|---|---|---|---|---|
+{pass_table}
 
 Raw per-run seconds (and CPU steal % seen by each run — this sandbox is a
 shared VM whose effective speed drifts; steal and run arrays are recorded so
