@@ -114,6 +114,21 @@ def transactions_pipeline(
     if cache:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(base)
+        # Materialize the barrier NOW, not lazily under the final action:
+        # AQE submits the downstream branches (the C2 flags subtree, the C1
+        # banded self-join, and the base side of the wide join) as
+        # CONCURRENT stage jobs, and concurrent scans of a still-cold cache
+        # do not wait for each other — Spark's block manager lets late
+        # readers of an in-flight partition recompute it uncached, so the
+        # pandas-UDF extraction ran up to once PER BRANCH. Measured at 600k
+        # docs: executor CPU 712s lazy vs ~300s of actual work, wall
+        # 116→88s at local[16]; the duplication grows with parallelism, so
+        # it taxed exactly the high side of the N→4N scaling ratio. One
+        # count() serializes the fill (extraction runs once, into cache)
+        # and every branch reads hits. count(), not localCheckpoint: the
+        # logical plan must stay intact for plan audits and for callers
+        # that re-optimize over the full lineage.
+        base.count()
     flags = normalize_op.bank_match_flags(base)
     decorations = pairing_op.pair_decorations(base)
     # Joins back-to-back, scalar decorations after: the vendor-key pandas
