@@ -194,12 +194,20 @@ def page_row(doc_id: int, n_hosts: int = 50) -> dict:
     text = statement_text(doc_id)
     url = f"https://host{host}.example/stmt/{doc_id}" + (".pdf" if is_pdf else "")
     if mode == 6:
-        from pdf_parser_spark.pdf_codec import write_pdf, write_pdf_type0
+        from pdf_parser_spark.pdf_codec import (
+            write_pdf,
+            write_pdf_objstm,
+            write_pdf_type0,
+        )
 
-        # alternate simple/Type0 fonts so the extraction-identity contract
-        # exercises BOTH decode paths (2-byte Identity-H CIDs + ToUnicode
-        # CMap on the odd tens)
-        writer = write_pdf_type0 if (doc_id // 10) % 2 else write_pdf
+        # rotate simple / Type0 / object-stream layouts so the
+        # extraction-identity contract exercises ALL THREE decode paths:
+        # classic xref + simple fonts, 2-byte Identity-H CIDs + ToUnicode
+        # CMap, and the modern PDF 1.5 shape (ObjStm-packed catalog/pages,
+        # PNG-predictored streams, cross-reference stream)
+        writer = (write_pdf, write_pdf_type0, write_pdf_objstm)[
+            (doc_id // 10) % 3
+        ]
         payload = writer(text)
     elif mode == 5:
         payload = text.encode("utf-8")

@@ -28,11 +28,15 @@ Scope (documented, asserted by tests): simple fonts with 1-byte codes
 2-byte CIDs, CIDFontType2 descendants with /DW + /W widths, ToUnicode CMap
 decode (bfchar + both bfrange forms) — which covers the common shape real
 statement generators emit (``write_pdf_type0`` produces it for tests).
-FlateDecode or raw streams, uncompressed xref (the decoder does not even
-need the xref — it scans objects directly, which also survives mildly
-corrupt files). Type0 fonts with embedded-CMap encodings and encrypted
-files remain out of scope and raise ValueError so the extract stage
-records parse_failed honestly.
+FlateDecode or raw streams, with or without PNG predictors
+(/DecodeParms /Predictor 10-15); BOTH classic xref tables AND the modern
+PDF 1.5 layout — /Type /ObjStm object streams are expanded (most real-web
+PDFs pack their catalog/page tree this way) and cross-reference streams
+are tolerated (the decoder does not need any xref — it scans objects
+directly, which also survives mildly corrupt files; ``write_pdf_objstm``
+emits the modern layout for round-trip tests). Type0 fonts with
+embedded-CMap encodings and encrypted files remain out of scope and raise
+ValueError so the extract stage records parse_failed honestly.
 """
 
 from __future__ import annotations
@@ -143,6 +147,129 @@ def _assemble_pdf(objects: dict[int, bytes]) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (max_num + 1, xref_pos)
     )
+    return bytes(buf)
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """Apply the PNG Up row filter (type 2) — the inverse of
+    _png_unpredict's Up branch; used by the ObjStm/XRef writer so the
+    reader's predictor path is exercised by a genuine round trip."""
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(data), columns):
+        row = data[i : i + columns]
+        out += bytes([2]) + bytes(
+            (row[j] - prev[j]) & 0xFF for j in range(len(row))
+        )
+        prev = row
+    return bytes(out)
+
+
+def write_pdf_objstm(text: str) -> bytes:
+    """text → PDF 1.5 bytes in the MODERN layout real-web PDFs use: the
+    catalog, page tree, page dicts and font are packed into a compressed
+    ``/Type /ObjStm`` object stream (with a PNG-Up ``/Predictor 12``,
+    exercising the DecodeParms path), content streams stay direct, and the
+    file ends in a cross-reference STREAM (``/Type /XRef``, ``/W [1 4 2]``,
+    type-2 entries pointing into the ObjStm) instead of a classic xref
+    table + trailer. Geometry and text layout are identical to write_pdf,
+    so written→decoded→layout round-trips byte-identically through the
+    object-stream expansion path (ISO 32000-1 §7.5.7/§7.5.8)."""
+    src_lines = text.split("\n")
+    pages = [
+        src_lines[i : i + LINES_PER_PAGE]
+        for i in range(0, len(src_lines), LINES_PER_PAGE)
+    ] or [[]]
+
+    direct: dict[int, bytes] = {}  # content streams: stay their own objects
+    packed: dict[int, bytes] = {3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"}
+    page_nums: list[int] = []
+    next_num = 4
+    for page_lines in pages:
+        ops = [b"BT", b"/F1 %.1f Tf" % FONT_SIZE]
+        for row, line in enumerate(page_lines):
+            if not line:
+                continue
+            y = PAGE_TOP - row * LINE_H
+            ops.append(b"1 0 0 1 0 %.1f Tm" % y)
+            ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+        ops.append(b"ET")
+        content = zlib.compress(b"\n".join(ops))
+        content_num = next_num
+        direct[content_num] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream"
+        )
+        page_num = next_num + 1
+        packed[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, content_num)
+        )
+        page_nums.append(page_num)
+        next_num += 2
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    packed[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    packed[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+
+    # -- the object stream: "num offset" header pairs, then the bodies
+    objstm_num, xref_num = next_num, next_num + 1
+    nums = sorted(packed)
+    offs, acc = [], 0
+    for n in nums:
+        offs.append(acc)
+        acc += len(packed[n]) + 1  # "\n" joiner
+    header = b" ".join(b"%d %d" % (n, o) for n, o in zip(nums, offs)) + b"\n"
+    stm = header + b"\n".join(packed[n] for n in nums)
+    cols = 16
+    if len(stm) % cols:
+        stm += b"\n" * (cols - len(stm) % cols)  # row-align for the predictor
+    raw = zlib.compress(_png_predict_up(stm, cols))
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns %d >> >>\nstream\n"
+        % (len(nums), len(header), len(raw), cols)
+        + raw
+        + b"\nendstream"
+    )
+
+    # -- file assembly + cross-reference stream (no classic trailer)
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(direct):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + direct[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(buf)
+    buf += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+
+    xref_pos = len(buf)
+    size = xref_num + 1
+    entries = []
+    for num in range(size):
+        if num == 0:
+            entries.append((0, 0, 65535))
+        elif num in offsets:
+            entries.append((1, offsets[num], 0))
+        elif num in packed:
+            entries.append((2, objstm_num, nums.index(num)))
+        elif num == xref_num:
+            entries.append((1, xref_pos, 0))
+        else:
+            entries.append((0, 0, 0))
+    rows = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in entries
+    )
+    xref_raw = zlib.compress(_png_predict_up(rows, 7))
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2]"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        b" /Length %d >>\nstream\n" % (xref_num, size, len(xref_raw))
+        + xref_raw
+        + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(buf)
 
 
@@ -485,6 +612,63 @@ class _Document:
                     stream = stream.rstrip(b"\r\n")
                 skip_until = end
             self.objects[num] = (value, stream)
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5 object streams (ISO 32000-1 §7.5.7): most real-web PDFs
+        pack their non-stream objects (catalog, page tree, fonts) into
+        compressed ``/Type /ObjStm`` containers — the direct ``N 0 obj``
+        scan sees only the container. Expand each one: decode its stream,
+        read the /N (objnum, offset) integer pairs, parse each object at
+        /First + offset. Objects found by the direct scan win a number
+        collision (without generation-aware xref chasing there is no
+        ordering between a direct object and a packed one; collisions only
+        arise in incrementally-updated files). Runs to a fixpoint so an
+        ObjStm whose /Filter or /N is itself packed still expands."""
+        expanded: set[int] = set()
+        for _ in range(8):  # fixpoint bound: nesting deeper than this is
+            added = 0       # not a real document, it is a bomb
+            for num in list(self.objects):
+                value, stream = self.objects[num]
+                if (
+                    num in expanded
+                    or not isinstance(value, dict)
+                    or value.get("Type") != "ObjStm"
+                    or stream is None
+                ):
+                    continue
+                try:
+                    filt = self.resolve(value.get("Filter"))
+                    parms = self.resolve(value.get("DecodeParms"))
+                    if isinstance(parms, list):
+                        parms = [self.resolve(p) for p in parms]
+                    body = _apply_filters(stream, filt, parms)
+                    n = int(self.resolve(value.get("N")) or 0)
+                    first = int(self.resolve(value.get("First")) or 0)
+                except (ValueError, TypeError, zlib.error):
+                    expanded.add(num)  # undecodable: skip, don't loop
+                    continue
+                lex = _Lexer(body, 0)
+                pairs = []
+                ok = True
+                for _i in range(n):
+                    t1, t2 = lex.next_token(), lex.next_token()
+                    if not (t1 and t2 and t1[0] == "num" and t2[0] == "num"):
+                        ok = False
+                        break
+                    pairs.append((int(t1[1]), int(t2[1])))
+                if ok:
+                    for onum, ooff in pairs:
+                        if onum in self.objects:
+                            continue  # direct scan wins (see docstring)
+                        val = _parse_value(_Lexer(body, first + ooff))
+                        # spec: objects inside an object stream carry no
+                        # stream of their own
+                        self.objects[onum] = (val, None)
+                        added += 1
+                expanded.add(num)
+            if not added:
+                break
 
     def resolve(self, v):
         seen = set()
@@ -502,8 +686,13 @@ class _Document:
                 return None
             value, stream = self.objects[v.num]
             if stream is not None:
-                filt = self.resolve(value.get("Filter")) if isinstance(value, dict) else None
-                return _apply_filters(stream, filt)
+                filt = parms = None
+                if isinstance(value, dict):
+                    filt = self.resolve(value.get("Filter"))
+                    parms = self.resolve(value.get("DecodeParms"))
+                    if isinstance(parms, list):
+                        parms = [self.resolve(p) for p in parms]
+                return _apply_filters(stream, filt, parms)
             v = value
         return None
 
@@ -543,13 +732,67 @@ class _Document:
             self._walk_pages(self.resolve(kid), out, depth + 1)
 
 
-def _apply_filters(stream: bytes, filt) -> bytes:
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Undo PNG row predictors (ISO 32000-1 §7.4.4.4 delegates to the PNG
+    spec): each row is prefixed by a filter-type byte. Used by FlateDecode
+    streams carrying /DecodeParms /Predictor >= 10 — the layout most
+    writers emit for cross-reference and object streams."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG predictor row filter {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _apply_filters(stream: bytes, filt, parms=None) -> bytes:
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    parm_list = parms if isinstance(parms, list) else [parms] * len(filters)
     out = stream
-    for f in filters:
+    for i, f in enumerate(filters):
         name = f if isinstance(f, str) else None
         if name == "FlateDecode":
             out = zlib.decompress(out)
+            p = parm_list[i] if i < len(parm_list) else None
+            if isinstance(p, dict):
+                pred = int(p.get("Predictor", 1) or 1)
+                if pred >= 10:
+                    out = _png_unpredict(
+                        out,
+                        int(p.get("Columns", 1) or 1),
+                        int(p.get("Colors", 1) or 1),
+                        int(p.get("BitsPerComponent", 8) or 8),
+                    )
+                elif pred == 2:
+                    raise ValueError("TIFF predictor 2 is out of scope")
         elif name is None:
             continue
         else:
