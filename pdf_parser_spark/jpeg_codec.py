@@ -1,4 +1,5 @@
-"""From-scratch baseline JPEG codec (encode + decode), stdlib + numpy only.
+"""From-scratch JPEG codec (encode + decode), stdlib + numpy only —
+baseline sequential AND progressive.
 
 JPEG is the dominant image format on the web — a Common-Crawl-style media
 table is mostly JFIF payloads — and the container has no imaging library,
@@ -12,15 +13,21 @@ walk on decode.
 Scope, chosen to decode what cameras and `libjpeg`-family encoders emit by
 default and to refuse loudly otherwise:
 
-- decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
-  sampling factors (4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 all fall out of the
-  generic MCU loop), restart markers (DRI/RSTn). Progressive (SOF2),
-  arithmetic coding, 12-bit, and CMYK raise ``ValueError`` rather than
-  mis-decoding.
-- encode: baseline sequential, grayscale or RGB, 4:4:4 or 4:2:0, IJG-style
-  quality scaling of the Annex K tables, Annex K Huffman tables (no
-  per-image optimization — the standard tables are what the spec's own
-  examples use and keep the encoder deterministic).
+- decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
+  T.81 Annex G: spectral selection, successive approximation with EOBn
+  band runs and refinement correction bits), 8-bit, 1 or 3 components,
+  any sampling factors (4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 all fall out of the
+  generic MCU loop), restart markers (DRI/RSTn) in either mode — scans
+  decode into per-component coefficient buffers, reconstructed once at
+  EOI. Arithmetic coding, lossless/hierarchical processes, 12-bit, and
+  CMYK raise ``ValueError`` rather than mis-decoding.
+- encode: baseline sequential (encode_jpeg) and progressive
+  (encode_jpeg_progressive: interleaved DC-first scan at Al=1,
+  per-component AC bands, then DC/AC refinement to Al=0), grayscale or
+  RGB, 4:4:4 or 4:2:0, IJG-style quality scaling of the Annex K tables.
+  A fully-refined progressive file decodes to EXACTLY the baseline
+  encoder's pixels (same quantized coefficients) — the property the
+  round-trip tests assert.
 
 The encoder exists so the decoder is testable end-to-end in-container
 (encode → decode → PSNR), and so synthetic media tables can carry real
@@ -448,21 +455,231 @@ def _decode_block(reader: _BitReader, dc_tbl, ac_tbl, pred: int
     return zz, pred
 
 
+def _decode_dc(reader: _BitReader, dc_tbl, preds: dict, cid: int,
+               block: np.ndarray, ah: int, al: int) -> None:
+    """DC coefficient for one block: full/first scan (ah=0, value shifted
+    into position al) or successive-approximation refinement (one raw bit
+    at position al — two's-complement OR composes correctly for negatives,
+    matching the arithmetic-shift DC point transform, T.81 G.1.2.1)."""
+    if ah == 0:
+        cat = _read_symbol(reader, dc_tbl)
+        diff = _extend(reader.bits(cat), cat) if cat else 0
+        preds[cid] += diff
+        block[0] = preds[cid] << al
+    else:
+        if reader.bit():
+            block[0] |= 1 << al
+
+
+def _decode_ac_first(reader: _BitReader, ac_tbl, block: np.ndarray,
+                     ss: int, se: int, al: int, state: dict) -> None:
+    """AC spectral band, first pass (T.81 G.1.2.2): baseline-style RLE
+    plus EOBn codes spanning 1..32767 blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_tbl)
+        run, cat = rs >> 4, rs & 0xF
+        if cat == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << run) - 1
+            if run:
+                state["eobrun"] += reader.bits(run)
+            return
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run past end of band")
+        block[k] = _extend(reader.bits(cat), cat) << al
+        k += 1
+
+
+def _decode_ac_refine(reader: _BitReader, ac_tbl, block: np.ndarray,
+                      ss: int, se: int, al: int, state: dict) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as ±1<<al; already-nonzero ones consume one
+    correction bit each as the run scans past them."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_tbl)
+            run, cat = rs >> 4, rs & 0xF
+            newval = 0
+            if cat == 0:
+                if run != 15:
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += reader.bits(run)
+                    break  # corrections for the rest of THIS block below
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if cat != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    run -= 1
+                    if run < 0:
+                        break
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_full_block(reader: _BitReader, dc_tbl, ac_tbl, preds: dict,
+                       cid: int, block: np.ndarray) -> None:
+    """Baseline sequential block: DC diff + full AC band into the zigzag
+    coefficient buffer (T.81 F.2.2)."""
+    cat = _read_symbol(reader, dc_tbl)
+    diff = _extend(reader.bits(cat), cat) if cat else 0
+    preds[cid] += diff
+    block[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = _read_symbol(reader, ac_tbl)
+        run, cat = rs >> 4, rs & 0xF
+        if cat == 0:
+            if run == 15:
+                k += 16
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        block[k] = _extend(reader.bits(cat), cat)
+        k += 1
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Byte offset of the next real marker (not a stuff byte, not RSTn)."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+                0xD0 <= data[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(data)
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
+                 ss: int, se: int, ah: int, al: int,
+                 htables: dict, restart_interval: int,
+                 coefs: dict, progressive: bool) -> int:
+    """One entropy-coded scan into the coefficient buffers; returns the
+    offset of the marker that follows the scan's entropy data.
+
+    Interleaved scans (ns > 1) walk MCU order over the padded block grid;
+    single-component scans walk the component's ACTUAL block grid in
+    raster order with MCU = one block (T.81 A.2) — progressive AC scans
+    are always of this shape, and a baseline file with one scan per
+    component decodes through the same path.
+    """
+    if progressive:  # T.81 B.2.3 scan-header constraints
+        if not (0 <= ss <= se <= 63) or (ss == 0 and se != 0):
+            raise ValueError("malformed progressive scan header (Ss/Se)")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if ah and ah != al + 1:
+            raise ValueError("successive approximation must refine one bit")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    reader = _BitReader(data, pos)
+    preds = {cid: 0 for cid, _t in scan}
+    state = {"eobrun": 0}
+    tsel = {cid: t for cid, t in scan}
+
+    def tables(cid):
+        dc = htables.get(tsel[cid] >> 4)
+        ac = htables.get(0x10 | (tsel[cid] & 0xF))
+        need_dc = ss == 0 and ah == 0
+        need_ac = se > 0
+        if (need_dc and dc is None) or (need_ac and ac is None):
+            raise ValueError("JPEG scan references missing DHT table")
+        return dc, ac
+
+    def decode_one(cid, block):
+        dc_tbl, ac_tbl = tables(cid)
+        if not progressive:
+            _decode_full_block(reader, dc_tbl, ac_tbl, preds, cid, block)
+        elif ss == 0:
+            _decode_dc(reader, dc_tbl, preds, cid, block, ah, al)
+        elif ah == 0:
+            _decode_ac_first(reader, ac_tbl, block, ss, se, al, state)
+        else:
+            _decode_ac_refine(reader, ac_tbl, block, ss, se, al, state)
+
+    def restart(n_done):
+        if restart_interval and n_done and n_done % restart_interval == 0:
+            marker = reader.align_to_marker()
+            if marker is None or not (0xD0 <= marker <= 0xD7):
+                raise ValueError("expected JPEG restart marker")
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    if len(scan) > 1:  # interleaved MCUs
+        n = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                restart(n)
+                for cid, _t in scan:
+                    c = by_id[cid]
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            decode_one(
+                                cid, coefs[cid][my * c["v"] + dy,
+                                                mx * c["h"] + dx])
+                n += 1
+    else:
+        cid = scan[0][0]
+        c = by_id[cid]
+        n = 0
+        for byy in range(c["bh"]):
+            for bxx in range(c["bw"]):
+                restart(n)
+                decode_one(cid, coefs[cid][byy, bxx])
+                n += 1
+    return _next_marker(data, reader.pos)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """(H, W, {1,3}) uint8 from baseline sequential JFIF/JPEG bytes."""
+    """(H, W, {1,3}) uint8 from JFIF/JPEG bytes — baseline sequential
+    (SOF0/SOF1) AND progressive (SOF2, spectral selection + successive
+    approximation, T.81 Annex G) with restart markers in either mode."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(data):
+    coefs: dict[int, np.ndarray] = {}
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray restart between scans
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
@@ -487,7 +704,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG DHT segment")
                 htables[tc] = _decode_table(bits, values)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline/ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -498,77 +716,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, qid = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "q": qid})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": (w + 8 * hmax - 1) // (8 * hmax),
+                "mcuy": (h + 8 * vmax - 1) // (8 * vmax),
+            }
+            for c in comps:
+                # actual block dims (non-interleaved scans cover exactly
+                # these, T.81 A.2.2) inside the MCU-padded buffer
+                cw = (w * c["h"] + hmax - 1) // hmax
+                chh = (h * c["v"] + vmax - 1) // vmax
+                c["bw"] = (cw + 7) // 8
+                c["bh"] = (chh + 7) // 8
+                coefs[c["id"]] = np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int64,
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported")
+                "unsupported JPEG coding process (lossless/arithmetic/"
+                "differential)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, then continue parsing
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            pos = pos + 2 + seglen
-            break
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                data, pos + 2 + seglen, frame, scan, ss, se, ah, al,
+                htables, restart_interval, coefs, progressive,
+            )
+            saw_scan = True
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
 
-    comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    # ---- reconstruction: dequantize + IDCT each component, vectorized
     h, w = frame["h"], frame["w"]
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component padded block planes
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                                   dtype=np.float64)
-    order = [by_id[cid] for cid, _tsel in scan]
-    tsel = {cid: t for cid, t in scan}
-    preds = {c["id"]: 0 for c in comps}
-    reader = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                marker = reader.align_to_marker()
-                if marker is None or not (0xD0 <= marker <= 0xD7):
-                    raise ValueError("expected JPEG restart marker")
-                preds = {c["id"]: 0 for c in comps}
-            for c in order:
-                dc_tbl = htables.get(tsel[c["id"]] >> 4)
-                ac_tbl = htables.get(0x10 | (tsel[c["id"]] & 0xF))
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("JPEG scan references missing DHT table")
-                q = qtables.get(c["q"])
-                if q is None:
-                    raise ValueError("JPEG scan references missing DQT table")
-                for dy in range(c["v"]):
-                    for dx in range(c["h"]):
-                        zz, preds[c["id"]] = _decode_block(
-                            reader, dc_tbl, ac_tbl, preds[c["id"]])
-                        # zz is in zigzag order, q in natural order: reorder
-                        # BEFORE dequantizing (mixing the orders only shows up
-                        # on high-frequency content — DC sits at 0 in both)
-                        coef = (zz[_UNZIGZAG] * q).reshape(8, 8).astype(
-                            np.float64)
-                        blk = _DCT.T @ coef @ _DCT + 128.0
-                        y0 = (my * c["v"] + dy) * 8
-                        x0 = (mx * c["h"] + dx) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
-            mcu_count += 1
-
-    # upsample to full resolution and crop
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for c in comps:
-        p = planes[c["id"]]
+    for c in frame["comps"]:
+        q = qtables.get(c["q"])
+        if q is None:
+            raise ValueError("JPEG frame references missing DQT table")
+        buf = coefs[c["id"]]  # (bh_pad, bw_pad, 64) in zigzag order
+        nat = (buf[:, :, _UNZIGZAG] * q).astype(np.float64)
+        nby, nbx = nat.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        pix = np.einsum("ji,xyjk,kl->xyil", _DCT, blocks, _DCT) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = p.repeat(ry, axis=0).repeat(rx, axis=1)
-        full.append(p[:h, :w])
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = full
@@ -577,3 +786,273 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
         np.uint8)
+
+
+# ------------------------------------------------------- progressive encode
+
+# Fixed AC Huffman table for PROGRESSIVE scans: the Annex K baseline AC
+# tables carry no EOBn symbols (r > 0), which progressive band coding
+# needs. 240 symbols — EOB0..EOB14 (r<<4, s=0), ZRL (0xF0), and
+# (run 0..15, size 1..14) — all at code length 8: a valid canonical table
+# (240 <= 255 keeps the all-ones code unused, T.81 C.2), deliberately
+# simple over optimal; fixtures favor determinism over ratio.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
+def _emit_eobrun(writer: _BitWriter, ac_tbl, st: dict) -> None:
+    """Flush a pending EOBn run plus its buffered correction bits."""
+    n = st["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        code, length = ac_tbl[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(n - (1 << r), r)
+        st["eobrun"] = 0
+    for b in st["bits"]:
+        writer.write(b, 1)
+    st["bits"] = []
+
+
+def _enc_ac_first(writer: _BitWriter, ac_tbl, zz: np.ndarray,
+                  ss: int, se: int, al: int, st: dict) -> None:
+    """Encode one block's AC band, first pass (T.81 G.1.2.2). The AC point
+    transform truncates magnitudes toward zero (|v| >> al, sign kept)."""
+    tv = [0] * (se + 1)
+    last = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        m = (abs(v) >> al)
+        tv[k] = m if v >= 0 else -m
+        if tv[k]:
+            last = k
+    if last == 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(writer, ac_tbl, st)
+        return
+    _emit_eobrun(writer, ac_tbl, st)
+    run = 0
+    for k in range(ss, last + 1):
+        v = tv[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]
+            writer.write(code, length)
+            run -= 16
+        cat, extra = _magnitude(v)
+        code, length = ac_tbl[(run << 4) | cat]
+        writer.write(code, length)
+        writer.write(extra, cat)
+        run = 0
+    if last < se:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(writer, ac_tbl, st)
+
+
+def _enc_ac_refine(writer: _BitWriter, ac_tbl, zz: np.ndarray,
+                   ss: int, se: int, al: int, st: dict) -> None:
+    """Encode one block's AC refinement pass (T.81 G.1.2.3, the jcphuff
+    shape): newly-nonzero coefficients (|v|>>al == 1) get run codes + a
+    sign bit; history coefficients (|v|>>al > 1) contribute one buffered
+    correction bit, emitted after the next symbol (or with the EOB run)."""
+    absv = [abs(int(zz[k])) >> al for k in range(se + 1)]
+    eob = 0
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            _emit_eobrun(writer, ac_tbl, st)
+            code, length = ac_tbl[0xF0]
+            writer.write(code, length)
+            run -= 16
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+        if t > 1:  # history coefficient: correction bit only
+            pending.append(t & 1)
+            continue
+        _emit_eobrun(writer, ac_tbl, st)
+        code, length = ac_tbl[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        st["eobrun"] += 1
+        st["bits"] += pending
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(writer, ac_tbl, st)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = True) -> bytes:
+    """Progressive JFIF bytes (SOF2) with the common two-level scan
+    script: interleaved DC first (Al=1) → per-component AC first
+    (Ss=1..63, Al=1) → DC refinement → per-component AC refinement. Fully
+    refined to Al=0, so decoding reproduces the baseline encoder's pixels
+    EXACTLY (same quantized coefficients) — which is also how the
+    progressive decode path is tested.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported array shape for JPEG: {arr.shape}")
+    h, w, ch = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    luma_q, chroma_q = _quality_tables(quality)
+
+    if ch == 1:
+        planes = [a[:, :, 0].astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def sub(p: np.ndarray) -> np.ndarray:
+                hh, ww = p.shape
+                p = np.pad(p, ((0, hh % 2), (0, ww % 2)), mode="edge")
+                return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(
+                    axis=(1, 3))
+            planes = [y, sub(cb), sub(cr)]
+        else:
+            planes = [y, cb, cr]
+
+    # per-component zigzag coefficient grids on the MCU-padded layout
+    sub3 = ch == 3 and subsample
+    samps = [(2, 2), (1, 1), (1, 1)] if sub3 else [(1, 1)] * ch
+    hmax = max(s[0] for s in samps[:ch])
+    vmax = max(s[1] for s in samps[:ch])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for i in range(ch):
+        q = luma_q if i == 0 else chroma_q
+        qb = _quantize(_to_blocks(planes[i]), q)  # (n, 64) natural order
+        ph, pw = planes[i].shape
+        by, bx = (ph + 7) // 8, (pw + 7) // 8
+        zz = qb[:, _ZIGZAG].reshape(by, bx, 64)
+        sx, sy = samps[i]
+        pby, pbx = mcuy * sy, mcux * sx
+        if pby > by or pbx > bx:  # edge-replicate to the padded MCU grid
+            zz = np.pad(zz, ((0, pby - by), (0, pbx - bx), (0, 0)),
+                        mode="edge")
+        grids.append({"zz": zz, "bh": by, "bw": bx, "h": sx, "v": sy})
+
+    # ---- headers (SOF2)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tbl in ((0, luma_q),) + (((1, chroma_q),) if ch == 3 else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(tbl[z]) for z in _ZIGZAG)
+    samp_y = 0x22 if sub3 else 0x11
+    comps = [(1, samp_y, 0)] + ([(2, 0x11, 1), (3, 0x11, 1)] if ch == 3 else [])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                     len(comps))
+    for cid, samp, qid in comps:
+        out += bytes((cid, samp, qid))
+    huff = [(0x00, _DC_LUMA), (0x12, _AC_PROG)]
+    if ch == 3:
+        huff += [(0x01, _DC_CHROMA)]
+    for tc, (bits, values) in huff:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc)
+        out += bytes(bits) + bytes(values)
+
+    dc_l = _canonical_codes(*_DC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_l = ac_c = _canonical_codes(*_AC_PROG)  # shared progressive AC table
+
+    def sos(scan_comps, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                        len(scan_comps))
+        for cid, t in scan_comps:
+            hdr += bytes((cid, t))
+        return hdr + bytes((ss, se, (ah << 4) | al))
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic-shift point transform)
+    out += sos([(c[0], 0x00 if c[0] == 1 else 0x11) for c in comps], 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * ch
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i in range(ch):
+                g = grids[i]
+                dc = dc_l if i == 0 else dc_c
+                for dy in range(g["v"]):
+                    for dx in range(g["h"]):
+                        v = int(g["zz"][my * g["v"] + dy,
+                                        mx * g["h"] + dx][0]) >> 1
+                        cat, extra = _magnitude(v - preds[i])
+                        code, length = dc[cat]
+                        writer.write(code, length)
+                        if cat:
+                            writer.write(extra, cat)
+                        preds[i] = v
+    writer.flush()
+    out += writer.out
+
+    # scans 2..: AC first per component, Al=1
+    for i in range(ch):
+        g = grids[i]
+        ac = ac_l if i == 0 else ac_c
+        out += sos([(comps[i][0], 0x02)], 1, 63, 0, 1)
+        writer = _BitWriter()
+        st = {"eobrun": 0, "bits": []}
+        for byy in range(g["bh"]):
+            for bxx in range(g["bw"]):
+                _enc_ac_first(writer, ac, g["zz"][byy, bxx], 1, 63, 1, st)
+        _emit_eobrun(writer, ac, st)
+        writer.flush()
+        out += writer.out
+
+    # scan: DC refinement — one raw bit per block, interleaved, no Huffman
+    out += sos([(c[0], 0x00) for c in comps], 0, 0, 1, 0)
+    writer = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i in range(ch):
+                g = grids[i]
+                for dy in range(g["v"]):
+                    for dx in range(g["h"]):
+                        writer.write(
+                            int(g["zz"][my * g["v"] + dy,
+                                        mx * g["h"] + dx][0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    # scans: AC refinement per component, Ah=1 → Al=0
+    for i in range(ch):
+        g = grids[i]
+        ac = ac_l if i == 0 else ac_c
+        out += sos([(comps[i][0], 0x02)], 1, 63, 1, 0)
+        writer = _BitWriter()
+        st = {"eobrun": 0, "bits": []}
+        for byy in range(g["bh"]):
+            for bxx in range(g["bw"]):
+                _enc_ac_refine(writer, ac, g["zz"][byy, bxx], 1, 63, 0, st)
+        _emit_eobrun(writer, ac, st)
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

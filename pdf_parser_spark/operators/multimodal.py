@@ -28,13 +28,11 @@ mis-decode):
     kind   format / layer                  real decode?  out-of-scope behavior
     -----  ------------------------------  ------------  -------------------------------
     image  PNG (all standard bit depths)   yes           media_codecs.py
-    image  JPEG baseline sequential SOF0,  yes           jpeg_codec.py; progressive
-           8-bit gray/YCbCr, any sampling,               (SOF2), arithmetic, 12-bit,
-           restart markers                               CMYK → ValueError. Progressive
-                                                         is a nontrivial share of web
-                                                         images (~10-20% of JFIF
-                                                         payloads on large crawls) —
-                                                         budget coverage accordingly.
+    image  JPEG baseline (SOF0/1) AND      yes           jpeg_codec.py; arithmetic
+           progressive (SOF2) DCT, 8-bit                 coding, lossless/hierarchical,
+           gray/YCbCr, any sampling,                     12-bit, CMYK → ValueError
+           restart markers, EOBn +
+           successive approximation
     image  GIF/WebP/AVIF/TIFF/BMP          no            unrecognized magic → ValueError
     audio  WAV 16-bit PCM                  yes           media_codecs.py
     audio  mp3 / AAC bitstreams            no            NotImplementedError at the
@@ -93,12 +91,16 @@ def _real_payload(i: int, kind: str) -> bytes:
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
     if kind == "image":
         h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
-        if i % 6 == 3:  # alternate image rows are baseline JFIF
+        if i % 6 == 3:  # alternate image rows are JFIF — and those rows
+            # themselves alternate baseline / PROGRESSIVE (SOF2), so the
+            # fake=False operator path exercises both decode modes
             from pdf_parser_spark import jpeg_codec
 
             ch = 1 if i % 12 == 9 else 3
             arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
-            return jpeg_codec.encode_jpeg(arr, quality=90)
+            enc = (jpeg_codec.encode_jpeg_progressive
+                   if i % 12 == 3 else jpeg_codec.encode_jpeg)
+            return enc(arr, quality=90)
         ch = (1, 3, 4)[i % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         return media_codecs.encode_png(arr)

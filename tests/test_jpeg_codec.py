@@ -132,11 +132,14 @@ def test_rejects_non_jpeg():
         jpeg_codec.decode_jpeg(b"\x89PNG not a jpeg")
 
 
-def test_rejects_progressive():
+def test_rejects_malformed_progressive_scan_header():
+    """Progressive is DECODED now (see test_progressive_*); a baseline
+    stream merely relabeled SOF2 carries an Ss=0/Se=63 scan header that is
+    illegal for progressive (T.81 B.2.3) and must refuse, not mis-decode."""
     data = bytearray(jpeg_codec.encode_jpeg(_hard_image(16, 16)))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="scan header"):
         jpeg_codec.decode_jpeg(bytes(data))
 
 
@@ -181,3 +184,42 @@ def test_sof_dimensions_match_input():
     idx = data.find(b"\xff\xc0")
     h, w = struct.unpack(">HH", data[idx + 5: idx + 9])
     assert (h, w) == (37, 81)
+
+
+def test_progressive_round_trip_exact_vs_baseline():
+    """A fully-refined progressive file (DC Al=1→0, AC bands Al=1→0)
+    carries the SAME quantized coefficients as the baseline encoding, so
+    the two decodes must be pixel-identical — this pins every progressive
+    decode path (DC first/refine, AC first with EOBn runs, AC refinement
+    correction bits) to the already-trusted baseline implementation."""
+    rng = np.random.default_rng(11)
+    shapes = [((48, 64, 3), True), ((40, 56, 3), False),
+              ((33, 41, 1), False), ((17, 23, 3), True)]
+    for shape, sub in shapes:
+        img = rng.integers(0, 255, shape).astype(np.uint8)
+        base = jpeg_codec.decode_jpeg(
+            jpeg_codec.encode_jpeg(img, quality=85, subsample=sub))
+        prog_bytes = jpeg_codec.encode_jpeg_progressive(
+            img, quality=85, subsample=sub)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = jpeg_codec.decode_jpeg(prog_bytes)
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_eob_runs_and_flat_content():
+    """Smooth/flat images produce long EOBn runs (r > 0) and all-EOB AC
+    scans — the band-run bookkeeping both directions must agree on."""
+    flat = np.full((64, 64, 3), 130, np.uint8)
+    grad = np.tile(
+        np.linspace(0, 255, 64).astype(np.uint8)[None, :, None], (64, 1, 3))
+    for img in (flat, grad):
+        a = jpeg_codec.decode_jpeg(jpeg_codec.encode_jpeg(img, quality=60))
+        b = jpeg_codec.decode_jpeg(
+            jpeg_codec.encode_jpeg_progressive(img, quality=60))
+        assert np.array_equal(a, b)
+
+
+def test_progressive_truncation_fails_loudly():
+    data = jpeg_codec.encode_jpeg_progressive(_hard_image(32, 32))
+    with pytest.raises(ValueError):
+        jpeg_codec.decode_jpeg(data[: len(data) // 3])
