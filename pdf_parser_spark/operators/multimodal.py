@@ -33,7 +33,11 @@ mis-decode):
            gray/YCbCr, any sampling,                     12-bit, CMYK → ValueError
            restart markers, EOBn +
            successive approximation
-    image  GIF/WebP/AVIF/TIFF/BMP          no            unrecognized magic → ValueError
+    image  GIF87a/89a (incl. animation,    yes           gif_codec.py (LZW, local
+           interlace, transparency,                      palettes, disposal methods;
+           disposal compositing)                         animated GIFs as video rows
+                                                         return the full frame stack)
+    image  WebP/AVIF/TIFF/BMP              no            unrecognized magic → ValueError
     audio  WAV 16-bit PCM                  yes           media_codecs.py
     audio  mp3 / AAC bitstreams            no            NotImplementedError at the
                                                          codec layer (multimodal.py
@@ -204,6 +208,13 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             from pdf_parser_spark import jpeg_codec
 
             return jpeg_codec.decode_jpeg(data)
+        if data[:6] in (b"GIF87a", b"GIF89a") and kind in ("image", "video"):
+            from pdf_parser_spark import gif_codec
+
+            frames, _delays = gif_codec.decode_gif(data)
+            # image rows take the first composited frame; animated GIFs
+            # carried as video keep the full (n, H, W, 4) stack
+            return frames[0] if kind == "image" else frames
         if kind == "video" and data.startswith(b"YUV4MPEG2"):
             return media_codecs.decode_y4m(data)
         if kind == "video" and data[4:8] == b"ftyp":
