@@ -7,13 +7,16 @@ stdlib implementation of the subset a crawl-extraction pipeline needs:
 
 - a RECORD READER for WARC/1.0 and WARC/1.1: header block (CRLF-terminated
   name:value lines) + Content-Length payload + CRLF CRLF separator, either
-  as one plain stream or as concatenated per-record GZIP MEMBERS (the
+  as one plain stream, as concatenated per-record GZIP MEMBERS (the
   Common Crawl layout — each record its own gzip member so readers can
-  seek; zlib.decompressobj's unused_data walks the members);
+  seek; zlib.decompressobj's unused_data walks the members), or as
+  per-record ZSTD FRAMES (the IIPC ``.warc.zst`` layout — decoded by the
+  from-scratch RFC 8878 codec in zstd_codec.py, skippable frames such as
+  the seek-index/dictionary carriers skipped);
 - HTTP RESPONSE UNWRAPPING: records whose Content-Type is
   ``application/http`` carry a full HTTP response; the status line +
-  headers are split off, and a ``Content-Encoding: gzip/deflate`` body is
-  decompressed (Transfer-Encoding: chunked is de-chunked first);
+  headers are split off, and a ``Content-Encoding: gzip/deflate/zstd``
+  body is decompressed (Transfer-Encoding: chunked is de-chunked first);
 - CHARSET SNIFFING (WHATWG encoding-sniffing order, trimmed): BOM, then
   the HTTP Content-Type charset parameter, then ``<meta charset>`` /
   ``<meta http-equiv=Content-Type>`` within the first 1024 bytes, else
@@ -38,6 +41,8 @@ import re
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
+
+from pdf_parser_spark import zstd_codec
 
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
@@ -66,14 +71,20 @@ def write_warc(
     per_record_gzip: bool = True,
     content_type: str = "text/html; charset=utf-8",
     http_wrap: bool = True,
+    compression: str | None = None,
 ) -> bytes:
     """Build a WARC archive from (url, timestamp, html_bytes) rows.
 
     With http_wrap the payload is a full HTTP/1.1 200 response (the
     Common-Crawl response-record shape); without, a raw resource record.
-    per_record_gzip emits each record as its own gzip member (mtime pinned
-    to 0 so output is deterministic).
+    compression picks the member layout: 'gzip' (per-record gzip members,
+    mtime pinned to 0 so output is deterministic), 'zstd' (per-record
+    zstd frames — the IIPC .warc.zst layout), or None for a plain stream.
+    per_record_gzip=True/False is the backward-compatible alias for
+    'gzip'/None and is ignored when compression is given explicitly.
     """
+    if compression is None:
+        compression = "gzip" if per_record_gzip else "none"
     out = []
     info = _warc_record(
         "warcinfo",
@@ -113,8 +124,12 @@ def write_warc(
                 payload,
             )
         )
-    if not per_record_gzip:
+    if compression == "none":
         return b"".join(out)
+    if compression == "zstd":
+        return b"".join(zstd_codec.compress(rec, level="lz") for rec in out)
+    if compression != "gzip":
+        raise ValueError(f"unknown WARC compression {compression!r}")
     gzipped = []
     for rec in out:
         buf = io.BytesIO()
@@ -189,6 +204,16 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     """
     if data[:2] == b"\x1f\x8b":
         streams: Iterator[bytes] = _gzip_members(data)
+    elif data[:4] == b"\x28\xb5\x2f\xfd" or (
+        len(data) >= 4
+        and zstd_codec.SKIPPABLE_MAGIC_MIN
+        <= int.from_bytes(data[:4], "little")
+        <= zstd_codec.SKIPPABLE_MAGIC_MAX
+    ):
+        # .warc.zst: per-record zstd frames; skippable frames (seek
+        # index / dictionary carriers) skipped; corrupt tail tolerated
+        # exactly like _gzip_members
+        streams = zstd_codec.iter_frames(data, tolerant=True)
     else:
         streams = iter([data])
     for stream in streams:
@@ -269,6 +294,8 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
                 body = zlib.decompress(body)
             except zlib.error:
                 body = zlib.decompress(body, -zlib.MAX_WBITS)
+        elif "zstd" in enc:  # RFC 9659
+            body = zstd_codec.decompress(body)
     except Exception:
         pass  # keep raw bytes; charset/extraction layers degrade gracefully
     return headers, body

@@ -254,3 +254,39 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     r = ing.run_available_now(timeout_s=120.0)
     assert r["batches_committed"] == 2  # one archive per micro-batch
     assert ing.output().count() == 3
+
+
+def test_roundtrip_warc_zst():
+    """IIPC .warc.zst layout: per-record zstd frames, skippable frames
+    (seek index / dictionary carrier slots) skipped, truncation tolerated."""
+    from pdf_parser_spark import zstd_codec
+
+    blob = warc.write_warc(_pages(), compression="zstd")
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+    rows = list(warc.warc_to_page_rows(blob))
+    assert [r["url"] for r in rows] == [u for u, _, _ in _pages()]
+    assert [r["html"] for r in rows] == [h for _, _, h in _pages()]
+    # a leading skippable frame (where warc.zst stores its index) is skipped
+    prefixed = zstd_codec.write_skippable_frame(b"seek index bytes", 0xE) + blob
+    assert len(list(warc.warc_to_page_rows(prefixed))) == len(_pages())
+    # truncated final frame: records already decoded survive
+    cut = list(warc.warc_to_page_rows(blob[:-7]))
+    assert len(cut) == len(_pages()) - 1
+
+
+def test_http_unwrap_content_encoding_zstd():
+    from pdf_parser_spark import zstd_codec
+
+    body = b"<html>zstd-encoded body bytes</html>" * 20
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: zstd\r\n\r\n" + zstd_codec.compress(body)
+    )
+    headers, got = warc.split_http_response(payload)
+    assert got == body
+    # corrupt zstd body degrades to raw bytes, never raises
+    payload_bad = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n" + b"\x28\xb5\x2f\xfdJUNK"
+    )
+    _, raw = warc.split_http_response(payload_bad)
+    assert raw == b"\x28\xb5\x2f\xfdJUNK"
