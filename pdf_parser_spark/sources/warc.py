@@ -15,7 +15,7 @@ stdlib implementation of the subset a crawl-extraction pipeline needs:
   the seek-index/dictionary carriers skipped);
 - HTTP RESPONSE UNWRAPPING: records whose Content-Type is
   ``application/http`` carry a full HTTP response; the status line +
-  headers are split off, and a ``Content-Encoding: gzip/deflate/zstd``
+  headers are split off, and a ``Content-Encoding: gzip/deflate/zstd/br``
   body is decompressed (Transfer-Encoding: chunked is de-chunked first);
 - CHARSET SNIFFING (WHATWG encoding-sniffing order, trimmed): BOM, then
   the HTTP Content-Type charset parameter, then ``<meta charset>`` /
@@ -296,6 +296,10 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
                 body = zlib.decompress(body, -zlib.MAX_WBITS)
         elif "zstd" in enc:  # RFC 9659
             body = zstd_codec.decompress(body)
+        elif "br" in enc:  # RFC 7932
+            from pdf_parser_spark import brotli_codec
+
+            body = brotli_codec.decompress(body)
     except Exception:
         pass  # keep raw bytes; charset/extraction layers degrade gracefully
     return headers, body

@@ -290,3 +290,19 @@ def test_http_unwrap_content_encoding_zstd():
     )
     _, raw = warc.split_http_response(payload_bad)
     assert raw == b"\x28\xb5\x2f\xfdJUNK"
+
+
+def test_http_unwrap_content_encoding_br():
+    from pdf_parser_spark import brotli_codec
+
+    body = b"<html>brotli-encoded page body</html>" * 15
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n" + brotli_codec.compress(body)
+    )
+    _, got = warc.split_http_response(payload)
+    assert got == body
+    # corrupt br body degrades to raw bytes, never raises
+    payload_bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\xff\xffJUNK"
+    _, raw = warc.split_http_response(payload_bad)
+    assert raw == b"\xff\xffJUNK"
