@@ -37,7 +37,10 @@ mis-decode):
            interlace, transparency,                      palettes, disposal methods;
            disposal compositing)                         animated GIFs as video rows
                                                          return the full frame stack)
-    image  WebP/AVIF/TIFF/BMP              no            unrecognized magic → ValueError
+    image  WebP lossless (VP8L: all four   yes           webp_codec.py; lossy VP8 DCT
+           transforms, color cache, meta                 bitstream → NotImplementedError
+           prefix groups, LZ77 dist map)                 AFTER a real RIFF parse
+    image  AVIF/TIFF/BMP                   no            unrecognized magic → ValueError
     audio  WAV 16-bit PCM                  yes           media_codecs.py
     audio  mp3 / AAC bitstreams            no            NotImplementedError at the
                                                          codec layer (multimodal.py
@@ -185,8 +188,8 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
 def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Decode a media payload to an array.
 
-    fake=False (REAL): image payloads decode as PNG or baseline JPEG
-    (magic-byte dispatch), audio as 16-bit PCM WAV, and video as
+    fake=False (REAL): image payloads decode as PNG, JPEG, GIF, or
+    lossless WebP (magic-byte dispatch), audio as 16-bit PCM WAV, and video as
     YUV4MPEG2 frame stacks, raw-RGB mp4 (from-scratch ISO BMFF demux,
     mp4_demux.py), or raw-RGB mkv/webm (from-scratch EBML demux,
     mkv_demux.py) via the from-scratch codecs (media_codecs.py,
@@ -208,6 +211,12 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             from pdf_parser_spark import jpeg_codec
 
             return jpeg_codec.decode_jpeg(data)
+        if kind == "image" and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            from pdf_parser_spark import webp_codec
+
+            # VP8L decodes fully; lossy VP8 raises from decode_webp AFTER
+            # the (real) RIFF container parse — same split as mp4/mkv
+            return webp_codec.decode_webp(data)
         if data[:6] in (b"GIF87a", b"GIF89a") and kind in ("image", "video"):
             from pdf_parser_spark import gif_codec
 
@@ -237,10 +246,10 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
                 np.uint8
             ).reshape(-1)
         raise NotImplementedError(
-            f"real {kind} decode supports PNG/JPEG/WAV/Y4M/raw-mp4/raw-mkv "
-            "only (from-scratch codecs); other formats need codec "
-            "libraries not present in this container — run with fake=True "
-            "for plumbing tests"
+            f"real {kind} decode supports PNG/JPEG/GIF/WebP-lossless/WAV/"
+            "Y4M/raw-mp4/raw-mkv only (from-scratch codecs); other formats "
+            "need codec libraries not present in this container — run with "
+            "fake=True for plumbing tests"
         )
     seed = zlib.crc32(payload or b"")
     rng = np.random.default_rng(seed)

@@ -275,3 +275,21 @@ def test_video_frame_phashes_fake_plumbing(spark):
     for r in out:
         by_id.setdefault(r["media_id"], []).append(r["frame_index"])
     assert all(len(v) == min((i % 30) + 1, 4) for i, v in by_id.items())
+
+
+def test_decode_dispatch_webp_matches_png():
+    """A lossless-WebP payload decodes to the same pixels as the PNG of
+    the same image, so pHash and every downstream feature agree."""
+    from pdf_parser_spark import webp_codec
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    rgba = np.dstack([rgb, np.full((24, 32, 1), 255, dtype=np.uint8)])
+    via_webp = mm._decode(webp_codec.encode_webp_lossless(rgba), "image", fake=False)
+    via_png = mm._decode(media_codecs.encode_png(rgb), "image", fake=False)
+    assert np.array_equal(via_webp[:, :, :3], via_png[:, :, :3])
+    # lossy VP8 refuses loudly AFTER a real container parse
+    lossy = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+             + (4).to_bytes(4, "little") + b"\x00" * 4)
+    with pytest.raises(NotImplementedError):
+        mm._decode(lossy, "image", fake=False)

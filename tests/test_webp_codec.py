@@ -1,0 +1,158 @@
+"""WebP lossless (VP8L) codec — round-trip, parity, and spec-table tests.
+
+Correctness sources:
+1. SELF round-trip: our literal-stream encoder through our decoder.
+2. NATIVE parity (skip-if-absent): libwebp-encoded images across feature
+   territory (predictor + cross-color transforms, palettes of several
+   bundling widths, LZ77-heavy tiles, color cache, translucency) must
+   decode pixel-identically to libwebp's own decoder — the encoder's
+   default alpha-cleanup makes decoder-vs-decoder the honest comparison,
+   with an exact original-array check for fully-opaque images.
+3. SPEC table: the 120-entry distance map is re-derived from libwebp via
+   single-copy probe streams (scripts/derive_webp_distances.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark import webp_codec as W
+
+
+def _lib():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    return lib
+
+
+_LIB = _lib()
+needs_native = pytest.mark.skipif(_LIB is None, reason="libwebp not loadable")
+
+
+def _enc_native(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeLosslessRGBA(img.tobytes(), w, h, w * 4, ctypes.byref(out))
+    assert n
+    return ctypes.string_at(out, n)
+
+
+def _dec_native(blob: bytes) -> np.ndarray:
+    wv, hv = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(blob, len(blob), ctypes.byref(wv), ctypes.byref(hv))
+    assert p
+    return np.ctypeslib.as_array(p, shape=(hv.value, wv.value, 4)).copy()
+
+
+def _samples() -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(5)
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256, np.full((h, w), 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    pal2 = np.array([[0, 0, 0, 255], [255, 255, 255, 255]], dtype=np.uint8)
+    pal4 = np.array(
+        [[255, 0, 0, 255], [0, 255, 0, 255], [0, 0, 255, 255], [9, 9, 9, 255]],
+        dtype=np.uint8,
+    )
+    pal12 = rng.integers(0, 256, size=(12, 4), dtype=np.uint8)
+    pal12[:, 3] = 255
+    tile = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    return {
+        "gradient": grad,
+        "noise": rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8),
+        "palette2": pal2[rng.integers(0, 2, size=(h, w))],
+        "palette4": pal4[rng.integers(0, 4, size=(h, w))],
+        "palette12": pal12[rng.integers(0, 12, size=(h, w))],
+        "tiled": np.tile(tile, (6, 9, 1)),
+        "big": np.tile(grad, (4, 4, 1)),
+        "photo": np.clip(
+            np.cumsum(rng.normal(0, 4, size=(120, 160, 4)), axis=1).astype(int)
+            + 128,
+            0,
+            255,
+        ).astype(np.uint8),
+        "tiny": np.array([[[1, 2, 3, 255]]], dtype=np.uint8),
+    }
+
+
+# ------------------------------------------------------------ self round-trip
+
+
+def test_roundtrip_own_encoder():
+    for name, img in _samples().items():
+        blob = W.encode_webp_lossless(img)
+        assert np.array_equal(W.decode_webp(blob), img), name
+
+
+def test_roundtrip_with_explicit_lz77_copies():
+    img = np.arange(16 * 8 * 4, dtype=np.uint8).reshape(8, 16, 4) % 251
+    # copy 5 pixels from one row up (plane code 1 -> (0,1))
+    blob = W.encode_webp_lossless(img, copies={16 * 4 + 3: (5, 1)})
+    got = W.decode_webp(blob)
+    exp = img.reshape(-1, 4).copy()
+    exp[16 * 4 + 3 : 16 * 4 + 8] = exp[16 * 3 + 3 : 16 * 3 + 8]
+    assert np.array_equal(got.reshape(-1, 4), exp)
+
+
+def test_malformed_and_lossy_gate():
+    with pytest.raises(W.WebpError):
+        W.decode_webp(b"RIFFxxxxNOPE")
+    with pytest.raises(W.WebpError):
+        W.decode_webp(b"")
+    lossy = b"RIFF" + b"\x14\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x04\x00\x00\x00" + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        W.decode_webp(lossy)
+
+
+# ------------------------------------------------------------ native parity
+
+
+@needs_native
+def test_decode_native_streams_pixel_parity():
+    for name, img in _samples().items():
+        blob = _enc_native(img)
+        got = W.decode_webp(blob)
+        assert np.array_equal(got, _dec_native(blob)), name
+        if img[:, :, 3].min() == 255:  # opaque: exact original round-trip
+            assert np.array_equal(got, img), name
+
+
+@needs_native
+def test_decode_native_translucent_parity():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(33, 47, 4), dtype=np.uint8)
+    blob = _enc_native(img)
+    # encoder may rewrite RGB under alpha=0 (exact=off): decoder parity
+    assert np.array_equal(W.decode_webp(blob), _dec_native(blob))
+
+
+@needs_native
+def test_native_decodes_our_streams():
+    for name, img in _samples().items():
+        blob = W.encode_webp_lossless(img)
+        assert np.array_equal(_dec_native(blob), img), name
+
+
+@needs_native
+def test_distance_map_matches_reference_derivation():
+    spec = importlib.util.spec_from_file_location(
+        "derive_webp_distances",
+        Path(__file__).parent.parent / "scripts" / "derive_webp_distances.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["derive_webp_distances"] = mod
+    spec.loader.exec_module(mod)
+    assert mod.derive() == W._DIST_MAP
