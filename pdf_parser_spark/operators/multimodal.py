@@ -42,6 +42,9 @@ mis-decode):
            prefix groups, LZ77 dist map)                 AFTER a real RIFF parse
     image  AVIF/TIFF/BMP                   no            unrecognized magic → ValueError
     audio  WAV 16-bit PCM                  yes           media_codecs.py
+    audio  FLAC (all subframe types,       yes           flac_codec.py (CRC-8/16 +
+           stereo decorrelation modes,                   stream MD5 verified)
+           rice residuals)
     audio  mp3 / AAC bitstreams            no            NotImplementedError at the
                                                          codec layer (multimodal.py
                                                          _decode gate)
@@ -242,6 +245,15 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             samples, _rate = media_codecs.decode_wav(data)
             # int16 → uint8 (offset binary): keeps the moment-profile
             # feature kernel shared across kinds
+            return ((samples.astype(np.int32) + (1 << 15)) >> 8).astype(
+                np.uint8
+            ).reshape(-1)
+        if kind == "audio" and data.startswith(b"fLaC"):
+            from pdf_parser_spark import flac_codec
+
+            samples, _rate = flac_codec.decode_flac(data)
+            # same int16-range → uint8 rebias as the WAV path, so a FLAC
+            # and a WAV of the same recording produce identical features
             return ((samples.astype(np.int32) + (1 << 15)) >> 8).astype(
                 np.uint8
             ).reshape(-1)

@@ -293,3 +293,15 @@ def test_decode_dispatch_webp_matches_png():
              + (4).to_bytes(4, "little") + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
         mm._decode(lossy, "image", fake=False)
+
+
+def test_decode_dispatch_flac_matches_wav():
+    """A FLAC payload and a WAV of the same samples produce identical
+    decoded arrays (and therefore identical audio features)."""
+    from pdf_parser_spark import flac_codec
+
+    t = np.arange(12000)
+    pcm = (9000 * np.sin(t * 0.02) + 800 * np.sin(t * 0.31)).astype(np.int16)
+    via_flac = mm._decode(flac_codec.encode_flac(pcm, 16000), "audio", fake=False)
+    via_wav = mm._decode(media_codecs.encode_wav(pcm, 16000), "audio", fake=False)
+    assert np.array_equal(via_flac, via_wav)
