@@ -40,7 +40,16 @@ mis-decode):
     image  WebP lossless (VP8L: all four   yes           webp_codec.py; lossy VP8 DCT
            transforms, color cache, meta                 bitstream → NotImplementedError
            prefix groups, LZ77 dist map)                 AFTER a real RIFF parse
-    image  AVIF/TIFF/BMP                   no            unrecognized magic → ValueError
+    image  BMP (core/info/V4/V5 headers,   yes           bmp_codec.py
+           1/4/8/16/24/32-bit, bitfield
+           masks, RLE4/RLE8, top-down)
+    image  ICO favicons (PNG and BMP       yes           bmp_codec.py (largest entry;
+           entries, AND-mask alpha)                      decode_ico_all for every size)
+    image  TIFF baseline (strips, none/    yes           tiff_codec.py; tiles, planar-2,
+           LZW/PackBits/Deflate, gray/                   16-bit, JPEG-in-TIFF → TiffError
+           palette/RGB/RGBA, predictor,
+           both byte orders, 1/4/8-bit)
+    image  AVIF / HEIC                     no            unrecognized magic → ValueError
     audio  WAV 16-bit PCM                  yes           media_codecs.py
     audio  FLAC (all subframe types,       yes           flac_codec.py (CRC-8/16 +
            stereo decorrelation modes,                   stream MD5 verified)
@@ -214,6 +223,20 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             from pdf_parser_spark import jpeg_codec
 
             return jpeg_codec.decode_jpeg(data)
+        if kind == "image" and data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            from pdf_parser_spark import tiff_codec
+
+            arr = tiff_codec.decode_tiff(data)
+            return arr
+        if kind == "image" and data[:2] == b"BM":
+            from pdf_parser_spark import bmp_codec
+
+            return bmp_codec.decode_bmp(data)
+        if kind == "image" and data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            from pdf_parser_spark import bmp_codec
+
+            # favicons: the largest entry is the image a pipeline wants
+            return bmp_codec.decode_ico(data)
         if kind == "image" and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             from pdf_parser_spark import webp_codec
 

@@ -305,3 +305,27 @@ def test_decode_dispatch_flac_matches_wav():
     via_flac = mm._decode(flac_codec.encode_flac(pcm, 16000), "audio", fake=False)
     via_wav = mm._decode(media_codecs.encode_wav(pcm, 16000), "audio", fake=False)
     assert np.array_equal(via_flac, via_wav)
+
+
+def test_decode_dispatch_bmp_and_ico():
+    from pdf_parser_spark import bmp_codec
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rgba = np.dstack([rgb, np.full((16, 16, 1), 255, dtype=np.uint8)])
+    via_bmp = mm._decode(bmp_codec.encode_bmp(rgba), "image", fake=False)
+    via_png = mm._decode(media_codecs.encode_png(rgb), "image", fake=False)
+    assert np.array_equal(via_bmp[:, :, :3], via_png[:, :, :3])
+    via_ico = mm._decode(bmp_codec.encode_ico([rgba]), "image", fake=False)
+    assert np.array_equal(via_ico, rgba)
+
+
+def test_decode_dispatch_tiff():
+    from pdf_parser_spark import tiff_codec
+
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    via_tiff = mm._decode(tiff_codec.encode_tiff(rgb, compression="lzw"),
+                          "image", fake=False)
+    via_png = mm._decode(media_codecs.encode_png(rgb), "image", fake=False)
+    assert np.array_equal(via_tiff, via_png[:, :, :3])
