@@ -819,14 +819,23 @@ def decompress_frame(
 
 
 def iter_frames(
-    data: bytes, dict_content: bytes = b"", tolerant: bool = True
+    data: bytes,
+    dict_content: bytes = b"",
+    tolerant: bool = True,
+    native: bool = True,
 ) -> Iterator[bytes]:
     """Iterate zstd frames in a multi-frame stream (e.g. .warc.zst),
     skipping skippable frames.
 
     tolerant=True mirrors the WARC gzip-member reader: a corrupt or
     truncated frame ENDS the iteration (every frame already decoded
-    survives; the partial one is dropped). tolerant=False raises."""
+    survives; the partial one is dropped). tolerant=False raises.
+
+    native=True decodes each frame with the system libzstd when loadable
+    — the hot path: a crawl archive is ~1 GB of frames, and the pure
+    decoder is for correctness, not throughput. Per-frame fallback to
+    the pure decoder keeps behavior identical (tests assert equality)."""
+    lib = _load_native() if (native and not dict_content) else None
     pos = 0
     n = len(data)
     while pos + 4 <= n:
@@ -841,6 +850,14 @@ def iter_frames(
             if tolerant:
                 return
             raise ZstdError(f"bad zstd magic 0x{magic:08x}")
+        if lib is not None:
+            got = _native_frame(lib, data, pos)
+            if got is not None:
+                content, pos = got
+                yield content
+                continue
+            # fall through to the pure decoder for this frame (unknown
+            # content size or native error — pure gives the real verdict)
         try:
             content, pos = decompress_frame(data, pos, dict_content)
         except (ZstdError, IndexError, struct.error):
@@ -853,10 +870,14 @@ def iter_frames(
 def decompress_pure(data: bytes, dict_content: bytes = b"") -> bytes:
     """Pure-Python decode of a (possibly multi-frame) zstd stream.
     Strict: any corruption raises ZstdError."""
+    return _decompress_all(data, dict_content, native=False)
+
+
+def _decompress_all(data: bytes, dict_content: bytes, native: bool) -> bytes:
     out = bytearray()
     saw = False
     try:
-        for content in iter_frames(data, dict_content, tolerant=False):
+        for content in iter_frames(data, dict_content, tolerant=False, native=native):
             out += content
             saw = True
     except (IndexError, struct.error) as exc:  # truncation reads
@@ -1200,46 +1221,27 @@ def _load_native() -> ctypes.CDLL | None:
     return lib
 
 
-def _native_decompress(lib: ctypes.CDLL, data: bytes) -> bytes | None:
-    """Multi-frame decode via libzstd; None → caller falls back to pure."""
-    out = bytearray()
-    pos = 0
-    n = len(data)
-    while pos + 4 <= n:
-        magic = int.from_bytes(data[pos : pos + 4], "little")
-        if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
-            if pos + 8 > n:
-                break
-            pos += 8 + int.from_bytes(data[pos + 4 : pos + 8], "little")
-            continue
-        if magic != ZSTD_MAGIC:
-            break
-        frame = data[pos:]
-        size = lib.ZSTD_getFrameContentSize(frame, len(frame))
-        if size in ((1 << 64) - 1, (1 << 64) - 2):  # unknown/error
-            return None
-        lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
-        csize = lib.ZSTD_findFrameCompressedSize(frame, len(frame))
-        if lib.ZSTD_isError(csize):
-            return None
-        buf = ctypes.create_string_buffer(max(int(size), 1))
-        r = lib.ZSTD_decompress(buf, int(size), frame, int(csize))
-        if lib.ZSTD_isError(r):
-            return None
-        out += buf.raw[: int(r)]
-        pos += int(csize)
-    if pos == 0:
+def _native_frame(
+    lib: ctypes.CDLL, data: bytes, pos: int
+) -> tuple[bytes, int] | None:
+    """Decode ONE frame at `pos` via libzstd; None → pure fallback."""
+    frame = data[pos:]
+    size = lib.ZSTD_getFrameContentSize(frame, len(frame))
+    if size in ((1 << 64) - 1, (1 << 64) - 2):  # unknown/error
         return None
-    return bytes(out)
+    lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
+    csize = lib.ZSTD_findFrameCompressedSize(frame, len(frame))
+    if lib.ZSTD_isError(csize):
+        return None
+    buf = ctypes.create_string_buffer(max(int(size), 1))
+    r = lib.ZSTD_decompress(buf, int(size), frame, int(csize))
+    if lib.ZSTD_isError(r):
+        return None
+    return buf.raw[: int(r)], pos + int(csize)
 
 
 def decompress(data: bytes, dict_content: bytes = b"") -> bytes:
-    """Decode a zstd stream: native libzstd when loadable (hot path),
-    else the from-scratch decoder. Behavior-identical by test."""
-    if not dict_content:
-        lib = _load_native()
-        if lib is not None:
-            got = _native_decompress(lib, data)
-            if got is not None:
-                return got
-    return decompress_pure(data, dict_content)
+    """Decode a zstd stream: native libzstd per frame when loadable (the
+    hot path), pure from-scratch decoder otherwise or on fallback.
+    Behavior-identical by test."""
+    return _decompress_all(data, dict_content, native=True)

@@ -212,3 +212,22 @@ def test_decode_native_long_window_frame():
     lib.ZSTD_freeCCtx(ctypes.c_void_p(cctx))
     # streaming frames omit single-segment: window descriptor path
     assert Z.decompress_pure(comp) == data
+
+
+@needs_native
+def test_iter_frames_native_and_pure_agree():
+    data = _corpus()
+    stream = (
+        Z.write_skippable_frame(b"idx")
+        + _lib_compress(data["text"], 19)
+        + Z.compress(data["rle"])
+        + _lib_compress(data["random"], 1)
+    )
+    nat = list(Z.iter_frames(stream, native=True))
+    pure = list(Z.iter_frames(stream, native=False))
+    assert nat == pure == [data["text"], data["rle"], data["random"]]
+    # truncated tail: both stop after the intact frames
+    cut = stream[:-10]
+    assert list(Z.iter_frames(cut, native=True)) == list(
+        Z.iter_frames(cut, native=False)
+    )
