@@ -321,7 +321,10 @@ def decode_ico_all(data: bytes) -> list[np.ndarray]:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             from pdf_parser_spark import media_codecs
 
-            png = media_codecs.decode_png(payload)
+            try:
+                png = media_codecs.decode_png(payload)
+            except Exception as exc:  # zlib errors etc. from a bad entry
+                raise BmpError(f"bad PNG icon entry: {exc}") from exc
             if png.ndim == 2:
                 png = np.stack([png] * 3, axis=-1)
             if png.shape[-1] == 3:

@@ -819,7 +819,7 @@ def _load_native():
     return _NATIVE
 
 
-def _native_decompress(lib, data: bytes) -> bytes | None:
+def _native_decompress(lib, data: bytes, max_output: int | None) -> bytes | None:
     state = lib.BrotliDecoderCreateInstance(None, None, None)
     if not state:
         return None
@@ -840,6 +840,8 @@ def _native_decompress(lib, data: bytes) -> bytes | None:
                 None,
             )
             out += buf.raw[: len(buf) - avail_out.value]
+            if max_output is not None and len(out) > max_output:
+                raise BrotliError("decoded output exceeds cap")
             if r == 1:  # SUCCESS
                 return bytes(out)
             if r == 3:  # NEEDS_MORE_OUTPUT
@@ -849,13 +851,14 @@ def _native_decompress(lib, data: bytes) -> bytes | None:
         lib.BrotliDecoderDestroyInstance(ctypes.c_void_p(state))
 
 
-def decompress(data: bytes) -> bytes:
+def decompress(data: bytes, max_output: int | None = None) -> bytes:
     """Decode a brotli stream: native libbrotlidec when loadable (hot
-    path), else the from-scratch decoder. Behavior-identical by test."""
+    path), else the from-scratch decoder. Behavior-identical by test.
+    max_output caps the decoded size (decompression-bomb guard)."""
     lib = _load_native()
     if lib is not None:
-        got = _native_decompress(lib, data)
+        got = _native_decompress(lib, data, max_output)
         if got is not None:
             return got
         raise BrotliError("invalid brotli stream")
-    return decompress_pure(data)
+    return decompress_pure(data, max_output=max_output)

@@ -265,11 +265,32 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
-def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
+# Decompression-bomb bound for one HTTP body: a crawl archive is
+# adversarial input, and a 1 KB payload claiming to inflate to tens of
+# GB must not take down the executor. 256 MiB is far beyond any honest
+# web page; oversized bodies keep their raw bytes (degrade, don't die).
+MAX_BODY_BYTES = 256 << 20
+
+
+def _bounded_zlib(body: bytes, wbits: int, cap: int) -> bytes:
+    d = zlib.decompressobj(wbits=wbits)
+    out = d.decompress(body, cap + 1)
+    if len(out) > cap or (not d.eof and d.unconsumed_tail):
+        raise ValueError("decompressed body exceeds cap")
+    if not d.eof:
+        raise ValueError("truncated compressed body")
+    return out
+
+
+def split_http_response(
+    payload: bytes, max_body: int = MAX_BODY_BYTES
+) -> tuple[dict[str, str], bytes]:
     """HTTP response bytes → (lowercased headers incl. ':status', body).
 
-    Applies Transfer-Encoding: chunked and Content-Encoding: gzip/deflate
-    so the returned body is the actual entity bytes.
+    Applies Transfer-Encoding: chunked and Content-Encoding: gzip /
+    deflate / zstd / br so the returned body is the actual entity bytes.
+    Every decompressor is bounded by max_body (bomb guard): an oversized
+    or corrupt body degrades to its raw bytes rather than raising.
     """
     hdr_end = payload.find(_HDR_END)
     if hdr_end < 0 or not payload[:5].startswith(b"HTTP/"):
@@ -286,20 +307,20 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
     enc = headers.get("content-encoding", "").lower()
     try:
         if "gzip" in enc:
-            body = gzip.decompress(body)
+            body = _bounded_zlib(body, zlib.MAX_WBITS | 16, max_body)
         elif "deflate" in enc:
             # RFC 9110 'deflate' is the zlib-WRAPPED format; some broken
             # servers send raw deflate — try spec-compliant first
             try:
-                body = zlib.decompress(body)
+                body = _bounded_zlib(body, zlib.MAX_WBITS, max_body)
             except zlib.error:
-                body = zlib.decompress(body, -zlib.MAX_WBITS)
+                body = _bounded_zlib(body, -zlib.MAX_WBITS, max_body)
         elif "zstd" in enc:  # RFC 9659
-            body = zstd_codec.decompress(body)
+            body = zstd_codec.decompress(body, max_output=max_body)
         elif "br" in enc:  # RFC 7932
             from pdf_parser_spark import brotli_codec
 
-            body = brotli_codec.decompress(body)
+            body = brotli_codec.decompress(body, max_output=max_body)
     except Exception:
         pass  # keep raw bytes; charset/extraction layers degrade gracefully
     return headers, body

@@ -39,26 +39,31 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
 def _read_ifd(data: bytes, order: str) -> dict[int, list[int]]:
     if len(data) < 8:
         raise TiffError("too short")
-    (ifd_off,) = struct.unpack_from(order + "I", data, 4)
-    tags: dict[int, list[int]] = {}
-    (count,) = struct.unpack_from(order + "H", data, ifd_off)
-    for i in range(count):
-        pos = ifd_off + 2 + 12 * i
-        tag, typ, n = struct.unpack_from(order + "HHI", data, pos)
-        if typ not in _TYPE_SIZE:
-            continue
-        size = _TYPE_SIZE[typ] * n
-        if size <= 4:
-            raw = data[pos + 8 : pos + 8 + size]
-        else:
-            (off,) = struct.unpack_from(order + "I", data, pos + 8)
-            raw = data[off : off + size]
-        fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}.get(typ)
-        if fmt:
-            tags[tag] = list(struct.unpack(order + fmt * n, raw))
-        elif typ == 5:  # rational
-            vals = struct.unpack(order + "II" * n, raw)
-            tags[tag] = [vals[2 * j] // max(vals[2 * j + 1], 1) for j in range(n)]
+    try:
+        (ifd_off,) = struct.unpack_from(order + "I", data, 4)
+        tags: dict[int, list[int]] = {}
+        (count,) = struct.unpack_from(order + "H", data, ifd_off)
+        for i in range(count):
+            pos = ifd_off + 2 + 12 * i
+            tag, typ, n = struct.unpack_from(order + "HHI", data, pos)
+            if typ not in _TYPE_SIZE:
+                continue
+            size = _TYPE_SIZE[typ] * n
+            if size <= 4:
+                raw = data[pos + 8 : pos + 8 + size]
+            else:
+                (off,) = struct.unpack_from(order + "I", data, pos + 8)
+                raw = data[off : off + size]
+            if len(raw) < size:
+                raise TiffError(f"tag {tag} value runs past the file")
+            fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}.get(typ)
+            if fmt:
+                tags[tag] = list(struct.unpack(order + fmt * n, raw))
+            elif typ == 5:  # rational
+                vals = struct.unpack(order + "II" * n, raw)
+                tags[tag] = [vals[2 * j] // max(vals[2 * j + 1], 1) for j in range(n)]
+    except struct.error as exc:  # truncated IFD / out-of-range offsets
+        raise TiffError(f"malformed IFD: {exc}") from exc
     return tags
 
 
@@ -91,6 +96,8 @@ def _lzw_decode(data: bytes) -> bytes:
             if code == 257:
                 return bytes(out)
             if prev is None:
+                if code >= len(table):
+                    raise TiffError("LZW first code out of range")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]

@@ -680,6 +680,7 @@ def _decode_sequences_exec(
     ml_state = _FseState(ctx.ml, bits)
     reps = ctx.reps
     lit_pos = 0
+    base_len = len(history)
     for i in range(nseq):
         of_code = of_state.symbol()
         if of_code > 31:
@@ -720,6 +721,10 @@ def _decode_sequences_exec(
             lit_pos += lit_len
         if offset > len(history):
             raise ZstdError("match offset beyond decoded history")
+        # spec: a block regenerates at most min(window, 128 KiB) — this is
+        # also the decompression-bomb bound for one block
+        if len(history) - base_len + match_len > _BLOCK_MAX:
+            raise ZstdError("block regenerates past the 128 KiB block cap")
         if match_len:
             start = len(history) - offset
             if offset >= match_len:
@@ -770,13 +775,21 @@ def _parse_frame_header(data: bytes, pos: int) -> tuple[dict, int]:
 
 
 def decompress_frame(
-    data: bytes, pos: int = 0, dict_content: bytes = b""
+    data: bytes,
+    pos: int = 0,
+    dict_content: bytes = b"",
+    max_output: int | None = None,
 ) -> tuple[bytes, int]:
-    """Decode one zstd frame at `pos` → (content, end position)."""
+    """Decode one zstd frame at `pos` → (content, end position).
+
+    max_output bounds the decoded size — a crawl engine must treat every
+    compressed payload as a potential decompression bomb."""
     magic = int.from_bytes(data[pos : pos + 4], "little")
     if magic != ZSTD_MAGIC:
         raise ZstdError(f"bad zstd magic 0x{magic:08x}")
     hdr, pos = _parse_frame_header(data, pos + 4)
+    if max_output is not None and hdr["fcs"] is not None and hdr["fcs"] > max_output:
+        raise ZstdError(f"frame content size {hdr['fcs']} exceeds cap")
     window = hdr["window"] if hdr["window"] is not None else _BLOCK_MAX
     ctx = _FrameCtx(max(window, 1))
     history = bytearray(dict_content)
@@ -784,15 +797,24 @@ def decompress_frame(
     if dict_len:
         ctx.window_size += dict_len  # dict counts as preloaded history
     while True:
+        if max_output is not None and len(history) - dict_len > max_output:
+            raise ZstdError("decoded output exceeds cap")
+        if pos + 3 > len(data):
+            # int.from_bytes(b'') would read as an endless raw block
+            raise ZstdError("truncated block header")
         bh = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3
         last = bh & 1
         btype = (bh >> 1) & 3
         bsize = bh >> 3
         if btype == 0:  # raw
+            if pos + bsize > len(data):
+                raise ZstdError("truncated raw block")
             history += data[pos : pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE
+            if pos >= len(data):
+                raise ZstdError("truncated RLE block")
             history += bytes([data[pos]]) * bsize
             pos += 1
         elif btype == 2:
@@ -823,6 +845,7 @@ def iter_frames(
     dict_content: bytes = b"",
     tolerant: bool = True,
     native: bool = True,
+    max_output: int | None = None,
 ) -> Iterator[bytes]:
     """Iterate zstd frames in a multi-frame stream (e.g. .warc.zst),
     skipping skippable frames.
@@ -851,7 +874,7 @@ def iter_frames(
                 return
             raise ZstdError(f"bad zstd magic 0x{magic:08x}")
         if lib is not None:
-            got = _native_frame(lib, data, pos)
+            got = _native_frame(lib, data, pos, max_output)
             if got is not None:
                 content, pos = got
                 yield content
@@ -859,7 +882,7 @@ def iter_frames(
             # fall through to the pure decoder for this frame (unknown
             # content size or native error — pure gives the real verdict)
         try:
-            content, pos = decompress_frame(data, pos, dict_content)
+            content, pos = decompress_frame(data, pos, dict_content, max_output)
         except (ZstdError, IndexError, struct.error):
             if tolerant:
                 return
@@ -867,19 +890,27 @@ def iter_frames(
         yield content
 
 
-def decompress_pure(data: bytes, dict_content: bytes = b"") -> bytes:
+def decompress_pure(
+    data: bytes, dict_content: bytes = b"", max_output: int | None = None
+) -> bytes:
     """Pure-Python decode of a (possibly multi-frame) zstd stream.
     Strict: any corruption raises ZstdError."""
-    return _decompress_all(data, dict_content, native=False)
+    return _decompress_all(data, dict_content, native=False, max_output=max_output)
 
 
-def _decompress_all(data: bytes, dict_content: bytes, native: bool) -> bytes:
+def _decompress_all(
+    data: bytes, dict_content: bytes, native: bool, max_output: int | None = None
+) -> bytes:
     out = bytearray()
     saw = False
     try:
-        for content in iter_frames(data, dict_content, tolerant=False, native=native):
+        for content in iter_frames(
+            data, dict_content, tolerant=False, native=native, max_output=max_output
+        ):
             out += content
             saw = True
+            if max_output is not None and len(out) > max_output:
+                raise ZstdError("decoded output exceeds cap")
     except (IndexError, struct.error) as exc:  # truncation reads
         raise ZstdError(f"truncated zstd stream: {exc}") from exc
     if not saw:
@@ -1222,13 +1253,15 @@ def _load_native() -> ctypes.CDLL | None:
 
 
 def _native_frame(
-    lib: ctypes.CDLL, data: bytes, pos: int
+    lib: ctypes.CDLL, data: bytes, pos: int, max_output: int | None = None
 ) -> tuple[bytes, int] | None:
     """Decode ONE frame at `pos` via libzstd; None → pure fallback."""
     frame = data[pos:]
     size = lib.ZSTD_getFrameContentSize(frame, len(frame))
     if size in ((1 << 64) - 1, (1 << 64) - 2):  # unknown/error
         return None
+    if max_output is not None and int(size) > max_output:
+        raise ZstdError(f"frame content size {int(size)} exceeds cap")
     lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
     csize = lib.ZSTD_findFrameCompressedSize(frame, len(frame))
     if lib.ZSTD_isError(csize):
@@ -1240,8 +1273,11 @@ def _native_frame(
     return buf.raw[: int(r)], pos + int(csize)
 
 
-def decompress(data: bytes, dict_content: bytes = b"") -> bytes:
+def decompress(
+    data: bytes, dict_content: bytes = b"", max_output: int | None = None
+) -> bytes:
     """Decode a zstd stream: native libzstd per frame when loadable (the
     hot path), pure from-scratch decoder otherwise or on fallback.
-    Behavior-identical by test."""
-    return _decompress_all(data, dict_content, native=True)
+    Behavior-identical by test. max_output caps the total decoded size
+    (decompression-bomb guard)."""
+    return _decompress_all(data, dict_content, native=True, max_output=max_output)

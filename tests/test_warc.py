@@ -306,3 +306,29 @@ def test_http_unwrap_content_encoding_br():
     payload_bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\xff\xffJUNK"
     _, raw = warc.split_http_response(payload_bad)
     assert raw == b"\xff\xffJUNK"
+
+
+def test_decompression_bombs_degrade_to_raw():
+    """A body claiming to inflate past the cap keeps its raw bytes; the
+    task survives. Covers all four content encodings."""
+    import gzip as _gzip
+
+    from pdf_parser_spark import brotli_codec, zstd_codec
+
+    bomb_plain = b"\x00" * (1 << 20)  # 1 MiB of zeros compresses tiny
+    cases = {
+        "gzip": _gzip.compress(bomb_plain),
+        "deflate": __import__("zlib").compress(bomb_plain),
+        "zstd": zstd_codec.compress(bomb_plain, level="rle"),
+        "br": brotli_codec.compress(bomb_plain),
+    }
+    for enc, comp in cases.items():
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + enc.encode() + b"\r\n\r\n" + comp
+        )
+        # generous cap: decodes fine
+        _, ok_body = warc.split_http_response(payload, max_body=2 << 20)
+        assert ok_body == bomb_plain, enc
+        # tight cap: raw bytes come back, nothing raises
+        _, raw = warc.split_http_response(payload, max_body=1024)
+        assert raw == comp, enc
