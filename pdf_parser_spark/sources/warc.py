@@ -210,10 +210,13 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         <= int.from_bytes(data[:4], "little")
         <= zstd_codec.SKIPPABLE_MAGIC_MAX
     ):
-        # .warc.zst: per-record zstd frames; skippable frames (seek
-        # index / dictionary carriers) skipped; corrupt tail tolerated
-        # exactly like _gzip_members
-        streams = zstd_codec.iter_frames(data, tolerant=True)
+        # .warc.zst: per-record zstd frames; a leading skippable frame
+        # may carry the shared compression dictionary (IIPC layout) —
+        # extract it, then decode members against it; the seek-index
+        # skippable frame is skipped; corrupt tail tolerated exactly
+        # like _gzip_members
+        zdict = zstd_codec.extract_warc_dictionary(data)
+        streams = zstd_codec.iter_frames(data, dict_content=zdict, tolerant=True)
     else:
         streams = iter([data])
     for stream in streams:

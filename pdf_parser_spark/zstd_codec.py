@@ -542,19 +542,67 @@ def _predef(kind: str) -> FseDecodeTable:
 # =====================================================================
 
 
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5).
+
+    Structured dictionaries (magic 0xEC30A437) carry a dict id, initial
+    entropy tables (literals Huffman, then OF/ML/LL FSE), initial repeat
+    offsets, and content; anything else is a raw content dictionary."""
+
+    __slots__ = ("dict_id", "content", "huf", "of", "ml", "ll", "reps", "raw")
+
+    def __init__(self, data: bytes):
+        self.dict_id = 0
+        self.huf = self.of = self.ml = self.ll = None
+        self.reps = None
+        self.raw = data  # the undigested bytes (native path feeds libzstd)
+        if int.from_bytes(data[:4], "little") != DICT_MAGIC:
+            self.content = data
+            return
+        self.dict_id = int.from_bytes(data[4:8], "little")
+        pos = 8
+        weights, consumed = _read_huf_weights(data[pos:])
+        self.huf = HufTable(weights)
+        pos += consumed
+        for kind, max_sym, max_acc in (
+            ("of", _MAX_OF_SYMBOL, 8),
+            ("ml", _MAX_ML_SYMBOL, 9),
+            ("ll", _MAX_LL_SYMBOL, 9),
+        ):
+            counts, acc, used = read_fse_ncount(data[pos:], max_sym, max_acc)
+            setattr(self, kind, FseDecodeTable(counts, acc))
+            pos += used
+        reps = [
+            int.from_bytes(data[pos + 4 * i : pos + 4 * (i + 1)], "little")
+            for i in range(3)
+        ]
+        if any(r == 0 for r in reps):
+            raise ZstdError("dictionary repeat offset of zero")
+        self.reps = reps
+        pos += 12
+        self.content = data[pos:]
+
+
 class _FrameCtx:
     """Per-frame entropy state: Huffman table + sequence tables persist
     across blocks (treeless literals, Repeat_Mode); repeat offsets do too."""
 
     __slots__ = ("huf", "ll", "ml", "of", "reps", "window_size")
 
-    def __init__(self, window_size: int):
+    def __init__(self, window_size: int, zdict: "ZstdDict | None" = None):
         self.huf: HufTable | None = None
         self.ll: FseDecodeTable | None = None
         self.ml: FseDecodeTable | None = None
         self.of: FseDecodeTable | None = None
         self.reps = [1, 4, 8]
         self.window_size = window_size
+        if zdict is not None:
+            self.huf = zdict.huf
+            self.of = zdict.of
+            self.ml = zdict.ml
+            self.ll = zdict.ll
+            if zdict.reps:
+                self.reps = list(zdict.reps)
 
 
 def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
@@ -777,11 +825,13 @@ def _parse_frame_header(data: bytes, pos: int) -> tuple[dict, int]:
 def decompress_frame(
     data: bytes,
     pos: int = 0,
-    dict_content: bytes = b"",
+    dict_content: "bytes | ZstdDict" = b"",
     max_output: int | None = None,
 ) -> tuple[bytes, int]:
     """Decode one zstd frame at `pos` → (content, end position).
 
+    dict_content: raw history bytes OR a parsed ZstdDict (structured
+    dictionaries carry entropy tables and repeat offsets too).
     max_output bounds the decoded size — a crawl engine must treat every
     compressed payload as a potential decompression bomb."""
     magic = int.from_bytes(data[pos : pos + 4], "little")
@@ -790,9 +840,25 @@ def decompress_frame(
     hdr, pos = _parse_frame_header(data, pos + 4)
     if max_output is not None and hdr["fcs"] is not None and hdr["fcs"] > max_output:
         raise ZstdError(f"frame content size {hdr['fcs']} exceeds cap")
+    zdict: ZstdDict | None
+    if isinstance(dict_content, ZstdDict):
+        zdict = dict_content
+    elif dict_content:
+        zdict = ZstdDict(dict_content)
+    else:
+        zdict = None
+    if (
+        zdict is not None
+        and hdr["dict_id"]
+        and zdict.dict_id
+        and hdr["dict_id"] != zdict.dict_id
+    ):
+        raise ZstdError(
+            f"frame wants dictionary {hdr['dict_id']}, got {zdict.dict_id}"
+        )
     window = hdr["window"] if hdr["window"] is not None else _BLOCK_MAX
-    ctx = _FrameCtx(max(window, 1))
-    history = bytearray(dict_content)
+    ctx = _FrameCtx(max(window, 1), zdict)
+    history = bytearray(zdict.content if zdict is not None else b"")
     dict_len = len(history)
     if dict_len:
         ctx.window_size += dict_len  # dict counts as preloaded history
@@ -858,7 +924,13 @@ def iter_frames(
     — the hot path: a crawl archive is ~1 GB of frames, and the pure
     decoder is for correctness, not throughput. Per-frame fallback to
     the pure decoder keeps behavior identical (tests assert equality)."""
-    lib = _load_native() if (native and not dict_content) else None
+    if isinstance(dict_content, ZstdDict):
+        raw_dict: bytes = dict_content.raw
+    else:
+        raw_dict = dict_content
+        if dict_content:
+            dict_content = ZstdDict(dict_content)
+    lib = _load_native() if native else None
     pos = 0
     n = len(data)
     while pos + 4 <= n:
@@ -874,7 +946,7 @@ def iter_frames(
                 return
             raise ZstdError(f"bad zstd magic 0x{magic:08x}")
         if lib is not None:
-            got = _native_frame(lib, data, pos, max_output)
+            got = _native_frame(lib, data, pos, max_output, raw_dict)
             if got is not None:
                 content, pos = got
                 yield content
@@ -1224,6 +1296,32 @@ def write_skippable_frame(payload: bytes, magic_low_nibble: int = 0) -> bytes:
     return struct.pack("<II", magic, len(payload)) + payload
 
 
+WARC_DICT_MAGIC = 0x184D2A5D  # the IIPC .warc.zst dictionary carrier
+
+
+def extract_warc_dictionary(data: bytes) -> bytes:
+    """The shared dictionary from a .warc.zst archive's leading skippable
+    frames (magic 0x184D2A5D), per the IIPC layout. The carried payload
+    may itself be zstd-compressed. b'' when no dictionary frame exists."""
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        if not SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+            return b""
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        payload = data[pos + 8 : pos + 8 + size]
+        if magic == WARC_DICT_MAGIC and len(payload) == size:
+            if payload[:4] == b"\x28\xb5\x2f\xfd":
+                try:
+                    return decompress(payload)
+                except ZstdError:
+                    return b""
+            return bytes(payload)
+        pos += 8 + size
+    return b""
+
+
 # =====================================================================
 # Engine dispatch: prefer the native library, fall back to pure Python
 # =====================================================================
@@ -1253,7 +1351,11 @@ def _load_native() -> ctypes.CDLL | None:
 
 
 def _native_frame(
-    lib: ctypes.CDLL, data: bytes, pos: int, max_output: int | None = None
+    lib: ctypes.CDLL,
+    data: bytes,
+    pos: int,
+    max_output: int | None = None,
+    raw_dict: bytes = b"",
 ) -> tuple[bytes, int] | None:
     """Decode ONE frame at `pos` via libzstd; None → pure fallback."""
     frame = data[pos:]
@@ -1267,7 +1369,28 @@ def _native_frame(
     if lib.ZSTD_isError(csize):
         return None
     buf = ctypes.create_string_buffer(max(int(size), 1))
-    r = lib.ZSTD_decompress(buf, int(size), frame, int(csize))
+    if raw_dict:
+        lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+        lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+        # explicit prototypes: size_t args passed as c_int corrupt the
+        # stack on some ABIs (observed as a segfault)
+        lib.ZSTD_decompress_usingDict.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+        dctx = lib.ZSTD_createDCtx()
+        if not dctx:
+            return None
+        try:
+            r = lib.ZSTD_decompress_usingDict(
+                ctypes.c_void_p(dctx), ctypes.cast(buf, ctypes.c_void_p),
+                int(size), bytes(frame), int(csize), raw_dict, len(raw_dict),
+            )
+        finally:
+            lib.ZSTD_freeDCtx(ctypes.c_void_p(dctx))
+    else:
+        r = lib.ZSTD_decompress(buf, int(size), frame, int(csize))
     if lib.ZSTD_isError(r):
         return None
     return buf.raw[: int(r)], pos + int(csize)

@@ -332,3 +332,68 @@ def test_decompression_bombs_degrade_to_raw():
         # tight cap: raw bytes come back, nothing raises
         _, raw = warc.split_http_response(payload, max_body=1024)
         assert raw == comp, enc
+
+
+def test_warc_zst_with_shared_dictionary():
+    """IIPC layout: a leading skippable frame (magic 0x184D2A5D) carries
+    a trained dictionary; member records are compressed against it."""
+    import ctypes
+
+    import pytest as _pytest
+
+    from pdf_parser_spark import zstd_codec
+
+    try:
+        lib = ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        _pytest.skip("libzstd not loadable")
+    lib.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    lib.ZDICT_trainFromBuffer.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_uint,
+    ]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+
+    pages = [
+        (f"https://d{i}.example/p", "2026-01-01T00:00:00Z",
+         f"<html><body><p>shared boilerplate page {i}</p></body></html>".encode())
+        for i in range(40)
+    ]
+    plain = warc.write_warc(pages, compression="none")
+    # train on the record bytes themselves
+    recs = [r.start() for r in __import__("re").finditer(b"WARC/1.0", plain)] + [len(plain)]
+    samples = [plain[a:b] for a, b in zip(recs, recs[1:])]
+    blob = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    buf = ctypes.create_string_buffer(8192)
+    r = lib.ZDICT_trainFromBuffer(buf, 8192, blob, sizes, len(samples))
+    if lib.ZDICT_isError(r):
+        _pytest.skip("dictionary training failed on this corpus size")
+    zdict = buf.raw[:r]
+
+    def comp_dict(msg: bytes) -> bytes:
+        cctx = lib.ZSTD_createCCtx()
+        bound = lib.ZSTD_compressBound(len(msg))
+        out = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress_usingDict(
+            ctypes.c_void_p(cctx), ctypes.cast(out, ctypes.c_void_p), bound,
+            msg, len(msg), zdict, len(zdict), 3,
+        )
+        lib.ZSTD_freeCCtx(ctypes.c_void_p(cctx))
+        assert not lib.ZSTD_isError(n)
+        return out.raw[:n]
+
+    archive = zstd_codec.write_skippable_frame(zdict, 0xD) + b"".join(
+        comp_dict(s) for s in samples
+    )
+    rows = list(warc.warc_to_page_rows(archive))
+    assert [r["url"] for r in rows] == [u for u, _, _ in pages]
+    assert [r["html"] for r in rows] == [h for _, _, h in pages]

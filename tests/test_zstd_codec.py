@@ -231,3 +231,92 @@ def test_iter_frames_native_and_pure_agree():
     assert list(Z.iter_frames(cut, native=True)) == list(
         Z.iter_frames(cut, native=False)
     )
+
+
+def _train_dict(samples: list[bytes], cap: int = 16384) -> bytes:
+    lib = _LIB
+    lib.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    lib.ZDICT_trainFromBuffer.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_uint,
+    ]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    blob = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    buf = ctypes.create_string_buffer(cap)
+    r = lib.ZDICT_trainFromBuffer(buf, cap, blob, sizes, len(samples))
+    assert not lib.ZDICT_isError(r)
+    return buf.raw[:r]
+
+
+def _compress_with_dict(msg: bytes, zdict: bytes, level: int = 3) -> bytes:
+    lib = _LIB
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    cctx = lib.ZSTD_createCCtx()
+    bound = _LIB.ZSTD_compressBound(len(msg))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress_usingDict(
+        ctypes.c_void_p(cctx), ctypes.cast(out, ctypes.c_void_p), bound,
+        msg, len(msg), zdict, len(zdict), level,
+    )
+    lib.ZSTD_freeCCtx(ctypes.c_void_p(cctx))
+    assert not lib.ZSTD_isError(n)
+    return out.raw[:n]
+
+
+def _dict_samples() -> list[bytes]:
+    rng = random.Random(9)
+    words = [
+        bytes(rng.choices(b"abcdefgh <>/=", k=rng.randint(3, 10)))
+        for _ in range(60)
+    ]
+    return [
+        b"<html><body>" + b" ".join(rng.choices(words, k=60)) + b"</body></html>"
+        for _ in range(200)
+    ]
+
+
+@needs_native
+def test_structured_dictionary_decode():
+    """RFC 8878 §5 dictionaries: a real ZDICT-trained dictionary parses
+    (id, entropy tables, rep offsets, content) and members compressed
+    against it decode identically on the pure and native paths."""
+    samples = _dict_samples()
+    zdict_raw = _train_dict(samples)
+    d = Z.ZstdDict(zdict_raw)
+    assert d.dict_id != 0 and d.huf is not None and d.of is not None
+    for msg in samples[:5]:
+        comp = _compress_with_dict(msg, zdict_raw)
+        hdr, _ = Z._parse_frame_header(comp, 4)
+        assert hdr["dict_id"] == d.dict_id  # members reference the dict
+        assert Z.decompress_pure(comp, dict_content=zdict_raw) == msg
+        assert Z.decompress(comp, dict_content=zdict_raw) == msg
+    # wrong dictionary id fails loudly, not garbage output
+    other = bytearray(zdict_raw)
+    other[4] ^= 0xFF  # change the dict id
+    with pytest.raises(Z.ZstdError, match="dictionary"):
+        Z.decompress_pure(
+            _compress_with_dict(samples[0], zdict_raw), dict_content=bytes(other)
+        )
+
+
+@needs_native
+def test_extract_warc_dictionary_frame():
+    samples = _dict_samples()
+    zdict_raw = _train_dict(samples)
+    # plain carrier
+    arch = Z.write_skippable_frame(zdict_raw, 0xD) + _compress_with_dict(
+        samples[0], zdict_raw
+    )
+    assert Z.extract_warc_dictionary(arch) == zdict_raw
+    assert list(Z.iter_frames(arch, dict_content=zdict_raw)) == [samples[0]]
+    # compressed carrier (the IIPC layout allows a zstd-compressed dict)
+    arch2 = Z.write_skippable_frame(Z.compress(zdict_raw), 0xD)
+    assert Z.extract_warc_dictionary(arch2) == zdict_raw
+    # no dictionary -> empty
+    assert Z.extract_warc_dictionary(Z.compress(b"x")) == b""
