@@ -33,6 +33,10 @@ import numpy as np
 class BmpError(ValueError):
     """Malformed or unsupported BMP/ICO payload."""
 
+from pdf_parser_spark.media_codecs import format_boundary
+
+_boundary = format_boundary("BMP/ICO", BmpError)
+
 
 # ---------------------------------------------------------------- BMP decode
 
@@ -256,6 +260,7 @@ def decode_bmp_dib(data: bytes, ico_mode: bool = False) -> np.ndarray:
     return out
 
 
+@_boundary
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP file bytes -> (h, w, 4) uint8 RGBA."""
     if data[:2] != b"BM":
@@ -314,6 +319,7 @@ def _ico_entries(data: bytes) -> list[tuple[int, int, bytes]]:
     return out
 
 
+@_boundary
 def decode_ico_all(data: bytes) -> list[np.ndarray]:
     """Every icon entry decoded to (h, w, 4) RGBA."""
     out = []
@@ -337,6 +343,7 @@ def decode_ico_all(data: bytes) -> list[np.ndarray]:
     return out
 
 
+@_boundary
 def decode_ico(data: bytes) -> np.ndarray:
     """The largest icon in the file (the conventional pick) as RGBA."""
     imgs = decode_ico_all(data)

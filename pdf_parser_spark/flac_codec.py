@@ -34,6 +34,10 @@ import numpy as np
 class FlacError(ValueError):
     """Malformed or unsupported FLAC stream."""
 
+from pdf_parser_spark.media_codecs import format_boundary
+
+_boundary = format_boundary("FLAC", FlacError)
+
 
 _BLOCK = 4096
 
@@ -279,6 +283,7 @@ def _read_subframe(br: _Bits, block_size: int, bps: int) -> np.ndarray:
     return out
 
 
+@_boundary
 def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
     """FLAC bytes -> ((n_samples, channels) int32 array, sample_rate)."""
     if data[:4] != b"fLaC":

@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from pdf_parser_spark.media_codecs import format_boundary
+
 __all__ = ["decode_gif", "encode_gif"]
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -161,6 +163,7 @@ def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
 
 # ---------------------------------------------------------------- decode
 
+@format_boundary("GIF")
 def decode_gif(data: bytes) -> tuple[np.ndarray, list[int]]:
     """GIF bytes → ((n, H, W, 4) uint8 RGBA frames, per-frame delay ms)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):

@@ -44,6 +44,8 @@ import struct
 
 import numpy as np
 
+from pdf_parser_spark.media_codecs import format_boundary
+
 # ---------------------------------------------------------------- tables
 # ITU-T T.81 Annex K.1 — example quantization tables (row-major 8x8).
 _QUANT_LUMA = np.array([
@@ -656,6 +658,7 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     return _next_marker(data, reader.pos)
 
 
+@format_boundary("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(H, W, {1,3}) uint8 from JFIF/JPEG bytes — baseline sequential
     (SOF0/SOF1) AND progressive (SOF2, spectral selection + successive

@@ -26,12 +26,50 @@ inside its Arrow-batched mapInPandas stages.
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
 import zlib
 
 import numpy as np
+
+
+def format_boundary(fmt: str, exc_cls=ValueError):
+    """Decorator for public DECODE entry points: any internal failure on
+    malformed bytes (struct underruns, index walks off a table, zlib
+    errors, division by a zero field...) surfaces as the codec's typed
+    error instead of an accidental exception class. A 100 TB crawl feeds
+    decoders adversarial bytes; callers must get ONE exception family.
+    """
+    internal = (
+        struct.error,
+        IndexError,
+        KeyError,
+        ZeroDivisionError,
+        OverflowError,
+        zlib.error,
+        EOFError,
+        UnicodeDecodeError,
+        wave.Error,
+        RuntimeError,  # stdlib wave raises a bare RuntimeError on bad seeks
+    )
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (exc_cls, NotImplementedError):
+                raise
+            except internal as exc:
+                raise exc_cls(
+                    f"malformed {fmt}: {type(exc).__name__}: {exc}"
+                ) from exc
+
+        return wrapper
+
+    return deco
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
@@ -117,6 +155,7 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> "np.ndarray":
     return out.reshape(h, w, ch)
 
 
+@format_boundary("PNG")
 def decode_png(data: bytes) -> "np.ndarray":
     """(H, W, channels) uint8 from 8-bit non-interlaced PNG bytes."""
     if not data.startswith(_PNG_SIG):
@@ -166,6 +205,7 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+@format_boundary("WAV")
 def decode_wav(data: bytes) -> tuple["np.ndarray", int]:
     """((N, channels) int16 samples, sample_rate) from 16-bit PCM WAV."""
     if not data.startswith(b"RIFF"):
@@ -218,6 +258,7 @@ def encode_y4m(frames: "np.ndarray", fps: tuple[int, int] = (25, 1),
     return b"".join(out)
 
 
+@format_boundary("Y4M")
 def decode_y4m(data: bytes) -> "np.ndarray":
     """(n_frames, h, w, 3) uint8 YUV frames from a YUV4MPEG2 stream.
 

@@ -39,6 +39,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from pdf_parser_spark.media_codecs import format_boundary
+
 # Matroska element IDs (public registry), as the raw on-disk byte strings
 _ID_EBML = b"\x1a\x45\xdf\xa3"
 _ID_DOCTYPE = b"\x42\x82"
@@ -236,6 +238,7 @@ def demux_mkv(data: bytes) -> MkvTrack:
     )
 
 
+@format_boundary("mkv")
 def decode_mkv(data: bytes) -> "np.ndarray":
     """mkv/webm → (n_frames, h, w, 3) uint8 frame stack.
 

@@ -53,6 +53,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from pdf_parser_spark.media_codecs import format_boundary
+
 _RAW_FOURCC = b"raw "  # ISO/QuickTime uncompressed RGB video sample entry
 
 
@@ -257,6 +259,7 @@ def demux_mp4(data: bytes) -> Mp4Track:
     )
 
 
+@format_boundary("mp4")
 def decode_mp4(data: bytes) -> "np.ndarray":
     """mp4 → (n_frames, h, w, 3) uint8 frame stack.
 

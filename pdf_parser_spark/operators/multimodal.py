@@ -313,7 +313,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     )[:FEATURE_DIM]
                     feats.append([round(float(x), 6) for x in v])
                     ok.append(True)
-                except NotImplementedError:
+                except (ValueError, NotImplementedError):
                     feats.append(None)
                     ok.append(False)
             yield pd.DataFrame(
@@ -394,7 +394,7 @@ def image_phash(media: DataFrame, fake: bool = True, hash_size: int = 8,
                     arr = _decode(bytes(payload), "image", fake)
                     hashes.append(_phash_bits(arr, hash_size, resample))
                     ok.append(True)
-                except NotImplementedError:
+                except (ValueError, NotImplementedError):
                     hashes.append(0)
                     ok.append(False)
             yield pd.DataFrame(
@@ -459,7 +459,10 @@ def video_frame_phashes(media: DataFrame, every_ms: int = 1000,
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                frames = _decode(bytes(payload), "video", fake)
+                try:
+                    frames = _decode(bytes(payload), "video", fake)
+                except (ValueError, NotImplementedError):
+                    continue  # corrupt/undecodable video: drop the row
                 n = max(1, int(dur or 0) // every_ms)
                 for j in range(min(n, len(frames))):
                     rows.append(
@@ -549,11 +552,16 @@ def audio_spectrogram_features(media: DataFrame, n_bands: int = 16,
                 try:
                     data = bytes(payload)
                     if not fake:
-                        if not data.startswith(b"RIFF"):
+                        if data.startswith(b"RIFF"):
+                            samples, rate = media_codecs.decode_wav(data)
+                        elif data.startswith(b"fLaC"):
+                            from pdf_parser_spark import flac_codec
+
+                            samples, rate = flac_codec.decode_flac(data)
+                        else:
                             raise NotImplementedError(
-                                "real audio decode supports 16-bit PCM WAV only"
+                                "real audio decode supports WAV and FLAC only"
                             )
-                        samples, rate = media_codecs.decode_wav(data)
                         mono = samples.astype(np.float64).mean(axis=1) / 32768.0
                     else:
                         raw = _decode(data, "audio", fake=True)
@@ -579,7 +587,7 @@ def audio_spectrogram_features(media: DataFrame, n_bands: int = 16,
                     nfr.append(n_frames)
                     peaks.append(peak_bin * float(rate) / frame_len)
                     ok.append(True)
-                except NotImplementedError:
+                except (ValueError, NotImplementedError):
                     feats.append(None)
                     nfr.append(0)
                     peaks.append(None)
@@ -627,7 +635,11 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
             out_payload = []
             for payload in pdf["payload"]:
                 data = bytes(payload)
-                arr = _decode(data, "image", fake)
+                try:
+                    arr = _decode(data, "image", fake)
+                except (ValueError, NotImplementedError):
+                    out_payload.append(data)  # undecodable: pass through
+                    continue
                 ys = (np.arange(height) * arr.shape[0] // height)
                 xs = (np.arange(width) * arr.shape[1] // width)
                 resized = arr[ys][:, xs]
@@ -658,7 +670,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
-                frames = _decode(bytes(payload), "video", fake)
+                try:
+                    frames = _decode(bytes(payload), "video", fake)
+                except (ValueError, NotImplementedError):
+                    continue  # corrupt/undecodable video: drop the row
                 n = max(1, int(dur or 0) // every_ms)
                 for j in range(min(n, len(frames))):
                     frame = frames[j % len(frames)]

@@ -31,6 +31,10 @@ import numpy as np
 class TiffError(ValueError):
     """Malformed or unsupported TIFF payload."""
 
+from pdf_parser_spark.media_codecs import format_boundary
+
+_boundary = format_boundary("TIFF", TiffError)
+
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
               11: 4, 12: 8}
@@ -196,6 +200,7 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+@_boundary
 def decode_tiff(data: bytes) -> np.ndarray:
     """TIFF bytes -> (h, w) gray or (h, w, 3|4) uint8 array (first IFD)."""
     if data[:2] == b"II" and data[2:4] == b"\x2a\x00":

@@ -39,6 +39,10 @@ import numpy as np
 class WebpError(ValueError):
     """Malformed or unsupported WebP stream."""
 
+from pdf_parser_spark.media_codecs import format_boundary
+
+_boundary = format_boundary("WebP", WebpError)
+
 
 # 120-entry plane-code -> (dx, dy) map, derived from libwebp by
 # scripts/derive_webp_distances.py (re-verified by tests when present)
@@ -567,6 +571,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     )
 
 
+@_boundary
 def decode_webp(data: bytes) -> np.ndarray:
     """RIFF/WEBP container -> (h, w, 4) uint8 RGBA (lossless only)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":

@@ -133,3 +133,42 @@ def test_fuzz_warc_record_stream():
             with _deadline(20):
                 rows = list(warc.warc_to_page_rows(mut))
             assert isinstance(rows, list)
+
+
+def test_fuzz_png_jpeg_gif():
+    from pdf_parser_spark import gif_codec, jpeg_codec, media_codecs
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+    pal_img = np.stack([(np.arange(16 * 20).reshape(16, 20) % 7).astype(np.uint8) * 30] * 3, axis=-1)
+    _fuzz(media_codecs.decode_png, media_codecs.encode_png(img), (ValueError,), 10)
+    _fuzz(jpeg_codec.decode_jpeg, jpeg_codec.encode_jpeg(img), (ValueError,), 11)
+    _fuzz(
+        jpeg_codec.decode_jpeg,
+        jpeg_codec.encode_jpeg_progressive(img),
+        (ValueError,),
+        12,
+    )
+    _fuzz(gif_codec.decode_gif, gif_codec.encode_gif(pal_img), (ValueError,), 13)
+
+
+def test_fuzz_wav_y4m_containers():
+    from pdf_parser_spark import media_codecs, mkv_demux, mp4_demux
+
+    rng = np.random.default_rng(1)
+    pcm = (5000 * np.sin(np.arange(4000) * 0.05)).astype(np.int16)
+    frames = rng.integers(0, 256, size=(3, 16, 16, 3), dtype=np.uint8)
+    _fuzz(media_codecs.decode_wav, media_codecs.encode_wav(pcm), (ValueError,), 14)
+    _fuzz(media_codecs.decode_y4m, media_codecs.encode_y4m(frames), (ValueError,), 15)
+    _fuzz(
+        mp4_demux.decode_mp4,
+        mp4_demux.encode_mp4_raw(frames),
+        (ValueError, NotImplementedError),
+        16,
+    )
+    _fuzz(
+        mkv_demux.decode_mkv,
+        mkv_demux.encode_mkv_raw(frames),
+        (ValueError, NotImplementedError),
+        17,
+    )

@@ -329,3 +329,41 @@ def test_decode_dispatch_tiff():
                           "image", fake=False)
     via_png = mm._decode(media_codecs.encode_png(rgb), "image", fake=False)
     assert np.array_equal(via_tiff, via_png[:, :, :3])
+
+
+def test_corrupt_payloads_degrade_per_row(spark):
+    """A corrupt payload must drop/flag its OWN row, never kill the task
+    — the crawl-robustness contract for every media operator."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = media_codecs.encode_png(img)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # corrupt IDAT
+    meta = {"mime": None, "width": None, "height": None,
+            "duration_ms": None, "sample_rate": None}
+    rows = [(0, "u0", "image", good, meta),
+            (1, "u1", "image", bytes(bad), meta)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = mm.extract_features(df, fake=False).orderBy("media_id").collect()
+    assert [r["decoded"] for r in got] == [True, False]
+    hashed = mm.image_phash(df, fake=False).orderBy("media_id").collect()
+    assert [r["decoded"] for r in hashed] == [True, False]  # row flagged
+
+
+def test_audio_features_accept_flac(spark):
+    from pdf_parser_spark import flac_codec
+
+    t = np.arange(8000)
+    pcm = (8000 * np.sin(t * 0.04)).astype(np.int16)
+    meta = {"mime": None, "width": None, "height": None,
+            "duration_ms": None, "sample_rate": 16000}
+    rows = [(0, "u0", "audio", flac_codec.encode_flac(pcm, 16000), meta),
+            (1, "u1", "audio", media_codecs.encode_wav(pcm, 16000), meta)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = (
+        mm.audio_spectrogram_features(df, fake=False)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert all(r["decoded"] for r in got)
+    assert np.allclose(got[0]["feature"], got[1]["feature"])
