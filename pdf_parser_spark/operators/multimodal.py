@@ -102,31 +102,70 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
-def _real_payload(i: int, kind: str) -> bytes:
-    """Deterministic REAL payload: a valid PNG / WAV / Y4M, a pure
-    function of i."""
+def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
+    """Deterministic REAL (payload, mime): a valid file in one of the
+    from-scratch-decodable formats, a pure function of i.
+
+    Image rows rotate PNG / JPEG (baseline + progressive) / WebP-lossless
+    / GIF / BMP / ICO / TIFF, audio rows alternate WAV and FLAC, video
+    rows rotate mp4 / mkv-webm / Y4M — so the fake=False operator paths
+    exercise EVERY real decoder end to end, including in the benched
+    contract entries."""
     from pdf_parser_spark import media_codecs
 
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
     if kind == "image":
         h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
-        if i % 6 == 3:  # alternate image rows are JFIF — and those rows
-            # themselves alternate baseline / PROGRESSIVE (SOF2), so the
-            # fake=False operator path exercises both decode modes
+        if i % 6 == 3:  # JFIF rows alternate baseline / PROGRESSIVE (SOF2)
             from pdf_parser_spark import jpeg_codec
 
             ch = 1 if i % 12 == 9 else 3
             arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
             enc = (jpeg_codec.encode_jpeg_progressive
                    if i % 12 == 3 else jpeg_codec.encode_jpeg)
-            return enc(arr, quality=90)
+            return enc(arr, quality=90), "image/jpeg"
+        slot = i % 24
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if slot == 1:
+            from pdf_parser_spark import webp_codec
+
+            rgba = np.concatenate(
+                [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
+            )
+            return webp_codec.encode_webp_lossless(rgba), "image/webp"
+        if slot == 5:
+            from pdf_parser_spark import gif_codec
+
+            pal = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
+            return gif_codec.encode_gif(
+                pal[rng.integers(0, 12, size=(h, w))]
+            ), "image/gif"
+        if slot == 7:
+            from pdf_parser_spark import bmp_codec
+
+            return bmp_codec.encode_bmp(rgb), "image/bmp"
+        if slot == 11:
+            from pdf_parser_spark import tiff_codec
+
+            return tiff_codec.encode_tiff(rgb, compression="lzw"), "image/tiff"
+        if slot == 13:  # h, w <= 132 here, within ICO's 256 cap
+            from pdf_parser_spark import bmp_codec
+
+            rgba = np.concatenate(
+                [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
+            )
+            return bmp_codec.encode_ico([rgba]), "image/x-icon"
         ch = (1, 3, 4)[i % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
-        return media_codecs.encode_png(arr)
+        return media_codecs.encode_png(arr), "image/png"
     if kind == "audio":
         n = 1600 * (i % 30 + 1)  # duration_ms/1000 * 16 kHz
         samples = (rng.integers(-(1 << 14), 1 << 14, size=n)).astype(np.int16)
-        return media_codecs.encode_wav(samples, sample_rate=16000)
+        if i % 6 == 4:
+            from pdf_parser_spark import flac_codec
+
+            return flac_codec.encode_flac(samples, 16000), "audio/flac"
+        return media_codecs.encode_wav(samples, sample_rate=16000), "audio/wav"
     # video rows rotate through the three real containers (one frame per
     # second of duration): raw-RGB mp4 (ISO BMFF muxer), raw-RGB
     # mkv/webm (EBML muxer), and YUV4MPEG2
@@ -136,14 +175,20 @@ def _real_payload(i: int, kind: str) -> bytes:
     if i % 9 == 2:
         from pdf_parser_spark import mp4_demux
 
-        return mp4_demux.encode_mp4_raw(frames, fps=(1, 1))
+        return mp4_demux.encode_mp4_raw(frames, fps=(1, 1)), "video/mp4"
     if i % 9 == 5:
         from pdf_parser_spark import mkv_demux
 
-        return mkv_demux.encode_mkv_raw(
-            frames, frame_ms=1000, doctype="webm" if i % 2 else "matroska"
+        return (
+            mkv_demux.encode_mkv_raw(
+                frames, frame_ms=1000, doctype="webm" if i % 2 else "matroska"
+            ),
+            "video/webm",
         )
-    return media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg")
+    return (
+        media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg"),
+        "video/x-yuv4mpeg",
+    )
 
 
 def media_table(spark, n_rows: int = 64, partitions: int = 4,
@@ -162,9 +207,14 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
                 i = int(i)
                 kind = ("image", "audio", "video")[i % 3]
                 if real_payloads:
-                    payload = _real_payload(i, kind)
+                    payload, mime = _real_payload(i, kind)
                 else:
                     payload = (f"media-{i}-" * (i % 7 + 1)).encode()
+                    mime = {
+                        "image": "image/png",
+                        "audio": "audio/wav",
+                        "video": "video/mp4",
+                    }[kind]
                 rows.append(
                     {
                         "media_id": i,
@@ -172,19 +222,7 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
                         "kind": kind,
                         "payload": payload,
                         "meta": {
-                            "mime": {
-                                "image": "image/jpeg"
-                                if real_payloads and i % 6 == 3
-                                else "image/png",
-                                "audio": "audio/wav",
-                                "video": (
-                                    "video/mp4"
-                                    if not real_payloads or i % 9 == 2
-                                    else "video/webm"
-                                    if i % 9 == 5
-                                    else "video/x-yuv4mpeg"
-                                ),
-                            }[kind],
+                            "mime": mime,
                             "width": 64 + (i % 8) * 16 if kind != "audio" else None,
                             "height": 48 + (i % 8) * 12 if kind != "audio" else None,
                             "duration_ms": (i % 30 + 1) * 1000 if kind != "image" else None,
