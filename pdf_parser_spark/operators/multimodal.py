@@ -37,9 +37,13 @@ mis-decode):
            interlace, transparency,                      palettes, disposal methods;
            disposal compositing)                         animated GIFs as video rows
                                                          return the full frame stack)
-    image  WebP lossless (VP8L: all four   yes           webp_codec.py; lossy VP8 DCT
-           transforms, color cache, meta                 bitstream → NotImplementedError
-           prefix groups, LZ77 dist map)                 AFTER a real RIFF parse
+    image  WebP lossless (VP8L: all four   yes           webp_codec.py
+           transforms, color cache, meta
+           prefix groups, LZ77 dist map)
+    image  WebP lossy (VP8 key frame:      yes           vp8_codec.py (RFC 6386;
+           full RFC 6386 intra decode,                   YUV planes bit-identical to
+           token trees, IDCT/IWHT, all                   libwebp; RGB via documented
+           prediction modes, loop filter)                BT.601 fixed-point step)
     image  BMP (core/info/V4/V5 headers,   yes           bmp_codec.py
            1/4/8/16/24/32-bit, bitfield
            masks, RLE4/RLE8, top-down)
@@ -278,7 +282,7 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         if kind == "image" and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             from pdf_parser_spark import webp_codec
 
-            # VP8L decodes fully; lossy VP8 raises from decode_webp AFTER
+            # VP8L and lossy VP8 both decode fully (vp8_codec) AFTER
             # the (real) RIFF container parse — same split as mp4/mkv
             return webp_codec.decode_webp(data)
         if data[:6] in (b"GIF87a", b"GIF89a") and kind in ("image", "video"):

@@ -15,9 +15,9 @@ implements it from the spec alone:
   streams with real canonical prefix codes, optional explicit LZ77
   copies — enough to produce valid VP8L accepted by libwebp and to
   round-trip any RGBA array without transforms.
-- Lossy VP8 streams raise NotImplementedError at the codec layer after a
-  real container parse (same split as mp4/mkv: container real, DCT
-  bitstream out of from-scratch scope).
+- Lossy VP8 streams decode for real through vp8_codec.py (from-scratch
+  RFC 6386 key-frame decoder, libwebp-verified bit-exact in YUV); the
+  RGB conversion layer is the documented BT.601 fixed-point transform.
 
 Spec-constant provenance: the distance map (code -> (dx, dy) neighbor
 offset) is derived empirically from libwebp by
@@ -573,7 +573,13 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 @_boundary
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA (lossless only)."""
+    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA.
+
+    VP8L (lossless) decodes exactly.  VP8 (lossy) decodes through the
+    from-scratch RFC 6386 decoder in vp8_codec.py: the Y/U/V planes are
+    bit-identical to any conforming decoder's (libwebp-verified); the
+    final YUV->RGB step is outside the VP8 spec and uses the documented
+    BT.601 fixed-point conversion (vp8_codec.yuv420_to_rgb)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP file")
     pos = 12
@@ -584,11 +590,12 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 DCT bitstream) is out of from-scratch "
-                "scope — container parsed, codec gated (same split as "
-                "h264/vp9 in mp4/mkv)"
-            )
+            from pdf_parser_spark import vp8_codec
+
+            y, u, v = vp8_codec.decode_vp8(body)
+            rgb = vp8_codec.yuv420_to_rgb(y, u, v)
+            alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            return np.concatenate([rgb, alpha], axis=-1)
         pos += 8 + size + (size & 1)
     raise WebpError("no VP8L/VP8 chunk found")
 

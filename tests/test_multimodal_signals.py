@@ -288,10 +288,11 @@ def test_decode_dispatch_webp_matches_png():
     via_webp = mm._decode(webp_codec.encode_webp_lossless(rgba), "image", fake=False)
     via_png = mm._decode(media_codecs.encode_png(rgb), "image", fake=False)
     assert np.array_equal(via_webp[:, :, :3], via_png[:, :, :3])
-    # lossy VP8 refuses loudly AFTER a real container parse
+    # a truncated lossy VP8 chunk fails typed AFTER a real container
+    # parse; real lossy frames decode via vp8_codec (test_vp8_codec.py)
     lossy = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 "
              + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm._decode(lossy, "image", fake=False)
 
 

@@ -112,9 +112,23 @@ def test_malformed_and_lossy_gate():
         W.decode_webp(b"RIFFxxxxNOPE")
     with pytest.raises(W.WebpError):
         W.decode_webp(b"")
+    # a truncated lossy VP8 chunk fails typed, not with a crash
     lossy = b"RIFF" + b"\x14\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x04\x00\x00\x00" + b"\x00" * 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         W.decode_webp(lossy)
+    # a REAL lossy VP8 frame decodes (vp8_codec round-trip encoder)
+    from pdf_parser_spark import vp8_codec
+
+    payload = vp8_codec.encode_vp8_frame(
+        1, 1, [{"ymode": vp8_codec.DC_PRED, "uvmode": 0}]
+    )
+    chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    rgba = W.decode_webp(b"RIFF" + len(riff).to_bytes(4, "little") + riff)
+    assert rgba.shape == (16, 16, 4)
+    assert np.all(rgba[:, :, 3] == 255)
 
 
 # ------------------------------------------------------------ native parity
