@@ -44,6 +44,11 @@ mis-decode):
            full RFC 6386 intra decode,                   YUV planes bit-identical to
            token trees, IDCT/IWHT, all                   libwebp; RGB via documented
            prediction modes, loop filter)                BT.601 fixed-point step)
+    image  WebP extended (VP8X): ALPH      yes           webp_codec.decode_alpha
+           alpha (raw + VP8L-compressed,                 (alpha byte-identical to
+           all 4 prediction filters) and                 libwebp); animated WebP as
+           ANIM/ANMF animation (blend,                   video rows returns the frame
+           disposal, offsets, bg colour)                 stack, mirroring GIF
     image  BMP (core/info/V4/V5 headers,   yes           bmp_codec.py
            1/4/8/16/24/32-bit, bitfield
            masks, RLE4/RLE8, top-down)
@@ -159,6 +164,28 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                 [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
             )
             return bmp_codec.encode_ico([rgba]), "image/x-icon"
+        if slot == 17:  # lossy VP8 key frame via the from-scratch encoder
+            from pdf_parser_spark import vp8_codec, webp_codec
+
+            mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+            modes = [
+                {
+                    "ymode": int(rng.integers(0, 4)),
+                    "uvmode": int(rng.integers(0, 4)),
+                    "y2": rng.integers(-40, 41, 16).tolist(),
+                }
+                for _ in range(mb_w * mb_h)
+            ]
+            payload = vp8_codec.encode_vp8_frame(
+                mb_w, mb_h, modes, qi=int(rng.integers(0, 64)),
+                filter_level=int(rng.integers(0, 40)),
+                width=w, height=h,
+            )
+            riff = b"WEBP" + webp_codec._riff_chunk(b"VP8 ", payload)
+            return (
+                b"RIFF" + len(riff).to_bytes(4, "little") + riff,
+                "image/webp",
+            )
         ch = (1, 3, 4)[i % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         return media_codecs.encode_png(arr), "image/png"
@@ -188,6 +215,16 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                 frames, frame_ms=1000, doctype="webm" if i % 2 else "matroska"
             ),
             "video/webm",
+        )
+    if i % 9 == 7:  # animated WebP (VP8X/ANIM/ANMF, lossless frames)
+        from pdf_parser_spark import webp_codec
+
+        rgba = np.concatenate(
+            [frames, np.full((n_frames, h, w, 1), 255, np.uint8)], axis=-1
+        )
+        return (
+            webp_codec.encode_webp_anim(rgba, durations_ms=[1000] * n_frames),
+            "image/webp",
         )
     return (
         media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg"),
@@ -279,12 +316,17 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
 
             # favicons: the largest entry is the image a pipeline wants
             return bmp_codec.decode_ico(data)
-        if kind == "image" and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and kind in (
+            "image", "video",
+        ):
             from pdf_parser_spark import webp_codec
 
-            # VP8L and lossy VP8 both decode fully (vp8_codec) AFTER
-            # the (real) RIFF container parse — same split as mp4/mkv
-            return webp_codec.decode_webp(data)
+            # VP8L, lossy VP8, ALPH alpha, and VP8X/ANIM all decode
+            # fully AFTER the (real) RIFF container parse; animated
+            # WebP carried as video keeps the (n, H, W, 4) stack,
+            # mirroring the GIF handling below
+            frames, _durs = webp_codec.decode_webp_frames(data)
+            return frames[0] if kind == "image" else frames
         if data[:6] in (b"GIF87a", b"GIF89a") and kind in ("image", "video"):
             from pdf_parser_spark import gif_codec
 

@@ -442,7 +442,10 @@ def _inv_predictor(pix: np.ndarray, w: int, h: int, bits: int, img: np.ndarray) 
                 left = pix[i - 1]
                 top = pix[i - w]
                 topleft = pix[i - w - 1]
-                topright = pix[i - w + 1] if x + 1 < w else pix[i - w]
+                # at x == w-1 the flat index i-w+1 is the CURRENT row's
+                # first (already reconstructed) pixel — exactly the
+                # spec's top-right rule for the rightmost column
+                topright = pix[i - w + 1]
                 pred = int(
                     _predict(
                         mode,
@@ -499,7 +502,13 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise WebpError("bad VP8L version")
+    return _decode_vp8l_stream(br, w, h)
 
+
+def _decode_vp8l_stream(br: _Bits, w: int, h: int) -> np.ndarray:
+    """VP8L image stream (transforms + entropy image) with dims given
+    externally — the shared body of a VP8L chunk (after its 5-byte
+    header) and of an ALPH chunk's lossless payload (implicit dims)."""
     transforms = []  # applied inverse in reverse order
     xsize = w
     seen = set()
@@ -571,22 +580,94 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     )
 
 
-@_boundary
-def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA.
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    """RIFF chunk: little-endian size + body, padded to even length."""
+    return tag + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
 
-    VP8L (lossless) decodes exactly.  VP8 (lossy) decodes through the
-    from-scratch RFC 6386 decoder in vp8_codec.py: the Y/U/V planes are
-    bit-identical to any conforming decoder's (libwebp-verified); the
-    final YUV->RGB step is outside the VP8 spec and uses the documented
-    BT.601 fixed-point conversion (vp8_codec.yuv420_to_rgb)."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise WebpError("not a WebP file")
-    pos = 12
-    while pos + 8 <= len(data):
+
+def _iter_chunks(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + size]
+        if pos + 8 + size > end:
+            raise WebpError(f"chunk {tag!r} overruns container")
+        yield tag, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _unfilter_alpha(delta: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's per-pixel prediction filter (WebP
+    container spec §Alpha: 0 none, 1 horizontal, 2 vertical,
+    3 gradient).  Row 0 of every method unfilters horizontally from a
+    zero seed; later rows seed their first pixel from the row above."""
+    if method == 0:
+        return delta
+    h, w = delta.shape
+    out = np.empty_like(delta)
+    d = delta.astype(np.int32)
+    # row 0 is horizontally unfiltered from 0 for every method
+    out[0] = np.cumsum(d[0], dtype=np.int64) % 256
+    for y in range(1, h):
+        prev = out[y - 1].astype(np.int32)
+        if method == 2:  # vertical
+            out[y] = (prev + d[y]) % 256
+            continue
+        if method == 1:  # horizontal; first pixel predicts from above
+            left = int(prev[0])
+            row = out[y]
+            dy = d[y]
+            for x in range(w):
+                left = (left + int(dy[x])) & 0xFF
+                row[x] = left
+            continue
+        # gradient: clip(left + top - top_left)
+        left = int(prev[0])
+        top_left = int(prev[0])
+        row = out[y]
+        dy = d[y]
+        for x in range(w):
+            top = int(prev[x])
+            g = left + top - top_left
+            g = 0 if g < 0 else 255 if g > 255 else g
+            left = (int(dy[x]) + g) & 0xFF
+            top_left = top
+            row[x] = left
+    return out
+
+
+def decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane.  Compression 0 is a raw
+    plane; compression 1 is a headerless VP8L stream whose GREEN channel
+    carries the alpha values.  Both then pass the inverse prediction
+    filter.  Preprocessing (level reduction) needs no decoder action."""
+    if not body:
+        raise WebpError("empty ALPH chunk")
+    head = body[0]
+    if head & 0xC0:
+        raise WebpError("reserved ALPH bits set")
+    filter_method = (head >> 2) & 0x3
+    compression = head & 0x3
+    if compression == 0:
+        if len(body) - 1 < w * h:
+            raise WebpError("raw ALPH plane shorter than w*h")
+        plane = np.frombuffer(body, np.uint8, w * h, offset=1).reshape(h, w)
+    elif compression == 1:
+        pix = _decode_vp8l_stream(_Bits(body[1:]), w, h)
+        plane = pix[:, :, 1]  # green channel carries alpha
+    else:
+        raise WebpError(f"unknown ALPH compression {compression}")
+    return _unfilter_alpha(plane, filter_method)
+
+
+def _decode_frame_payload(
+    chunks: list[tuple[bytes, bytes]],
+) -> np.ndarray:
+    """(ALPH?, VP8|VP8L) chunk run -> RGBA.  ALPH applies to lossy
+    frames only (lossless carries its own alpha, spec says ignore)."""
+    alph = next((b for t, b in chunks if t == b"ALPH"), None)
+    for tag, body in chunks:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
@@ -594,10 +675,112 @@ def decode_webp(data: bytes) -> np.ndarray:
 
             y, u, v = vp8_codec.decode_vp8(body)
             rgb = vp8_codec.yuv420_to_rgb(y, u, v)
-            alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            hh, ww = rgb.shape[:2]
+            if alph is not None:
+                alpha = decode_alpha(alph, ww, hh).reshape(hh, ww, 1)
+            else:
+                alpha = np.full((hh, ww, 1), 255, dtype=np.uint8)
             return np.concatenate([rgb, alpha], axis=-1)
-        pos += 8 + size + (size & 1)
     raise WebpError("no VP8L/VP8 chunk found")
+
+
+@_boundary
+def decode_webp(data: bytes) -> np.ndarray:
+    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA (first/only frame).
+
+    Handles plain and VP8X extended layouts.  VP8L (lossless) decodes
+    exactly.  VP8 (lossy) decodes through the from-scratch RFC 6386
+    decoder in vp8_codec.py: the Y/U/V planes are bit-identical to any
+    conforming decoder's (libwebp-verified); the final YUV->RGB step is
+    outside the VP8 spec and uses the documented BT.601 fixed-point
+    conversion.  ALPH alpha planes (raw and VP8L-compressed, all four
+    prediction filters) apply to lossy frames.  For animations this is
+    the first composited frame; decode_webp_frames returns the stack."""
+    frames, _ = decode_webp_frames(data)
+    return frames[0]
+
+
+@_boundary
+def decode_webp_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
+    """RIFF/WEBP container -> ((n, h, w, 4) uint8 RGBA frame stack,
+    per-frame durations in ms).  Stills return a 1-frame stack with
+    duration [0].  Animations (VP8X + ANIM/ANMF) composite onto the
+    canvas per the container spec: frame offsets are stored halved,
+    blending is straight alpha-over, disposal 1 clears the frame rect
+    to the background colour."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a WebP file")
+    chunks = list(_iter_chunks(data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])))
+    if not chunks:
+        raise WebpError("empty WebP container")
+
+    if chunks[0][0] != b"VP8X":
+        rgba = _decode_frame_payload(chunks)
+        return rgba[None, ...], [0]
+
+    vp8x = chunks[0][1]
+    if len(vp8x) < 10:
+        raise WebpError("short VP8X chunk")
+    flags = vp8x[0]
+    canvas_w = 1 + int.from_bytes(vp8x[4:7], "little")
+    canvas_h = 1 + int.from_bytes(vp8x[7:10], "little")
+    has_anim = bool(flags & 0x02)
+
+    if not has_anim:
+        rgba = _decode_frame_payload(chunks[1:])
+        if rgba.shape[0] != canvas_h or rgba.shape[1] != canvas_w:
+            raise WebpError("VP8X canvas does not match frame dims")
+        return rgba[None, ...], [0]
+
+    anim = next((b for t, b in chunks if t == b"ANIM"), None)
+    if anim is None or len(anim) < 6:
+        raise WebpError("animated WebP without ANIM chunk")
+    # ANIM background colour is stored B, G, R, A
+    bg = np.array([anim[2], anim[1], anim[0], anim[3]], dtype=np.uint8)
+
+    canvas = np.broadcast_to(bg, (canvas_h, canvas_w, 4)).copy()
+    frames, durations = [], []
+    for tag, body in chunks:
+        if tag != b"ANMF":
+            continue
+        if len(body) < 16:
+            raise WebpError("short ANMF chunk")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = 1 + int.from_bytes(body[6:9], "little")
+        fh = 1 + int.from_bytes(body[9:12], "little")
+        duration = int.from_bytes(body[12:15], "little")
+        fflags = body[15]
+        no_blend = bool(fflags & 0x02)
+        dispose_bg = bool(fflags & 0x01)
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise WebpError("ANMF frame outside canvas")
+        sub = _decode_frame_payload(list(_iter_chunks(body, 16, len(body))))
+        if sub.shape[0] != fh or sub.shape[1] != fw:
+            raise WebpError("ANMF dims do not match frame payload")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if no_blend:
+            region[:] = sub
+        else:
+            # straight (non-premultiplied) alpha-over, integer exact:
+            # out_a = fa + ca*(255-fa)/255, channels weighted likewise
+            fa = sub[:, :, 3:4].astype(np.int64)
+            ca = region[:, :, 3:4].astype(np.int64)
+            blend_a = fa * 255 + ca * (255 - fa)  # x255 scale
+            num = (
+                sub[:, :, :3].astype(np.int64) * fa * 255
+                + region[:, :, :3].astype(np.int64) * ca * (255 - fa)
+            )
+            safe = np.maximum(blend_a, 1)
+            region[:, :, :3] = ((num + safe // 2) // safe).astype(np.uint8)
+            region[:, :, 3:4] = ((blend_a + 127) // 255).astype(np.uint8)
+        frames.append(canvas.copy())
+        durations.append(duration)
+        if dispose_bg:
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    if not frames:
+        raise WebpError("animated WebP without ANMF frames")
+    return np.stack(frames), durations
 
 # ---------------------------------------------------------------- encoder
 
@@ -757,14 +940,56 @@ def encode_webp_lossless(
 ) -> bytes:
     """(h, w, 4) uint8 RGBA -> RIFF/WEBP file with a VP8L chunk."""
     payload = encode_vp8l(rgba, copies)
-    pad = b"\x00" if len(payload) & 1 else b""
-    riff_size = 4 + 8 + len(payload) + len(pad)
-    return (
-        b"RIFF"
-        + struct.pack("<I", riff_size)
-        + b"WEBP"
-        + b"VP8L"
-        + struct.pack("<I", len(payload))
-        + payload
-        + pad
+    riff = b"WEBP" + _riff_chunk(b"VP8L", payload)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_webp_anim(
+    frames: "np.ndarray",
+    durations_ms: list[int] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    canvas: tuple[int, int] | None = None,
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
+    no_blend: bool = True,
+    dispose_bg: bool = False,
+    loop: int = 0,
+) -> bytes:
+    """Frame stack -> animated RIFF/WEBP (VP8X + ANIM + ANMF chunks,
+    each frame a lossless VP8L payload).  The muxer half of the
+    animation round-trip oracle for decode_webp_frames — the same
+    encoder-as-oracle pattern as encode_gif/encode_vp8_frame.  Frame
+    offsets must be even (the container stores them halved)."""
+    n, fh, fw = frames.shape[:3]
+    offsets = offsets or [(0, 0)] * n
+    durations_ms = durations_ms or [100] * n
+    cw, ch = canvas or (
+        max(x + fw for x, _ in offsets),
+        max(y + fh for _, y in offsets),
     )
+    r, g, b, a = bg_rgba
+    body = _riff_chunk(
+        b"VP8X",
+        bytes([0x12, 0, 0, 0])  # ANIM | ALPHA flags
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little"),
+    )
+    body += _riff_chunk(
+        b"ANIM", bytes([b, g, r, a]) + loop.to_bytes(2, "little")
+    )
+    for i in range(n):
+        x, y = offsets[i]
+        if x & 1 or y & 1:
+            raise WebpError("ANMF offsets must be even")
+        payload = encode_vp8l(np.ascontiguousarray(frames[i]))
+        anmf = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(durations_ms[i]).to_bytes(3, "little")
+            + bytes([(0x02 if no_blend else 0) | (0x01 if dispose_bg else 0)])
+            + _riff_chunk(b"VP8L", payload)
+        )
+        body += _riff_chunk(b"ANMF", anmf)
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -170,3 +170,138 @@ def test_distance_map_matches_reference_derivation():
     sys.modules["derive_webp_distances"] = mod
     spec.loader.exec_module(mod)
     assert mod.derive() == W._DIST_MAP
+
+
+# ------------------------------------------------- alpha (ALPH) + animation
+
+
+def _enc_native_lossy_rgba(img: np.ndarray, q: float) -> bytes:
+    h, w, _ = img.shape
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGBA(
+        img.tobytes(), w, h, w * 4, ctypes.c_float(q), ctypes.byref(out)
+    )
+    assert n
+    return ctypes.string_at(out, n)
+
+
+@needs_native
+def test_alpha_chunk_native_parity():
+    """Lossy-with-alpha files (VP8X + ALPH + VP8): the alpha plane is
+    coded losslessly, so ours must equal libwebp's byte-for-byte.  The
+    content set drives every ALPH mode libwebp emits: raw planes
+    (incompressible alpha), VP8L-compressed planes, and the horizontal
+    prediction filter; the diagonal gradient exercises the in-stream
+    VP8L predictor transform (incl. the rightmost-column top-right
+    rule)."""
+    rng = np.random.default_rng(4)
+    h, w = 40, 56
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    alphas = {
+        "noise": rng.integers(0, 256, (h, w), dtype=np.uint8),
+        "hgrad": (xx * 255 // (w - 1)).astype(np.uint8),
+        "vgrad": (yy * 255 // (h - 1)).astype(np.uint8),
+        "diag": ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8),
+        "steps": ((xx // 8 * 37 + yy // 8 * 11) % 256).astype(np.uint8),
+    }
+    for name, alpha in alphas.items():
+        img = np.dstack(
+            [rng.integers(0, 256, (h, w, 3), dtype=np.uint8), alpha]
+        )
+        for q in (30, 75, 95):
+            blob = _enc_native_lossy_rgba(img, q)
+            assert np.array_equal(
+                W.decode_webp(blob)[:, :, 3], _dec_native(blob)[:, :, 3]
+            ), (name, q)
+
+
+def test_alpha_unfilter_methods():
+    """The four ALPH prediction filters, checked against a scalar
+    forward-filter round-trip."""
+    rng = np.random.default_rng(11)
+    plane = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    h, w = plane.shape
+    for method in range(4):
+        delta = np.zeros_like(plane, dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                if method == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = 0 if x == 0 else int(plane[0, x - 1])
+                elif method == 1:
+                    pred = int(plane[y - 1, 0] if x == 0 else plane[y, x - 1])
+                elif method == 2:
+                    pred = int(plane[y - 1, x])
+                elif method == 3:
+                    left = int(plane[y - 1, 0] if x == 0 else plane[y, x - 1])
+                    top = int(plane[y - 1, x])
+                    tl = int(plane[y - 1, 0] if x == 0 else plane[y - 1, x - 1])
+                    pred = min(255, max(0, left + top - tl))
+                delta[y, x] = (int(plane[y, x]) - pred) % 256
+        body = bytes([method << 2]) + delta.astype(np.uint8).tobytes()
+        got = W.decode_alpha(body, w, h)
+        assert np.array_equal(got, plane), method
+
+
+def test_animation_roundtrip_compositing():
+    """Self-built animations through the muxer: blending semantics,
+    disposal, offsets, durations — no native demuxer exists in this
+    container, so the muxer+spec is the oracle (as with encode_gif)."""
+    rng = np.random.default_rng(12)
+    f = rng.integers(0, 256, (3, 8, 12, 4), dtype=np.uint8)
+    blob = W.encode_webp_anim(
+        f, durations_ms=[40, 50, 60],
+        offsets=[(0, 0), (4, 2), (8, 4)], canvas=(20, 12),
+    )
+    stack, durs = W.decode_webp_frames(blob)
+    assert stack.shape == (3, 12, 20, 4) and durs == [40, 50, 60]
+    assert np.array_equal(stack[0][:8, :12], f[0])
+    assert np.array_equal(stack[1][2:10, 4:16], f[1])
+    # untouched canvas corner stays background (opaque white default)
+    assert np.array_equal(stack[0][10, 19], [255, 255, 255, 255])
+    # frame 0's pixels persist under frame 1 where not overdrawn
+    assert np.array_equal(stack[1][0, 0], f[0][0, 0])
+
+    # alpha blending: a half-transparent frame over an opaque one
+    base = np.full((1, 4, 4, 4), 200, dtype=np.uint8)
+    base[..., 3] = 255
+    over = np.full((1, 4, 4, 4), 100, dtype=np.uint8)
+    over[..., 3] = 128
+    blob = W.encode_webp_anim(
+        np.concatenate([base, over]), no_blend=False, canvas=(4, 4)
+    )
+    stack, _ = W.decode_webp_frames(blob)
+    # out = (100*128*255 + 200*255*(255-128)) / (128*255 + 255*127)
+    got = stack[1][0, 0]
+    assert got[3] == 255  # opaque base keeps canvas opaque
+    assert abs(int(got[0]) - 150) <= 1  # ~alpha-weighted mix
+
+    # dispose-to-background clears the frame rect for the NEXT frame
+    blob = W.encode_webp_anim(
+        f[:2], offsets=[(0, 0), (0, 0)], canvas=(12, 8),
+        dispose_bg=True, bg_rgba=(0, 0, 0, 0),
+    )
+    stack, _ = W.decode_webp_frames(blob)
+    assert np.array_equal(stack[0], f[0])  # frame 0 rendered pre-dispose
+
+
+def test_vp8x_still_and_frames_api():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (10, 14, 4), dtype=np.uint8)
+    blob = W.encode_webp_lossless(img)
+    frames, durs = W.decode_webp_frames(blob)
+    assert frames.shape == (1, 10, 14, 4) and durs == [0]
+    assert np.array_equal(frames[0], img)
+
+
+def test_decode_alpha_malformed():
+    with pytest.raises(W.WebpError):
+        W.decode_alpha(b"", 4, 4)
+    with pytest.raises(W.WebpError):
+        W.decode_alpha(bytes([0xC0]) + b"\x00" * 16, 4, 4)  # reserved bits
+    with pytest.raises(W.WebpError):
+        W.decode_alpha(bytes([0x02]) + b"\x00" * 16, 4, 4)  # bad compression
+    with pytest.raises(W.WebpError):
+        W.decode_alpha(bytes([0x00]) + b"\x00" * 3, 4, 4)  # short raw plane
