@@ -81,6 +81,53 @@ def main() -> None:
         lambda c: brotli_codec.decompress(c), bcomp, len(plain)
     )
 
+    # lossy VP8 (image): pure RFC 6386 decoder vs libwebp, measured in
+    # megapixels/s on a 160x128 libwebp-encoded frame
+    import numpy as np
+
+    from pdf_parser_spark import vp8_codec
+
+    webp = ctypes.CDLL("libwebp.so.7")
+    webp.WebPEncodeRGB.restype = ctypes.c_size_t
+    webp.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    webp.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    rng = np.random.default_rng(7)
+    h, w = 128, 160
+    base = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:h, :w]
+    img = np.clip(img + rng.integers(-6, 7, (h, w, 3)), 0, 255).astype(np.uint8)
+    pout = ctypes.POINTER(ctypes.c_uint8)()
+    nb = webp.WebPEncodeRGB(img.tobytes(), w, h, w * 3, 75.0, ctypes.byref(pout))
+    blob = ctypes.string_at(pout, nb)
+    # locate the VP8 chunk
+    pos, payload = 12, None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        if tag == b"VP8 ":
+            payload = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    mpix = w * h / (1 << 20)
+
+    def _native_yuv(b: bytes) -> None:
+        wv, hv = ctypes.c_int(), ctypes.c_int()
+        u = ctypes.POINTER(ctypes.c_uint8)()
+        v = ctypes.POINTER(ctypes.c_uint8)()
+        s1, s2 = ctypes.c_int(), ctypes.c_int()
+        webp.WebPFree(
+            webp.WebPDecodeYUV(b, len(b), ctypes.byref(wv), ctypes.byref(hv),
+                               ctypes.byref(u), ctypes.byref(v),
+                               ctypes.byref(s1), ctypes.byref(s2))
+        )
+
+    results["vp8_pure_mpix"] = _throughput(
+        lambda c: vp8_codec.decode_vp8(c), payload, int(mpix * (1 << 20)), 2.0
+    )
+    results["vp8_native_mpix"] = _throughput(_native_yuv, blob, int(mpix * (1 << 20)))
+
     print(
         json.dumps(
             {
@@ -90,6 +137,9 @@ def main() -> None:
                 "ratio_zstd": round(results["zstd_native"] / results["zstd_pure"], 1),
                 "ratio_brotli": round(
                     results["brotli_native"] / results["brotli_pure"], 1
+                ),
+                "ratio_vp8": round(
+                    results["vp8_native_mpix"] / results["vp8_pure_mpix"], 1
                 ),
             }
         )
