@@ -6,7 +6,9 @@ registry define mkv/webm; walking them needs variable-length integers and
 an element tree — no codec library. ``decode_mkv`` fully decodes tracks
 whose CodecID is ``V_UNCOMPRESSED`` (raw interleaved RGB, the Matroska
 uncompressed-video codec id) and raises NotImplementedError for compressed
-codecs (V_MPEG4/ISO/AVC, V_VP8/9, V_AV1…) — AFTER demuxing, so callers
+codecs (V_MPEG4/ISO/AVC, V_VP8/9…) — AFTER demuxing — while ``V_AV1``
+decodes for real (av1_codec: from-scratch OBU layer + the system
+decoder); either way callers
 still get the real frame table (byte ranges, timestamps, keyframe flags)
 for any mkv/webm.
 
@@ -53,6 +55,7 @@ _ID_TRACK_ENTRY = b"\xae"
 _ID_TRACK_NUMBER = b"\xd7"
 _ID_TRACK_TYPE = b"\x83"
 _ID_CODEC_ID = b"\x86"
+_ID_CODEC_PRIVATE = b"\x63\xa2"
 _ID_VIDEO = b"\xe0"
 _ID_PIXEL_WIDTH = b"\xb0"
 _ID_PIXEL_HEIGHT = b"\xba"
@@ -156,11 +159,12 @@ class MkvFrame:
 
 @dataclass(frozen=True)
 class MkvTrack:
-    codec: str      # CodecID, e.g. 'V_UNCOMPRESSED' / 'V_VP9'
+    codec: str      # CodecID, e.g. 'V_UNCOMPRESSED' / 'V_AV1' / 'V_VP9'
     width: int
     height: int
     timescale_ns: int  # TimestampScale (ns per tick)
     frames: tuple   # tuple[MkvFrame, ...]
+    codec_private: bytes | None = None  # e.g. the av1C record for V_AV1
 
 
 def demux_mkv(data: bytes) -> MkvTrack:
@@ -181,12 +185,12 @@ def demux_mkv(data: bytes) -> MkvTrack:
                 if i2 == _ID_TIMESTAMP_SCALE:
                     scale = _uint(data, b2, e2)
 
-    track_no, codec, width, height = None, None, 0, 0
+    track_no, codec, width, height, codec_private = None, None, 0, 0, None
     tracks = _find(data, *seg, _ID_TRACKS)
     for eid, b, e in _iter_elements(data, *tracks):
         if eid != _ID_TRACK_ENTRY:
             continue
-        num, ttype, cid, w, h = None, None, None, 0, 0
+        num, ttype, cid, w, h, priv = None, None, None, 0, 0, None
         for i2, b2, e2 in _iter_elements(data, b, e):
             if i2 == _ID_TRACK_NUMBER:
                 num = _uint(data, b2, e2)
@@ -194,6 +198,8 @@ def demux_mkv(data: bytes) -> MkvTrack:
                 ttype = _uint(data, b2, e2)
             elif i2 == _ID_CODEC_ID:
                 cid = data[b2:e2].decode("ascii", "replace").rstrip("\x00")
+            elif i2 == _ID_CODEC_PRIVATE:
+                priv = data[b2:e2]
             elif i2 == _ID_VIDEO:
                 for i3, b3, e3 in _iter_elements(data, b2, e2):
                     if i3 == _ID_PIXEL_WIDTH:
@@ -202,6 +208,7 @@ def demux_mkv(data: bytes) -> MkvTrack:
                         h = _uint(data, b3, e3)
         if ttype == 1 and num is not None:  # video track
             track_no, codec, width, height = num, cid, w, h
+            codec_private = priv
             break
     if track_no is None:
         raise ValueError("mkv: no video track")
@@ -235,6 +242,7 @@ def demux_mkv(data: bytes) -> MkvTrack:
     return MkvTrack(
         codec=codec or "", width=width, height=height,
         timescale_ns=scale, frames=tuple(frames),
+        codec_private=codec_private,
     )
 
 
@@ -242,10 +250,28 @@ def demux_mkv(data: bytes) -> MkvTrack:
 def decode_mkv(data: bytes) -> "np.ndarray":
     """mkv/webm → (n_frames, h, w, 3) uint8 frame stack.
 
-    Real decode for ``V_UNCOMPRESSED`` RGB frames; compressed codecs demux
-    fine but raise here — the bitstream decoders are out of from-scratch
-    scope (demux_mkv still returns the full frame table)."""
+    Real decode for ``V_UNCOMPRESSED`` RGB frames and ``V_AV1`` (the
+    from-scratch OBU layer rebuilds the stream from the CodecPrivate av1C
+    record + block frames; reconstruction via the system decoder — frames
+    come back as YUV, see av1_codec.decode_av1). Other compressed codecs
+    demux fine but raise here — those bitstream decoders are out of
+    from-scratch scope AND absent from this container (demux_mkv still
+    returns the full frame table)."""
     track = demux_mkv(data)
+    if track.codec == "V_AV1":
+        from pdf_parser_spark import av1_codec
+
+        if track.codec_private is None:
+            raise ValueError("mkv: V_AV1 track without CodecPrivate (av1C)")
+        config = av1_codec.parse_av1c(track.codec_private)["config_obus"]
+        # each block is one temporal unit carried without its TD OBU
+        parts = []
+        for f in track.frames:
+            chunk = data[f.offset : f.offset + f.size]
+            if not chunk.startswith(b"\x12"):
+                parts.append(b"\x12\x00")
+            parts.append(chunk)
+        return av1_codec.decode_av1(b"".join(parts), config_obus=config)
     if track.codec != _RAW_CODEC_ID:
         raise NotImplementedError(
             f"mkv codec {track.codec!r}: compressed bitstream decode needs a "
@@ -293,7 +319,64 @@ def encode_mkv_raw(
     n, h, w, _ = arr.shape
     if n == 0:
         raise ValueError("mkv: need at least one frame")
+    payloads = [arr[i].tobytes() for i in range(n)]
+    keys = [i % max(1, key_every) == 0 for i in range(n)]
+    return _mux_mkv(
+        payloads, w, h, _RAW_CODEC_ID, None, keys, frame_ms,
+        frames_per_cluster, doctype,
+    )
 
+
+def encode_mkv_av1(
+    stream: bytes,
+    frame_ms: int = 40,
+    frames_per_cluster: int = 4,
+    doctype: str = "matroska",
+) -> bytes:
+    """Encoded AV1 OBU stream → self-contained ``V_AV1`` mkv/webm bytes.
+
+    Mirrors encode_mp4_av1: temporal units become SimpleBlocks, the
+    sequence header moves into CodecPrivate as an av1C record, TD and
+    sequence-header OBUs are stripped from blocks, and keyframe flags
+    come from the from-scratch frame-type peek."""
+    from pdf_parser_spark import av1_codec
+
+    av1c = av1_codec.build_av1c(stream)
+    config_obus = av1_codec.parse_av1c(av1c)["config_obus"]
+    seq = av1_codec.find_sequence_header(stream)
+    payloads, keys = [], []
+    for tu in av1_codec.split_temporal_units(stream):
+        keep = [
+            o.raw for o in av1_codec.parse_obus(tu)
+            if o.type not in (
+                av1_codec.OBU_TEMPORAL_DELIMITER, av1_codec.OBU_SEQUENCE_HEADER
+            )
+        ]
+        if not keep:
+            continue
+        payloads.append(b"".join(keep))
+        fts = av1_codec.frame_types(config_obus + b"".join(keep))
+        keys.append(bool(fts) and fts[0]["key"])
+    if not payloads:
+        raise ValueError("AV1 stream has no frame-carrying temporal units")
+    return _mux_mkv(
+        payloads, seq["max_width"], seq["max_height"], "V_AV1", av1c, keys,
+        frame_ms, frames_per_cluster, doctype,
+    )
+
+
+def _mux_mkv(
+    payloads: list[bytes],
+    w: int,
+    h: int,
+    codec_id: str,
+    codec_private: bytes | None,
+    keys: list[bool],
+    frame_ms: int,
+    frames_per_cluster: int,
+    doctype: str,
+) -> bytes:
+    n = len(payloads)
     ebml = _element(
         _ID_EBML, _element(_ID_DOCTYPE, doctype.encode("ascii"))
     )
@@ -307,16 +390,14 @@ def encode_mkv_raw(
         _element(_ID_PIXEL_WIDTH, _uint_payload(w))
         + _element(_ID_PIXEL_HEIGHT, _uint_payload(h)),
     )
-    tracks = _element(
-        _ID_TRACKS,
-        _element(
-            _ID_TRACK_ENTRY,
-            _element(_ID_TRACK_NUMBER, _uint_payload(1))
-            + _element(_ID_TRACK_TYPE, _uint_payload(1))
-            + _element(_ID_CODEC_ID, _RAW_CODEC_ID.encode("ascii"))
-            + video,
-        ),
+    entry = (
+        _element(_ID_TRACK_NUMBER, _uint_payload(1))
+        + _element(_ID_TRACK_TYPE, _uint_payload(1))
+        + _element(_ID_CODEC_ID, codec_id.encode("ascii"))
     )
+    if codec_private is not None:
+        entry += _element(_ID_CODEC_PRIVATE, codec_private)
+    tracks = _element(_ID_TRACKS, _element(_ID_TRACK_ENTRY, entry + video))
     clusters = []
     fpc = max(1, frames_per_cluster)
     for c0 in range(0, n, fpc):
@@ -324,12 +405,12 @@ def encode_mkv_raw(
         body = _element(_ID_CLUSTER_TS, _uint_payload(base_ts))
         for i in range(c0, min(c0 + fpc, n)):
             rel = (i - c0) * frame_ms
-            flags = 0x80 if i % max(1, key_every) == 0 else 0x00
+            flags = 0x80 if keys[i] else 0x00
             block = (
                 _vint_encode(1)                 # track number (vint)
                 + struct.pack(">h", rel)
                 + bytes([flags])
-                + arr[i].tobytes()
+                + payloads[i]
             )
             body += _element(_ID_SIMPLE_BLOCK, block)
         clusters.append(_element(_ID_CLUSTER, body))

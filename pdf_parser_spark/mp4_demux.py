@@ -5,13 +5,15 @@ media file format spec) with the standard library alone, closing the last
 env-gated multimodal branch: mp4 payloads previously raised
 NotImplementedError because demuxing "needs ffmpeg" — but the container
 is just a box tree plus four integer tables, and walking it needs no
-codec at all. What IS honestly out of scope is compressed-bitstream
-decoding (H.264/VP9/AV1 macroblock decode): ``decode_mp4`` fully decodes
-tracks whose sample entry is uncompressed RGB (fourcc ``raw ``, the
-QuickTime/ISO uncompressed video sample entry) and raises
-NotImplementedError for compressed fourccs — AFTER demuxing, so callers
-still get the real sample table (frame byte ranges, timestamps, sync
-flags) for any mp4.
+codec at all. ``decode_mp4`` fully decodes tracks whose sample entry is
+uncompressed RGB (fourcc ``raw ``, the QuickTime/ISO uncompressed video
+sample entry) or ``av01`` (AV1 — from-scratch OBU/av1C carriage via
+av1_codec, reconstruction through the system dav1d/libaom decoder) and
+raises NotImplementedError for the remaining compressed fourccs
+(H.264/VP9 macroblock decode, honestly out of from-scratch scope and
+without an in-container library) — AFTER demuxing, so callers still get
+the real sample table (frame byte ranges, timestamps, sync flags) for
+any mp4.
 
 Layout understood (the mandatory hierarchy every mp4 writer emits):
 
@@ -114,11 +116,12 @@ class Mp4Sample:
 
 @dataclass(frozen=True)
 class Mp4Track:
-    codec: str      # sample-entry fourcc, e.g. 'raw ' / 'avc1'
+    codec: str      # sample-entry fourcc, e.g. 'raw ' / 'av01' / 'avc1'
     width: int
     height: int
     timescale: int  # media timescale (mdhd)
     samples: tuple  # tuple[Mp4Sample, ...]
+    codec_config: bytes | None = None  # av1C/avcC… box body, if present
 
     @property
     def duration_ms(self) -> int:
@@ -142,6 +145,16 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
             tables["codec"] = data[ent + 4 : ent + 8].decode("latin-1")
             tables["width"] = struct.unpack_from(">H", data, ent + 32)[0]
             tables["height"] = struct.unpack_from(">H", data, ent + 34)[0]
+            # codec-config child boxes (av1C/avcC/hvcC…) trail the fixed
+            # 78-byte VisualSampleEntry body; the entry's own size bounds
+            # the walk
+            ent_size = struct.unpack_from(">I", data, ent)[0]
+            ent_end = min(ent + ent_size, te)
+            if ent + 86 < ent_end:
+                for ctag, cb, ce in _iter_boxes(data, ent + 86, ent_end):
+                    if ctag in (b"av1C", b"avcC", b"hvcC", b"vpcC"):
+                        tables["codec_config"] = data[cb:ce]
+                        break
         elif tag == b"stts":
             n = struct.unpack_from(">I", data, tb + 4)[0]
             tables["stts"] = [
@@ -256,6 +269,7 @@ def demux_mp4(data: bytes) -> Mp4Track:
     return Mp4Track(
         codec=t["codec"], width=t["width"], height=t["height"],
         timescale=timescale, samples=tuple(samples),
+        codec_config=t.get("codec_config"),
     )
 
 
@@ -263,12 +277,32 @@ def demux_mp4(data: bytes) -> Mp4Track:
 def decode_mp4(data: bytes) -> "np.ndarray":
     """mp4 → (n_frames, h, w, 3) uint8 frame stack.
 
-    Real decode for the uncompressed ``raw `` sample entry (each sample is
-    h*w*3 RGB bytes). Compressed codecs demux fine but raise here — the
-    bitstream decoders (H.264/VP9/AV1) are genuinely out of from-scratch
-    scope; the sample table above is still available via demux_mp4.
+    Real decode for two sample entries: uncompressed ``raw `` (each sample
+    is h*w*3 RGB bytes) and ``av01`` (AV1 — the from-scratch OBU layer
+    rebuilds the stream from the av1C config + samples, reconstruction via
+    the system decoder; frames come back as YUV like decode_y4m's, see
+    av1_codec.decode_av1). Other compressed codecs (H.264/VP9) demux fine
+    but raise here — those bitstream decoders are genuinely out of
+    from-scratch scope AND absent from this container; the sample table
+    above is still available via demux_mp4.
     """
     track = demux_mp4(data)
+    if track.codec == "av01":
+        from pdf_parser_spark import av1_codec
+
+        if track.codec_config is None:
+            raise ValueError("mp4: av01 track without an av1C box")
+        config = av1_codec.parse_av1c(track.codec_config)["config_obus"]
+        # each mp4 sample is one temporal unit, carried without its TD OBU
+        # (the AV1-ISOBMFF binding keeps TDs out of samples) — reinsert
+        # them so the rebuilt stream splits back into per-frame TUs
+        parts = []
+        for s in track.samples:
+            chunk = data[s.offset : s.offset + s.size]
+            if not chunk.startswith(b"\x12"):
+                parts.append(b"\x12\x00")
+            parts.append(chunk)
+        return av1_codec.decode_av1(b"".join(parts), config_obus=config)
     if track.codec != _RAW_FOURCC.decode("latin-1"):
         raise NotImplementedError(
             f"mp4 codec {track.codec!r}: compressed bitstream decode needs a "
@@ -295,6 +329,22 @@ def decode_mp4(data: bytes) -> "np.ndarray":
 # ---------------------------------------------------------------------------
 
 
+def _visual_sample_entry(fourcc: bytes, w: int, h: int, depth: int,
+                         children: bytes = b"") -> bytes:
+    return _box(
+        fourcc,
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
+        + b"\x00" * 16                                # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">hh", depth, -1)               # depth, pre_defined
+        + children,
+    )
+
+
 def encode_mp4_raw(
     frames: "np.ndarray",
     fps: tuple[int, int] = (25, 1),
@@ -314,9 +364,68 @@ def encode_mp4_raw(
     n, h, w, _ = arr.shape
     if n == 0:
         raise ValueError("mp4: need at least one frame")
+    samples = [arr[i].tobytes() for i in range(n)]
+    sync = [i % max(1, sync_every) == 0 for i in range(n)]
+    entry = _visual_sample_entry(_RAW_FOURCC, w, h, 24)
+    return _mux_mp4(samples, w, h, entry, fps, samples_per_chunk, sync)
+
+
+def encode_mp4_av1(
+    stream: bytes,
+    fps: tuple[int, int] = (25, 1),
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """Encoded AV1 OBU stream → self-contained ``av01`` mp4 bytes.
+
+    The from-scratch OBU layer does the carriage work: the stream splits
+    into temporal units (one mp4 sample each), the sequence header moves
+    out-of-band into the av1C box (built by av1_codec.build_av1c), and
+    TD/sequence-header OBUs are stripped from samples per the
+    AV1-ISOBMFF binding. Sync flags come from the frame-type peek."""
+    from pdf_parser_spark import av1_codec
+
+    av1c = av1_codec.build_av1c(stream)
+    config_obus = av1_codec.parse_av1c(av1c)["config_obus"]
+    seq = av1_codec.find_sequence_header(stream)
+    units = av1_codec.split_temporal_units(stream)
+    samples, sync = [], []
+    for tu in units:
+        obus = av1_codec.parse_obus(tu)
+        keep = [
+            o.raw for o in obus
+            if o.type not in (
+                av1_codec.OBU_TEMPORAL_DELIMITER, av1_codec.OBU_SEQUENCE_HEADER
+            )
+        ]
+        if not keep:
+            continue
+        samples.append(b"".join(keep))
+        # frame-type peek needs sequence-header context → prepend config
+        fts = av1_codec.frame_types(config_obus + b"".join(keep))
+        sync.append(bool(fts) and fts[0]["key"])
+    if not samples:
+        raise ValueError("AV1 stream has no frame-carrying temporal units")
+    entry = _visual_sample_entry(
+        b"av01", seq["max_width"], seq["max_height"], 24, _box(b"av1C", av1c)
+    )
+    return _mux_mp4(
+        samples, seq["max_width"], seq["max_height"], entry, fps,
+        samples_per_chunk, sync,
+    )
+
+
+def _mux_mp4(
+    samples: list[bytes],
+    w: int,
+    h: int,
+    sample_entry: bytes,
+    fps: tuple[int, int],
+    samples_per_chunk: int,
+    sync: list[bool],
+) -> bytes:
+    n = len(samples)
     timescale, delta = int(fps[0]), int(fps[1])
-    payload = [arr[i].tobytes() for i in range(n)]
-    sample_size = h * w * 3
+    sizes = [len(s) for s in samples]
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
     # chunk layout: full chunks of samples_per_chunk, then the remainder
@@ -328,26 +437,14 @@ def encode_mp4_raw(
     chunk_offsets, pos, si = [], mdat_body_off, 0
     for cs in chunk_sizes:
         chunk_offsets.append(pos)
-        pos += cs * sample_size
+        pos += sum(sizes[si:si + cs])
         si += cs
-    mdat = _box(b"mdat", b"".join(payload))
+    mdat = _box(b"mdat", b"".join(samples))
 
     # --- stbl ---------------------------------------------------------
-    compressor = b"\x00" * 32
-    sample_entry = _box(
-        _RAW_FOURCC,
-        b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
-        + b"\x00" * 16                                # pre_defined/reserved
-        + struct.pack(">HH", w, h)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4
-        + struct.pack(">H", 1)                        # frame_count
-        + compressor
-        + struct.pack(">hh", 24, -1),                 # depth, pre_defined
-    )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
-    stss_samples = list(range(1, n + 1, max(1, sync_every)))
+    stss_samples = [i + 1 for i, k in enumerate(sync) if k]
     stss = _full(
         b"stss", 0, 0,
         struct.pack(f">I{len(stss_samples)}I", len(stss_samples), *stss_samples),
@@ -362,7 +459,7 @@ def encode_mp4_raw(
     )
     stsz = _full(
         b"stsz", 0, 0,
-        struct.pack(f">II{n}I", 0, n, *([sample_size] * n)),
+        struct.pack(f">II{n}I", 0, n, *sizes),
     )
     stco = _full(
         b"stco", 0, 0,

@@ -348,3 +348,57 @@ def test_obu_fuzz_never_crashes():
             A.decode_av1(bytes(mut))
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# container carriage — mp4 (av01 + av1C) and mkv/webm (V_AV1 + CodecPrivate)
+# ---------------------------------------------------------------------------
+
+
+@needs_decoder
+@needs_rav1e
+def test_mp4_av1_carriage():
+    from pdf_parser_spark import mp4_demux
+
+    stream = encode_av1(planes_420(64, 96, 4), quantizer=60)
+    blob = mp4_demux.encode_mp4_av1(stream)
+    track = mp4_demux.demux_mp4(blob)
+    assert (track.codec, track.width, track.height) == ("av01", 96, 64)
+    assert len(track.samples) == 4 and all(s.is_sync for s in track.samples)
+    assert track.codec_config is not None
+    assert A.parse_av1c(track.codec_config)["seq_profile"] == 0
+    assert np.array_equal(mp4_demux.decode_mp4(blob), A.decode_av1(stream))
+
+
+@needs_decoder
+@needs_rav1e
+@pytest.mark.parametrize("doctype", ["matroska", "webm"])
+def test_mkv_av1_carriage(doctype):
+    from pdf_parser_spark import mkv_demux
+
+    stream = encode_av1(planes_420(48, 64, 3), quantizer=80)
+    blob = mkv_demux.encode_mkv_av1(stream, doctype=doctype)
+    track = mkv_demux.demux_mkv(blob)
+    assert track.codec == "V_AV1" and track.codec_private is not None
+    assert [f.is_key for f in track.frames] == [True, True, True]
+    assert np.array_equal(mkv_demux.decode_mkv(blob), A.decode_av1(stream))
+
+
+def test_av1_track_without_config_raises():
+    from pdf_parser_spark import mkv_demux, mp4_demux
+    import numpy as _np
+
+    # replace ALL 'raw ' occurrences: the first is the hdlr name ("raw
+    # video", cosmetic), the second the stsd sample-entry fourcc
+    raw_mp4 = mp4_demux.encode_mp4_raw(
+        _np.zeros((1, 8, 8, 3), _np.uint8)
+    ).replace(b"raw ", b"av01")
+    with pytest.raises(ValueError, match="av1C"):
+        mp4_demux.decode_mp4(raw_mp4)
+    # mkv: same-length CodecID swap keeps every element size intact
+    raw_mkv = mkv_demux.encode_mkv_raw(
+        _np.zeros((1, 8, 8, 3), _np.uint8)
+    ).replace(b"V_UNCOMPRESSED", b"V_AV1" + b"\x00" * 9, 1)
+    assert mkv_demux.demux_mkv(raw_mkv).codec == "V_AV1"
+    with pytest.raises(ValueError, match="CodecPrivate"):
+        mkv_demux.decode_mkv(raw_mkv)
