@@ -1,0 +1,365 @@
+"""AVIF: from-scratch ISO-BMFF *item* layer + AV1 payload decode.
+
+AVIF is the modern web's fourth big image format (after JPEG/PNG/WebP):
+an AV1 still frame carried in the HEIF *item* structure of ISO-BMFF
+(public specs: ISO/IEC 23008-12 image format, AV1-AVIF mapping from AOM).
+Unlike video mp4 there is no track — the image is a ``meta``-box item:
+
+    ftyp                          brand 'avif'
+    meta (FullBox)
+      hdlr                        handler 'pict'
+      pitm                        primary item id
+      iinf / infe*                item id → item type ('av01', 'mime'…)
+      iloc                        item id → extents (offset, length) in mdat
+      iprp / ipco                 property pool: ispe (size), av1C, pixi
+           / ipma                 item → property associations
+    mdat                          the AV1 frame OBUs
+
+The container layer here — box walk, FullBox versions, pitm/iinf/iloc
+(all three iloc versions, multi-extent concatenation), ipco/ipma
+association resolution, and the writer — is from scratch on the public
+specs, reusing mp4_demux's box plumbing. The AV1 payload then decodes
+through av1_codec (from-scratch OBU layer + system dav1d/libaom
+reconstruction); tests cross-check the whole file against libavif in
+both directions (our writer → libavif reader, libavif writer → our
+reader).
+
+Scope: the primary 'av01' item of 8-bit images; auxiliary alpha items
+are ignored (RGB out), derived items ('grid' tiled images, 'iovl'
+overlays) and protected items raise with the feature named. The YUV→RGB
+step is outside the AV1 spec (decoders choose their own upsample/matrix)
+— this module uses the documented BT.601 fixed-point transform in
+full- or studio-swing per the stream's color_range flag, deterministic
+but not claimed byte-identical to any library's RGB path.
+
+These are CODECS, not a DataFrame API: operators/multimodal.py calls them
+inside its Arrow-batched mapInPandas stages.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pdf_parser_spark import av1_codec
+from pdf_parser_spark.media_codecs import format_boundary
+from pdf_parser_spark.mp4_demux import _box, _full, _iter_boxes
+
+__all__ = ["is_avif", "parse_avif", "decode_avif", "encode_avif", "yuv_to_rgb"]
+
+
+def is_avif(data: bytes) -> bool:
+    """ftyp sniff: major or compatible brand 'avif' (still image)."""
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        return False
+    size = struct.unpack_from(">I", data, 0)[0]
+    if size < 16 or size > len(data):
+        return False
+    brands = [data[8:12]] + [
+        data[i:i + 4] for i in range(16, size, 4)
+    ]
+    return b"avif" in brands
+
+
+def _fullbox(data: bytes, b: int) -> tuple[int, int, int]:
+    """(version, flags, body_start) for a FullBox beginning at body b."""
+    vf = struct.unpack_from(">I", data, b)[0]
+    return vf >> 24, vf & 0xFFFFFF, b + 4
+
+
+def _parse_iloc(data: bytes, b: int, e: int) -> dict[int, list[tuple[int, int]]]:
+    """item id → [(absolute offset, length), ...] — all three versions."""
+    version, _flags, p = _fullbox(data, b)
+    if version > 2:
+        raise ValueError(f"avif: iloc version {version} not understood")
+    sizes = struct.unpack_from(">H", data, p)[0]
+    offset_size = sizes >> 12
+    length_size = (sizes >> 8) & 0xF
+    base_offset_size = (sizes >> 4) & 0xF
+    index_size = sizes & 0xF if version in (1, 2) else 0
+    p += 2
+    if version < 2:
+        item_count = struct.unpack_from(">H", data, p)[0]
+        p += 2
+    else:
+        item_count = struct.unpack_from(">I", data, p)[0]
+        p += 4
+
+    def read_n(pos: int, n: int) -> tuple[int, int]:
+        if n == 0:
+            return 0, pos
+        return int.from_bytes(data[pos:pos + n], "big"), pos + n
+
+    out: dict[int, list[tuple[int, int]]] = {}
+    for _ in range(item_count):
+        if version < 2:
+            item_id = struct.unpack_from(">H", data, p)[0]
+            p += 2
+        else:
+            item_id = struct.unpack_from(">I", data, p)[0]
+            p += 4
+        if version in (1, 2):
+            method = struct.unpack_from(">H", data, p)[0] & 0xF
+            p += 2
+            if method != 0:
+                raise ValueError(
+                    f"avif: iloc construction_method {method} (idat/item "
+                    "offsets) not supported"
+                )
+        p += 2  # data_reference_index (0 = this file)
+        base, p = read_n(p, base_offset_size)
+        extent_count = struct.unpack_from(">H", data, p)[0]
+        p += 2
+        extents = []
+        for _ in range(extent_count):
+            _idx, p = read_n(p, index_size)
+            off, p = read_n(p, offset_size)
+            ln, p = read_n(p, length_size)
+            extents.append((base + off, ln))
+        out[item_id] = extents
+        if p > e:
+            raise ValueError("avif: iloc overruns its box")
+    return out
+
+
+def _parse_iinf(data: bytes, b: int, e: int) -> dict[int, str]:
+    """item id → item type fourcc."""
+    version, _flags, p = _fullbox(data, b)
+    if version == 0:
+        p += 2  # entry_count u16
+    else:
+        p += 4
+    out: dict[int, str] = {}
+    for tag, ib, ie in _iter_boxes(data, p, e):
+        if tag != b"infe":
+            continue
+        iv, iflags, ip = _fullbox(data, ib)
+        if iv < 2:
+            raise ValueError(f"avif: infe version {iv} not understood")
+        if iflags & 1:
+            raise ValueError("avif: hidden/protected infe item")
+        if iv == 2:
+            item_id = struct.unpack_from(">H", data, ip)[0]
+            ip += 2
+        else:
+            item_id = struct.unpack_from(">I", data, ip)[0]
+            ip += 4
+        ip += 2  # item_protection_index
+        out[item_id] = data[ip:ip + 4].decode("latin-1")
+    return out
+
+
+def _parse_iprp(data: bytes, b: int, e: int) -> tuple[list, dict[int, list[int]]]:
+    """(property boxes in pool order, item id → 1-based property indices)."""
+    props: list[tuple[bytes, bytes]] = []
+    assoc: dict[int, list[int]] = {}
+    for tag, ib, ie in _iter_boxes(data, b, e):
+        if tag == b"ipco":
+            for pt, pb, pe in _iter_boxes(data, ib, ie):
+                props.append((pt, data[pb:pe]))
+        elif tag == b"ipma":
+            version, flags, p = _fullbox(data, ib)
+            entry_count = struct.unpack_from(">I", data, p)[0]
+            p += 4
+            wide = bool(flags & 1)
+            for _ in range(entry_count):
+                if version < 1:
+                    item_id = struct.unpack_from(">H", data, p)[0]
+                    p += 2
+                else:
+                    item_id = struct.unpack_from(">I", data, p)[0]
+                    p += 4
+                n = data[p]
+                p += 1
+                idxs = []
+                for _ in range(n):
+                    if wide:
+                        raw = struct.unpack_from(">H", data, p)[0]
+                        p += 2
+                        idxs.append(raw & 0x7FFF)
+                    else:
+                        idxs.append(data[p] & 0x7F)
+                        p += 1
+                assoc[item_id] = idxs
+    return props, assoc
+
+
+@format_boundary("AVIF")
+def parse_avif(data: bytes) -> dict:
+    """Container-only parse → the primary item's everything.
+
+    Returns ``{"item_type", "width", "height", "av1c": dict|None,
+    "payload": bytes, "seq": dict|None}`` — no reconstruction, so this
+    works (and is tested) without any codec library.
+    """
+    if not is_avif(data):
+        raise ValueError("not an AVIF file (no avif brand in ftyp)")
+    meta_b = meta_e = None
+    for tag, b, e in _iter_boxes(data, 0, len(data)):
+        if tag == b"meta":
+            meta_b, meta_e = b, e
+            break
+    if meta_b is None:
+        raise ValueError("avif: no meta box")
+    _v, _f, p = _fullbox(data, meta_b)
+
+    primary = None
+    iloc: dict | None = None
+    iinf: dict | None = None
+    props: list = []
+    assoc: dict = {}
+    for tag, b, e in _iter_boxes(data, p, meta_e):
+        if tag == b"pitm":
+            version, _fl, q = _fullbox(data, b)
+            if version == 0:
+                primary = struct.unpack_from(">H", data, q)[0]
+            else:
+                primary = struct.unpack_from(">I", data, q)[0]
+        elif tag == b"iloc":
+            iloc = _parse_iloc(data, b, e)
+        elif tag == b"iinf":
+            iinf = _parse_iinf(data, b, e)
+        elif tag == b"iprp":
+            props, assoc = _parse_iprp(data, b, e)
+    if primary is None or iloc is None or iinf is None:
+        raise ValueError("avif: meta is missing pitm/iloc/iinf")
+    item_type = iinf.get(primary)
+    if item_type is None:
+        raise ValueError(f"avif: primary item {primary} has no infe entry")
+    if item_type in ("grid", "iovl"):
+        raise NotImplementedError(
+            f"avif: derived image item {item_type!r} (tiled/overlay) is not "
+            "supported — single av01 items only"
+        )
+    if item_type != "av01":
+        raise ValueError(f"avif: primary item type {item_type!r} != 'av01'")
+
+    width = height = None
+    av1c = None
+    for idx in assoc.get(primary, []):
+        if not 1 <= idx <= len(props):
+            raise ValueError("avif: ipma references a missing property")
+        tag, body = props[idx - 1]
+        if tag == b"ispe":
+            width, height = struct.unpack_from(">II", body, 4)
+        elif tag == b"av1C":
+            av1c = av1_codec.parse_av1c(body)
+    extents = iloc.get(primary)
+    if not extents:
+        raise ValueError("avif: primary item has no iloc extents")
+    parts = []
+    for off, ln in extents:
+        if off + ln > len(data):
+            raise ValueError("avif: iloc extent overruns the file")
+        parts.append(data[off:off + ln])
+    payload = b"".join(parts)
+    seq = None
+    if av1c is not None and av1c["config_obus"]:
+        seq = av1_codec.find_sequence_header(av1c["config_obus"])
+    if seq is None:
+        seq = av1_codec.find_sequence_header(payload)
+    return {
+        "item_type": item_type,
+        "width": width if width is not None else (seq or {}).get("max_width"),
+        "height": height if height is not None else (seq or {}).get("max_height"),
+        "av1c": av1c,
+        "payload": payload,
+        "seq": seq,
+    }
+
+
+def yuv_to_rgb(yuv: np.ndarray, full_range: bool) -> np.ndarray:
+    """(h, w, 3) YUV → RGB via the documented BT.601 fixed-point (Q14)
+    transform — full-swing or the studio-swing variant vp8_codec uses."""
+    y = yuv[:, :, 0].astype(np.int32)
+    u = yuv[:, :, 1].astype(np.int32) - 128
+    v = yuv[:, :, 2].astype(np.int32) - 128
+    if full_range:
+        t = y << 14
+        r = (t + 22970 * v + (1 << 13)) >> 14          # 1.402
+        g = (t - 5638 * u - 11700 * v + (1 << 13)) >> 14  # 0.344136/0.714136
+        b = (t + 29032 * u + (1 << 13)) >> 14          # 1.772
+    else:
+        t = 19077 * (y - 16) + (1 << 13)
+        r = (t + 26149 * v) >> 14
+        g = (t - 6419 * u - 13320 * v) >> 14
+        b = (t + 33050 * u) >> 14
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+@format_boundary("AVIF")
+def decode_avif(data: bytes) -> np.ndarray:
+    """AVIF bytes → (h, w, 3) uint8 RGB image.
+
+    Container parse is pure; the AV1 frame reconstructs via
+    av1_codec.decode_av1 (system decoder — NotImplementedError when none
+    is loadable). Auxiliary alpha items are ignored."""
+    info = parse_avif(data)
+    config = info["av1c"]["config_obus"] if info["av1c"] else None
+    frames = av1_codec.decode_av1(info["payload"], config_obus=config)
+    yuv = frames[0]
+    if info["width"] and info["height"]:
+        yuv = yuv[: info["height"], : info["width"]]
+    full = bool(info["seq"] and info["seq"]["color_range_full"])
+    return yuv_to_rgb(yuv, full)
+
+
+def encode_avif(stream: bytes) -> bytes:
+    """Single-frame AV1 OBU stream → AVIF file bytes (from-scratch writer).
+
+    The carriage mirror of parse_avif: the sequence header goes into the
+    av1C property AND stays in the item data — the AV1-AVIF mapping
+    requires the item to be a self-contained temporal unit including its
+    sequence header (video mp4 keeps it out-of-band; image items do not).
+    Only temporal delimiters are stripped. Written with iloc version 0
+    and one extent — the layout every reader supports."""
+    av1c = av1_codec.build_av1c(stream)
+    seq = av1_codec.find_sequence_header(stream)
+    keep = [
+        o.raw for o in av1_codec.parse_obus(stream)
+        if o.type != av1_codec.OBU_TEMPORAL_DELIMITER
+    ]
+    if not keep:
+        raise ValueError("AV1 stream has no frame OBUs to carry")
+    payload = b"".join(keep)
+
+    ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1miaf")
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"avif writer\x00",
+    )
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infe = _full(
+        b"infe", 2, 0, struct.pack(">HH", 1, 0) + b"av01" + b"Image\x00"
+    )
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    ispe = _full(
+        b"ispe", 0, 0, struct.pack(">II", seq["max_width"], seq["max_height"])
+    )
+    # pixi: bits per channel (metadata readers expect it alongside av1C)
+    nch = 1 if seq["mono_chrome"] else 3
+    pixi = _full(b"pixi", 0, 0, bytes([nch]) + bytes([8]) * nch)
+    ipco = _box(b"ipco", ispe + pixi + _box(b"av1C", av1c))
+    # ipma: item 1 → properties 1 (ispe), 2 (pixi), 3 (av1C, essential)
+    ipma = _full(
+        b"ipma", 0, 0,
+        struct.pack(">I", 1) + struct.pack(">H", 1) + bytes([3, 1, 2, 0x83]),
+    )
+    iprp = _box(b"iprp", ipco + ipma)
+
+    def make_iloc(offset: int) -> bytes:
+        return _full(
+            b"iloc", 0, 0,
+            struct.pack(">H", 0x4400)  # offset_size=4, length_size=4
+            + struct.pack(">H", 1)     # item_count
+            + struct.pack(">HHH", 1, 0, 1)  # item 1, dref 0, 1 extent
+            + struct.pack(">II", offset, len(payload)),
+        )
+    # meta's size does not depend on the offset value (fixed-width field):
+    # build once with 0 to learn the layout, then rebuild with the real one
+    meta0 = _full(b"meta", 0, 0, hdlr + pitm + iinf + make_iloc(0) + iprp)
+    mdat_body = len(ftyp) + len(meta0) + 8
+    meta = _full(b"meta", 0, 0, hdlr + pitm + iinf + make_iloc(mdat_body) + iprp)
+    assert len(meta) == len(meta0)
+    return ftyp + meta + _box(b"mdat", payload)
