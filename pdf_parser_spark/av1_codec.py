@@ -60,6 +60,8 @@ __all__ = [
     "parse_av1c",
     "build_av1c",
     "decode_av1",
+    "encode_av1_native",
+    "have_native_encoder",
     "native_decoder_name",
 ]
 
@@ -744,3 +746,133 @@ def decode_av1(
         "neither is loadable in this environment — the OBU/metadata layer "
         "above still works without them"
     )
+
+
+# ---------------------------------------------------------------------------
+# native encode dispatch (fixture/corpus generation only)
+# ---------------------------------------------------------------------------
+
+_RAV1E: ctypes.CDLL | None | bool = False
+
+
+def _load_rav1e() -> ctypes.CDLL | None:
+    global _RAV1E
+    if _RAV1E is False:
+        _RAV1E = None
+        for name in ("librav1e.so.0", "librav1e.so"):
+            try:
+                r = ctypes.CDLL(name)
+            except OSError:
+                continue
+            r.rav1e_config_default.restype = ctypes.c_void_p
+            r.rav1e_config_parse_int.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ]
+            r.rav1e_config_set_pixel_format.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint8, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            r.rav1e_config_unref.argtypes = [ctypes.c_void_p]
+            r.rav1e_context_new.restype = ctypes.c_void_p
+            r.rav1e_context_new.argtypes = [ctypes.c_void_p]
+            r.rav1e_context_unref.argtypes = [ctypes.c_void_p]
+            r.rav1e_frame_new.restype = ctypes.c_void_p
+            r.rav1e_frame_new.argtypes = [ctypes.c_void_p]
+            r.rav1e_frame_unref.argtypes = [ctypes.c_void_p]
+            r.rav1e_frame_fill_plane.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+                ctypes.c_size_t, ctypes.c_ssize_t, ctypes.c_int,
+            ]
+            r.rav1e_send_frame.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+            r.rav1e_receive_packet.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+            ]
+            r.rav1e_packet_unref.argtypes = [ctypes.c_void_p]
+            _RAV1E = r
+            break
+    return _RAV1E  # type: ignore[return-value]
+
+
+def have_native_encoder() -> bool:
+    """True when librav1e is loadable (the optional encode dispatch)."""
+    return _load_rav1e() is not None
+
+
+def encode_av1_native(
+    frames: list[tuple],
+    quantizer: int = 80,
+    chroma: int = 0,
+    speed: int = 10,
+    bit_depth: int = 8,
+    all_key: bool = True,
+) -> bytes:
+    """Encode (y, u, v) plane tuples → a low-overhead AV1 OBU stream via
+    the system rav1e encoder (opaque-pointer C API through ctypes).
+
+    This exists for FIXTURES: the synthetic media corpus and the test
+    suite mint real AV1/AVIF payloads with it. There is no from-scratch
+    encoder here (unlike VP8) — when librav1e is absent this raises
+    NotImplementedError and corpus slots fall back to other formats.
+    chroma: 0=4:2:0, 1=4:2:2, 2=4:4:4, 3=monochrome (u/v None).
+    all_key=True pins key_frame_interval=1 so decode order == display
+    order — what deterministic fixtures want.
+    """
+    r = _load_rav1e()
+    if r is None:
+        raise NotImplementedError(
+            "AV1 encoding needs librav1e, which is not loadable here"
+        )
+    h, w = frames[0][0].shape
+    cfg = r.rav1e_config_default()
+    pairs = [(b"width", w), (b"height", h), (b"speed", speed),
+             (b"quantizer", quantizer), (b"threads", 2)]
+    if all_key:
+        pairs.append((b"key_frame_interval", 1))
+    for k, v in pairs:
+        if r.rav1e_config_parse_int(cfg, k, v) != 0:
+            r.rav1e_config_unref(cfg)
+            raise ValueError(f"rav1e rejected config {k.decode()}={v}")
+    if r.rav1e_config_set_pixel_format(cfg, bit_depth, chroma, 0, 1) != 0:
+        r.rav1e_config_unref(cfg)
+        raise ValueError("rav1e rejected the pixel format")
+    ctx = r.rav1e_context_new(cfg)
+    r.rav1e_config_unref(cfg)
+    if not ctx:
+        raise ValueError("rav1e_context_new failed")
+    try:
+        bw = 2 if bit_depth > 8 else 1
+        for y, u, v in frames:
+            f = r.rav1e_frame_new(ctx)
+            r.rav1e_frame_fill_plane(
+                f, 0, y.tobytes(), y.nbytes, y.shape[1] * bw, bw
+            )
+            if chroma != 3:
+                r.rav1e_frame_fill_plane(
+                    f, 1, u.tobytes(), u.nbytes, u.shape[1] * bw, bw
+                )
+                r.rav1e_frame_fill_plane(
+                    f, 2, v.tobytes(), v.nbytes, v.shape[1] * bw, bw
+                )
+            rc = r.rav1e_send_frame(ctx, f)
+            r.rav1e_frame_unref(f)
+            if rc != 0:
+                raise ValueError(f"rav1e_send_frame failed ({rc})")
+        if r.rav1e_send_frame(ctx, None) != 0:  # flush
+            raise ValueError("rav1e flush failed")
+        out = []
+        while True:
+            pkt = ctypes.c_void_p()
+            st = r.rav1e_receive_packet(ctx, ctypes.byref(pkt))
+            if st == 0 and pkt.value:
+                p = ctypes.cast(pkt, ctypes.POINTER(ctypes.c_uint64))
+                out.append(ctypes.string_at(p[0], p[1]))
+                r.rav1e_packet_unref(pkt)
+            elif st in (1, 2):  # NeedMoreData / EnoughData
+                continue
+            elif st == 3:  # LimitReached
+                break
+            else:
+                raise ValueError(f"rav1e_receive_packet failed ({st})")
+    finally:
+        r.rav1e_context_unref(ctx)
+    return b"".join(out)

@@ -12,7 +12,8 @@ container demux, mkv_demux.py) are implemented from their
 public specs (stdlib + numpy), so ``fake=False`` runs a genuine
 bytes→pixels/samples/frames→features/resize pipeline for those payloads.
 What still raises ``NotImplementedError`` on the real path is the
-compressed BITSTREAM layer (mp3, h264/vp9/av1) — the mp4/mkv/webm
+compressed BITSTREAM layer with no in-container decoder (mp3,
+h264/vp9; AV1 now decodes via the system dav1d/libaom) — the mp4/mkv/webm
 containers themselves demux for any codec; ``fake=True`` (the
 default, and
 what the r08/r09 contract entries exercise) produces a deterministic
@@ -58,7 +59,13 @@ mis-decode):
            LZW/PackBits/Deflate, gray/                   16-bit, JPEG-in-TIFF → TiffError
            palette/RGB/RGBA, predictor,
            both byte orders, 1/4/8-bit)
-    image  AVIF / HEIC                     no            unrecognized magic → ValueError
+    image  AVIF (AV1 still image)          yes           avif_codec.py (from-scratch
+                                                         BMFF item layer; AV1 frame
+                                                         via system dav1d/libaom,
+                                                         cross-checked vs libavif in
+                                                         both writer/reader roles)
+    image  HEIC (HEVC still image)         no            no HEVC decoder in container
+                                                         → ValueError at magic dispatch
     audio  WAV 16-bit PCM                  yes           media_codecs.py
     audio  FLAC (all subframe types,       yes           flac_codec.py (CRC-8/16 +
            stereo decorrelation modes,                   stream MD5 verified)
@@ -67,15 +74,19 @@ mis-decode):
                                                          codec layer (multimodal.py
                                                          _decode gate)
     video  YUV4MPEG2 (raw frames)          yes           media_codecs.py
-    video  mp4/ISO-BMFF container          demux: yes    mp4_demux.py; compressed
-           (any codec inside)              decode: raw   fourccs (h264/h265/av01…)
-                                           RGB only      → NotImplementedError AFTER
+    video  mp4/ISO-BMFF container          demux: yes    mp4_demux.py; raw RGB and
+           (any codec inside)              decode: raw   av01 (AV1 via av1_codec +
+                                           RGB + AV1     system decoder) decode fully;
+                                                         h264/h265/vp9 fourccs →
+                                                         NotImplementedError AFTER
                                                          a real demux (stsz/stco/stts
                                                          tables, frame offsets/pts all
                                                          returned)
-    video  mkv/webm EBML container         demux: yes    mkv_demux.py; compressed codec
-                                           decode: raw   ids (V_VP9/V_AV1…) →
-                                           RGB only      NotImplementedError after demux
+    video  mkv/webm EBML container         demux: yes    mkv_demux.py; raw RGB and
+                                           decode: raw   V_AV1 decode fully;
+                                           RGB + AV1     V_MPEG4/V_VP9 codec ids →
+                                                         NotImplementedError after
+                                                         demux
 
 A production 100 TB media pipeline attaches ffmpeg/libjpeg at exactly the
 gated seams above; everything up to them (container demux, schema,
@@ -115,11 +126,13 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
     """Deterministic REAL (payload, mime): a valid file in one of the
     from-scratch-decodable formats, a pure function of i.
 
-    Image rows rotate PNG / JPEG (baseline + progressive) / WebP-lossless
-    / GIF / BMP / ICO / TIFF, audio rows alternate WAV and FLAC, video
-    rows rotate mp4 / mkv-webm / Y4M — so the fake=False operator paths
-    exercise EVERY real decoder end to end, including in the benched
-    contract entries."""
+    Image rows rotate PNG / JPEG (baseline + progressive) / WebP
+    (lossless + lossy VP8) / GIF / BMP / ICO / TIFF / AVIF, audio rows
+    alternate WAV and FLAC, video rows rotate raw mp4 / raw mkv-webm /
+    Y4M / animated WebP / AV1-in-mp4 / AV1-in-webm — so the fake=False
+    operator paths exercise EVERY real decoder end to end, including in
+    the benched contract entries. The AV1 slots need the optional
+    librav1e encoder and fall back to PNG/Y4M where it is absent."""
     from pdf_parser_spark import media_codecs
 
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
@@ -186,6 +199,17 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                 b"RIFF" + len(riff).to_bytes(4, "little") + riff,
                 "image/webp",
             )
+        if slot == 19:  # AVIF (AV1 still image; needs the optional encoder)
+            from pdf_parser_spark import av1_codec, avif_codec
+
+            if av1_codec.have_native_encoder():
+                y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                u = rng.integers(0, 256, size=(h // 2, w // 2), dtype=np.uint8)
+                v = rng.integers(0, 256, size=(h // 2, w // 2), dtype=np.uint8)
+                stream = av1_codec.encode_av1_native(
+                    [(y, u, v)], quantizer=160
+                )
+                return avif_codec.encode_avif(stream), "image/avif"
         ch = (1, 3, 4)[i % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         return media_codecs.encode_png(arr), "image/png"
@@ -197,17 +221,20 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
 
             return flac_codec.encode_flac(samples, 16000), "audio/flac"
         return media_codecs.encode_wav(samples, sample_rate=16000), "audio/wav"
-    # video rows rotate through the three real containers (one frame per
-    # second of duration): raw-RGB mp4 (ISO BMFF muxer), raw-RGB
-    # mkv/webm (EBML muxer), and YUV4MPEG2
+    # video rows rotate through every real video path (one frame per
+    # second of duration). Video ids are exactly the i ≡ 2 (mod 3) rows,
+    # so the sub-rotation keys on v = i // 3 — a residue of i itself
+    # (like the old i % 9) would silently skip slots whose residue can
+    # never coincide with the video kind.
     n_frames = i % 30 + 1
     h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
     frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
-    if i % 9 == 2:
+    v = (i // 3) % 6
+    if v == 0:
         from pdf_parser_spark import mp4_demux
 
         return mp4_demux.encode_mp4_raw(frames, fps=(1, 1)), "video/mp4"
-    if i % 9 == 5:
+    if v == 1:
         from pdf_parser_spark import mkv_demux
 
         return (
@@ -216,7 +243,7 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
             ),
             "video/webm",
         )
-    if i % 9 == 7:  # animated WebP (VP8X/ANIM/ANMF, lossless frames)
+    if v == 3:  # animated WebP (VP8X/ANIM/ANMF, lossless frames)
         from pdf_parser_spark import webp_codec
 
         rgba = np.concatenate(
@@ -226,6 +253,23 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
             webp_codec.encode_webp_anim(rgba, durations_ms=[1000] * n_frames),
             "image/webp",
         )
+    if v in (4, 5):  # AV1 bitstream in mp4 (av01) / webm (V_AV1)
+        from pdf_parser_spark import av1_codec, mkv_demux, mp4_demux
+
+        if av1_codec.have_native_encoder():
+            planes = [
+                (f[:, :, 0], f[::2, ::2, 1], f[::2, ::2, 2]) for f in frames
+            ]
+            stream = av1_codec.encode_av1_native(planes, quantizer=200)
+            if v == 4:
+                return mp4_demux.encode_mp4_av1(stream, fps=(1, 1)), "video/mp4"
+            return (
+                mkv_demux.encode_mkv_av1(
+                    stream, frame_ms=1000,
+                    doctype="webm" if i % 2 else "matroska",
+                ),
+                "video/webm",
+            )
     return (
         media_codecs.encode_y4m(frames, colorspace="C444" if i % 2 else "C420jpeg"),
         "video/x-yuv4mpeg",
@@ -279,15 +323,16 @@ def media_table(spark, n_rows: int = 64, partitions: int = 4,
 def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Decode a media payload to an array.
 
-    fake=False (REAL): image payloads decode as PNG, JPEG, GIF, or
-    lossless WebP (magic-byte dispatch), audio as 16-bit PCM WAV, and video as
-    YUV4MPEG2 frame stacks, raw-RGB mp4 (from-scratch ISO BMFF demux,
-    mp4_demux.py), or raw-RGB mkv/webm (from-scratch EBML demux,
-    mkv_demux.py) via the from-scratch codecs (media_codecs.py,
-    jpeg_codec.py — audio samples re-biased to uint8 so every kind feeds
-    the same feature kernel). Formats needing codec libraries absent here
-    (mp3; compressed video BITSTREAMS h264/vp9/av1 — the mp4/mkv
-    containers themselves demux fine) raise NotImplementedError.
+    fake=False (REAL): image payloads decode as PNG, JPEG, GIF, WebP,
+    or AVIF (magic-byte dispatch), audio as 16-bit PCM WAV or FLAC, and
+    video as YUV4MPEG2 frame stacks, mp4 (raw RGB or av01/AV1), or
+    mkv/webm (raw RGB or V_AV1) via the from-scratch codecs
+    (media_codecs.py, jpeg_codec.py, av1_codec.py's OBU layer — audio
+    samples re-biased to uint8 so every kind feeds the same feature
+    kernel). AV1 reconstruction dispatches to the system dav1d/libaom;
+    formats with neither a from-scratch decoder nor an in-container
+    library (mp3; h264/vp9 video BITSTREAMS — the mp4/mkv containers
+    themselves demux fine) raise NotImplementedError.
 
     fake=True: deterministic pseudo-pixels from a crc32-seeded generator —
     same payload ⇒ same array on every executor.
@@ -336,6 +381,13 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             return frames[0] if kind == "image" else frames
         if kind == "video" and data.startswith(b"YUV4MPEG2"):
             return media_codecs.decode_y4m(data)
+        if kind == "image" and data[4:8] == b"ftyp":
+            from pdf_parser_spark import avif_codec
+
+            # AVIF: from-scratch BMFF item layer, AV1 frame via the
+            # system decoder (av1_codec) — RGB out
+            if avif_codec.is_avif(data):
+                return avif_codec.decode_avif(data)
         if kind == "video" and data[4:8] == b"ftyp":
             from pdf_parser_spark import mp4_demux
 

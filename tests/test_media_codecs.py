@@ -379,5 +379,6 @@ def test_all_three_video_containers_flow_through_operators(spark):
     for i, sig in sigs.items():
         want = ("video/mp4" if sig[4:8] == b"ftyp"
                 else "video/webm" if sig.startswith(b"\x1a\x45\xdf\xa3")
+                else "image/webp" if sig[:4] == b"RIFF"
                 else "video/x-yuv4mpeg")
         assert mimes[i] == want
