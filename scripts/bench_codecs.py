@@ -128,6 +128,24 @@ def main() -> None:
     )
     results["vp8_native_mpix"] = _throughput(_native_yuv, blob, int(mpix * (1 << 20)))
 
+    # AV1: no pure reconstruction exists here (declared out of
+    # from-scratch scope) — measure the two system decoders the dispatch
+    # chooses between, through the full decode_av1 path (from-scratch OBU
+    # layer included), to justify preferring dav1d
+    from pdf_parser_spark import av1_codec
+
+    if av1_codec.have_native_encoder():
+        planes = [(img[:, :, 0], img[::2, ::2, 1], img[::2, ::2, 2])]
+        av1_stream = av1_codec.encode_av1_native(planes, quantizer=80)
+        for name in ("dav1d", "aom"):
+            try:
+                results[f"av1_{name}_mpix"] = _throughput(
+                    lambda c, n=name: av1_codec.decode_av1(c, decoder=n),
+                    av1_stream, int(mpix * (1 << 20)),
+                )
+            except NotImplementedError:
+                pass
+
     print(
         json.dumps(
             {
