@@ -46,7 +46,8 @@ from pdf_parser_spark import av1_codec
 from pdf_parser_spark.media_codecs import format_boundary
 from pdf_parser_spark.mp4_demux import _box, _full, _iter_boxes
 
-__all__ = ["is_avif", "parse_avif", "decode_avif", "encode_avif", "yuv_to_rgb"]
+__all__ = ["is_avif", "parse_avif", "decode_avif", "encode_avif",
+           "encode_avif_rgb", "yuv_to_rgb", "rgb_to_yuv"]
 
 
 def is_avif(data: bytes) -> bool:
@@ -363,3 +364,37 @@ def encode_avif(stream: bytes) -> bytes:
     meta = _full(b"meta", 0, 0, hdlr + pitm + iinf + make_iloc(mdat_body) + iprp)
     assert len(meta) == len(meta0)
     return ftyp + meta + _box(b"mdat", payload)
+
+
+def rgb_to_yuv(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB → YUV, full-range BT.601 fixed point (Q14) — the
+    encode-side inverse of yuv_to_rgb's full-range branch."""
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    y = (4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14
+    u = ((-2765 * r - 5427 * g + 8192 * b + (1 << 13)) >> 14) + 128
+    v = ((8192 * r - 6860 * g - 1332 * b + (1 << 13)) >> 14) + 128
+    return np.clip(np.stack([y, u, v], axis=-1), 0, 255).astype(np.uint8)
+
+
+def encode_avif_rgb(rgb: np.ndarray, quantizer: int = 120) -> bytes:
+    """(h, w, 3) RGB → AVIF bytes via the optional native AV1 encoder.
+
+    Convenience wrapper for stages that re-encode pixels (e.g. resize):
+    full-range BT.601 to YUV, 2x2-nearest chroma subsample, rav1e, then
+    the from-scratch container writer. NotImplementedError when librav1e
+    is absent OR the image is under rav1e's 16x16 minimum (callers fall
+    back to PNG)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.shape[0] < 16 or rgb.shape[1] < 16:
+        raise NotImplementedError(
+            f"AVIF re-encode of {rgb.shape[1]}x{rgb.shape[0]}: the rav1e "
+            "encoder requires at least 16x16"
+        )
+    yuv = rgb_to_yuv(rgb)
+    y = np.ascontiguousarray(yuv[:, :, 0])
+    u = np.ascontiguousarray(yuv[::2, ::2, 1])
+    v = np.ascontiguousarray(yuv[::2, ::2, 2])
+    stream = av1_codec.encode_av1_native([(y, u, v)], quantizer=quantizer)
+    return encode_avif(stream)

@@ -137,47 +137,53 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
 
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
     if kind == "image":
+        # image rows are exactly the i ≡ 0 (mod 3) ids, so the
+        # sub-rotation keys on s = i // 3 — residues of i itself can be
+        # unreachable for this kind (the dead-slot bug the video branch
+        # had) and are not used for format selection here
         h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
-        if i % 6 == 3:  # JFIF rows alternate baseline / PROGRESSIVE (SOF2)
+        s = (i // 3) % 10
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if s == 1:  # baseline JFIF
             from pdf_parser_spark import jpeg_codec
 
-            ch = 1 if i % 12 == 9 else 3
+            return jpeg_codec.encode_jpeg(rgb, quality=90), "image/jpeg"
+        if s == 9:  # progressive (SOF2); alternate gray/RGB content
+            from pdf_parser_spark import jpeg_codec
+
+            ch = 1 if (i // 30) % 2 else 3
             arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
-            enc = (jpeg_codec.encode_jpeg_progressive
-                   if i % 12 == 3 else jpeg_codec.encode_jpeg)
-            return enc(arr, quality=90), "image/jpeg"
-        slot = i % 24
-        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        if slot == 1:
+            return jpeg_codec.encode_jpeg_progressive(arr, quality=90), "image/jpeg"
+        if s == 2:
             from pdf_parser_spark import webp_codec
 
             rgba = np.concatenate(
                 [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
             )
             return webp_codec.encode_webp_lossless(rgba), "image/webp"
-        if slot == 5:
+        if s == 3:
             from pdf_parser_spark import gif_codec
 
             pal = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
             return gif_codec.encode_gif(
                 pal[rng.integers(0, 12, size=(h, w))]
             ), "image/gif"
-        if slot == 7:
+        if s == 4:
             from pdf_parser_spark import bmp_codec
 
             return bmp_codec.encode_bmp(rgb), "image/bmp"
-        if slot == 11:
+        if s == 5:
             from pdf_parser_spark import tiff_codec
 
             return tiff_codec.encode_tiff(rgb, compression="lzw"), "image/tiff"
-        if slot == 13:  # h, w <= 132 here, within ICO's 256 cap
+        if s == 6:  # h, w <= 132 here, within ICO's 256 cap
             from pdf_parser_spark import bmp_codec
 
             rgba = np.concatenate(
                 [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
             )
             return bmp_codec.encode_ico([rgba]), "image/x-icon"
-        if slot == 17:  # lossy VP8 key frame via the from-scratch encoder
+        if s == 7:  # lossy VP8 key frame via the from-scratch encoder
             from pdf_parser_spark import vp8_codec, webp_codec
 
             mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
@@ -199,7 +205,7 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                 b"RIFF" + len(riff).to_bytes(4, "little") + riff,
                 "image/webp",
             )
-        if slot == 19:  # AVIF (AV1 still image; needs the optional encoder)
+        if s == 8:  # AVIF (AV1 still image; needs the optional encoder)
             from pdf_parser_spark import av1_codec, avif_codec
 
             if av1_codec.have_native_encoder():
@@ -210,7 +216,7 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                     [(y, u, v)], quantizer=160
                 )
                 return avif_codec.encode_avif(stream), "image/avif"
-        ch = (1, 3, 4)[i % 3]
+        ch = (1, 3, 4)[(i // 3) % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         return media_codecs.encode_png(arr), "image/png"
     if kind == "audio":
@@ -755,18 +761,61 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = True) -> DataFrame:
     """Image resize stage: decode → nearest-neighbour resample → re-encode.
 
-    fake=False: format-preserving — PNG in, PNG out; JPEG in, JPEG out
-    (both from-scratch codecs) — output payloads are themselves decodable,
-    so resize chains compose. The fake path re-encodes raw bytes via zlib.
-    Non-image rows pass through untouched (filter pushdown keeps them out
-    of the UDF entirely).
+    fake=False: format-preserving — every corpus image format re-encodes
+    in its own container (PNG/JPEG/GIF/BMP/TIFF/ICO via the from-scratch
+    codecs; WebP back as WebP in the lossless flavor; AVIF via the
+    optional native encoder, PNG fallback where librav1e is absent) —
+    output payloads are themselves decodable, so resize chains compose.
+    The fake path re-encodes raw bytes via zlib. Non-image rows pass
+    through untouched (filter pushdown keeps them out of the UDF
+    entirely).
     """
     images = media.filter(F.col("kind") == "image")
     other = media.filter(F.col("kind") != "image")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_parser_spark import jpeg_codec, media_codecs
+    def reencode(data: bytes, arr: np.ndarray) -> bytes:
+        from pdf_parser_spark import (
+            av1_codec, avif_codec, bmp_codec, gif_codec, jpeg_codec,
+            media_codecs, tiff_codec, webp_codec,
+        )
 
+        def rgb3(a):
+            if a.ndim == 2:
+                a = a[:, :, None]
+            if a.shape[2] == 1:
+                return np.repeat(a, 3, axis=2)
+            return a[:, :, :3]
+
+        def rgba(a):
+            a3 = rgb3(a)
+            if arr.ndim == 3 and arr.shape[2] == 4:
+                alpha = arr[:, :, 3:4]
+            else:
+                alpha = np.full(a3.shape[:2] + (1,), 255, np.uint8)
+            return np.concatenate([a3, alpha], axis=-1)
+
+        if data[:2] == b"\xff\xd8":
+            a = arr if arr.ndim == 2 or arr.shape[2] in (1, 3) else rgb3(arr)
+            return jpeg_codec.encode_jpeg(a, quality=90)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            # resize adds no colors, so the exact-palette writer fits
+            return gif_codec.encode_gif(rgb3(arr))
+        if data[:2] == b"BM":
+            return bmp_codec.encode_bmp(rgb3(arr))
+        if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            return tiff_codec.encode_tiff(rgb3(arr), compression="lzw")
+        if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            return bmp_codec.encode_ico([rgba(arr)])
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return webp_codec.encode_webp_lossless(rgba(arr))
+        if data[4:8] == b"ftyp" and avif_codec.is_avif(data):
+            try:
+                return avif_codec.encode_avif_rgb(rgb3(arr))
+            except NotImplementedError:
+                pass  # no encoder / under rav1e's 16x16 floor → PNG below
+        return media_codecs.encode_png(arr)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload = []
             for payload in pdf["payload"]:
@@ -781,10 +830,8 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                 resized = arr[ys][:, xs]
                 if fake:
                     out_payload.append(zlib.compress(resized.tobytes()))
-                elif data[:2] == b"\xff\xd8":
-                    out_payload.append(jpeg_codec.encode_jpeg(resized, quality=90))
                 else:
-                    out_payload.append(media_codecs.encode_png(resized))
+                    out_payload.append(reencode(data, resized))
             pdf = pdf.assign(payload=out_payload)
             yield pdf
 

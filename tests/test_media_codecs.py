@@ -126,7 +126,7 @@ def test_resize_images_real_produces_decodable_output(spark):
     from pdf_parser_spark import jpeg_codec
     from pdf_parser_spark.operators import multimodal
 
-    media = multimodal.media_table(spark, n_rows=12, real_payloads=True)
+    media = multimodal.media_table(spark, n_rows=30, real_payloads=True)
     in_fmt = {r["media_id"]: bytes(r["payload"])[:2]
               for r in media.filter(F.col("kind") == "image").collect()}
     out = multimodal.resize_images(media, width=16, height=10, fake=False)
@@ -135,15 +135,21 @@ def test_resize_images_real_produces_decodable_output(spark):
     seen_fmts = set()
     for r in imgs:
         data = bytes(r["payload"])
-        assert data[:2] == in_fmt[r["media_id"]]
-        if data[:2] == b"\xff\xd8":
-            arr = jpeg_codec.decode_jpeg(data)
-            seen_fmts.add("jpeg")
+        # format-preserving: same container magic in and out, and the
+        # output itself decodes at the requested size through the same
+        # dispatch the pipeline uses. Exception: AVIF inputs (ftyp size
+        # prefix \x00\x00) fall back to PNG under rav1e's 16x16 encode
+        # floor — the 10px target here is exactly that case.
+        if in_fmt[r["media_id"]] == b"\x00\x00":
+            assert data[:2] in (b"\x00\x00", b"\x89P")
         else:
-            arr = media_codecs.decode_png(data)
-            seen_fmts.add("png")
+            assert data[:2] == in_fmt[r["media_id"]]
+        arr = multimodal._decode(data, "image", fake=False)
         assert arr.shape[:2] == (10, 16)
-    assert seen_fmts == {"png", "jpeg"}
+        seen_fmts.add(bytes(in_fmt[r["media_id"]]))
+    # the 30-row corpus spans PNG, JPEG, WebP, GIF, BMP, TIFF, ICO,
+    # AVIF (ftyp size prefix \x00\x00), progressive JPEG
+    assert len(seen_fmts) >= 6, seen_fmts
     # non-image rows pass through byte-identical
     audio_in = {r["media_id"]: bytes(r["payload"])
                 for r in media.filter(F.col("kind") == "audio").collect()}
