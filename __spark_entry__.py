@@ -2343,6 +2343,24 @@ def r44_fetch_schedule(spark, sf_dir):
     )
 
 
+def r45_media_probe(spark, sf_dir):
+    """Header-level codec identification over the real media corpus
+    (operators/multimodal.probe_media → media_probe.probe_bytes): format,
+    codec, dimensions, frame counts, duration, sample rate, bit depth and
+    keyframes from container/header walks alone — NO pixel decode, no
+    native library — so it also classifies payloads whose bitstream
+    decode is gated. Probe fields are cross-checked against the full
+    decoders over the whole corpus in tests/test_media_probe.py; this
+    audit records the per-row identification of all 96 rows (every
+    minted format: png/jpeg×2/webp×2/gif/bmp/ico/tiff/avif, wav/flac,
+    mp4×2/mkv×2/y4m/animated-webp). Rows-only."""
+    _ship_package(spark)
+    from pdf_parser_spark.operators import multimodal as mm
+
+    media = mm.media_table(spark, n_rows=96, partitions=8, real_payloads=True)
+    return mm.probe_media(media).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 49 oracle-checked entries — the driver's correctness record caps at
     # 50 rows (r01: 39, r02: 47, r03: exactly the first 50 of 80), so the
@@ -2445,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r42_host_boilerplate": r42_host_boilerplate,
         "r43_monthly_crawl": r43_monthly_crawl,
         "r44_fetch_schedule": r44_fetch_schedule,
+        "r45_media_probe": r45_media_probe,
     }
 
 

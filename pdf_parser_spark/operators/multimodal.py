@@ -757,6 +757,66 @@ def audio_spectrogram_features(media: DataFrame, n_bands: int = 16,
     )
 
 
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header-level codec identification — NO pixel decode (media_probe).
+
+    The crawl-triage stage: format/codec/dims/frames/duration/keyframes
+    from header walks alone, microseconds per row, independent of whether
+    the bitstream is decodable here (h264/vp9 mp4 tracks probe fine).
+    Per-row degrade: malformed payloads report ok=False with the typed
+    error, never kill the task. Shuffle-free map; at 100 TB this runs as
+    a projection over (media_id, kind, payload) with nothing else read.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark import media_probe
+
+        cols = [
+            "media_id", "kind", "format", "codec", "width", "height",
+            "n_frames", "duration_ms", "sample_rate", "bit_depth",
+            "n_keyframes", "n_bytes", "ok", "err",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                rec = {
+                    "media_id": int(mid), "kind": kind, "n_bytes": len(data),
+                }
+                try:
+                    rec.update(media_probe.probe_bytes(data))
+                    rec["ok"], rec["err"] = True, None
+                except (ValueError, NotImplementedError) as exc:
+                    rec.update(
+                        {k: None for k in (
+                            "format", "codec", "width", "height", "n_frames",
+                            "duration_ms", "sample_rate", "bit_depth",
+                            "n_keyframes",
+                        )}
+                    )
+                    rec["ok"], rec["err"] = False, str(exc)[:200]
+                rows.append(rec)
+            out = pd.DataFrame(rows, columns=cols)
+            # object dtype keeps None → null through Arrow for the
+            # nullable integer columns (pandas would otherwise float them)
+            for c in ("width", "height", "n_frames", "duration_ms",
+                      "sample_rate", "bit_depth", "n_keyframes"):
+                out[c] = out[c].astype(object)
+            yield out
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, kind string, format string, codec string, "
+            "width int, height int, n_frames long, duration_ms long, "
+            "sample_rate int, bit_depth int, n_keyframes long, "
+            "n_bytes long, ok boolean, err string"
+        ),
+    )
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = True) -> DataFrame:
     """Image resize stage: decode → nearest-neighbour resample → re-encode.
