@@ -69,8 +69,11 @@ def _fullbox(data: bytes, b: int) -> tuple[int, int, int]:
     return vf >> 24, vf & 0xFFFFFF, b + 4
 
 
-def _parse_iloc(data: bytes, b: int, e: int) -> dict[int, list[tuple[int, int]]]:
-    """item id → [(absolute offset, length), ...] — all three versions."""
+def _parse_iloc(data: bytes, b: int, e: int) -> dict[int, tuple[int, list[tuple[int, int]]]]:
+    """item id → (construction_method, [(offset, length), ...]) for all
+    three iloc versions. Method 0 offsets are file-absolute; method 1
+    offsets index the meta box's ``idat`` body (how writers store small
+    payloads); method 2 (item-relative) raises at resolve time."""
     version, _flags, p = _fullbox(data, b)
     if version > 2:
         raise ValueError(f"avif: iloc version {version} not understood")
@@ -100,14 +103,10 @@ def _parse_iloc(data: bytes, b: int, e: int) -> dict[int, list[tuple[int, int]]]
         else:
             item_id = struct.unpack_from(">I", data, p)[0]
             p += 4
+        method = 0
         if version in (1, 2):
             method = struct.unpack_from(">H", data, p)[0] & 0xF
             p += 2
-            if method != 0:
-                raise ValueError(
-                    f"avif: iloc construction_method {method} (idat/item "
-                    "offsets) not supported"
-                )
         p += 2  # data_reference_index (0 = this file)
         base, p = read_n(p, base_offset_size)
         extent_count = struct.unpack_from(">H", data, p)[0]
@@ -118,10 +117,48 @@ def _parse_iloc(data: bytes, b: int, e: int) -> dict[int, list[tuple[int, int]]]
             off, p = read_n(p, offset_size)
             ln, p = read_n(p, length_size)
             extents.append((base + off, ln))
-        out[item_id] = extents
+        out[item_id] = (method, extents)
         if p > e:
             raise ValueError("avif: iloc overruns its box")
     return out
+
+
+def _find_idat(data: bytes, meta_b: int, meta_e: int) -> tuple[int, int] | None:
+    _v, _f, p = _fullbox(data, meta_b)
+    for tag, b, e in _iter_boxes(data, p, meta_e):
+        if tag == b"idat":
+            return b, e
+    return None
+
+
+def _resolve_extents(
+    data: bytes,
+    entry: tuple[int, list[tuple[int, int]]],
+    idat: tuple[int, int] | None,
+    what: str,
+) -> bytes:
+    method, extents = entry
+    if not extents:
+        raise ValueError(f"{what}: primary item has no iloc extents")
+    parts = []
+    for off, ln in extents:
+        if method == 0:
+            lo, hi = off, off + ln
+            if hi > len(data):
+                raise ValueError(f"{what}: iloc extent overruns the file")
+        elif method == 1:
+            if idat is None:
+                raise ValueError(f"{what}: idat-offset item without an idat box")
+            lo, hi = idat[0] + off, idat[0] + off + ln
+            if hi > idat[1]:
+                raise ValueError(f"{what}: iloc extent overruns idat")
+        else:
+            raise ValueError(
+                f"{what}: iloc construction_method {method} (item-relative) "
+                "not supported"
+            )
+        parts.append(data[lo:hi])
+    return b"".join(parts)
 
 
 def _parse_iinf(data: bytes, b: int, e: int) -> dict[int, str]:
@@ -135,11 +172,12 @@ def _parse_iinf(data: bytes, b: int, e: int) -> dict[int, str]:
     for tag, ib, ie in _iter_boxes(data, p, e):
         if tag != b"infe":
             continue
-        iv, iflags, ip = _fullbox(data, ib)
+        iv, _iflags, ip = _fullbox(data, ib)
         if iv < 2:
             raise ValueError(f"avif: infe version {iv} not understood")
-        if iflags & 1:
-            raise ValueError("avif: hidden/protected infe item")
+        # flags bit 0 marks HIDDEN items (e.g. the tiles behind a grid);
+        # they are legitimate entries — derived-item handling decides
+        # what is supported, not the walk
         if iv == 2:
             item_id = struct.unpack_from(">H", data, ip)[0]
             ip += 2
@@ -246,15 +284,12 @@ def parse_avif(data: bytes) -> dict:
             width, height = struct.unpack_from(">II", body, 4)
         elif tag == b"av1C":
             av1c = av1_codec.parse_av1c(body)
-    extents = iloc.get(primary)
-    if not extents:
-        raise ValueError("avif: primary item has no iloc extents")
-    parts = []
-    for off, ln in extents:
-        if off + ln > len(data):
-            raise ValueError("avif: iloc extent overruns the file")
-        parts.append(data[off:off + ln])
-    payload = b"".join(parts)
+    entry = iloc.get(primary)
+    if entry is None:
+        raise ValueError("avif: primary item has no iloc entry")
+    payload = _resolve_extents(
+        data, entry, _find_idat(data, meta_b, meta_e), "avif"
+    )
     seq = None
     if av1c is not None and av1c["config_obus"]:
         seq = av1_codec.find_sequence_header(av1c["config_obus"])

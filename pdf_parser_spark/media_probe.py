@@ -246,6 +246,18 @@ def _probe_avif(data: bytes) -> dict:
     )
 
 
+def _probe_heic(data: bytes) -> dict:
+    from pdf_parser_spark import heif_codec
+
+    info = heif_codec.parse_heic(data)
+    hv = info["hvcc"] or {}
+    return _out(
+        format="heic", codec="hevc", width=info["width"],
+        height=info["height"], n_frames=1,
+        bit_depth=hv.get("bit_depth_luma"), n_keyframes=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio
 # ---------------------------------------------------------------------------
@@ -420,10 +432,12 @@ def probe_bytes(data: bytes) -> dict:
     if data.startswith(b"YUV4MPEG2"):
         return _probe_y4m(data)
     if data[4:8] == b"ftyp":
-        from pdf_parser_spark import avif_codec
+        from pdf_parser_spark import avif_codec, heif_codec
 
         if avif_codec.is_avif(data):
             return _probe_avif(data)
+        if heif_codec.is_heic(data):
+            return _probe_heic(data)
         return _probe_mp4(data)
     if data[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_mkv(data)

@@ -64,8 +64,11 @@ mis-decode):
                                                          via system dav1d/libaom,
                                                          cross-checked vs libavif in
                                                          both writer/reader roles)
-    image  HEIC (HEVC still image)         no            no HEVC decoder in container
-                                                         → ValueError at magic dispatch
+    image  HEIC (HEVC still image,         yes           heif_codec.py (from-scratch
+           incl. grid/tiled items)                       HEIF item + hvcC + grid/iref
+                                                         layer shared with avif_codec;
+                                                         HEVC frames + grid compose
+                                                         via system libheif/libde265)
     audio  WAV 16-bit PCM                  yes           media_codecs.py
     audio  FLAC (all subframe types,       yes           flac_codec.py (CRC-8/16 +
            stereo decorrelation modes,                   stream MD5 verified)
@@ -142,7 +145,7 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
         # unreachable for this kind (the dead-slot bug the video branch
         # had) and are not used for format selection here
         h, w = 48 + (i % 8) * 12, 64 + (i % 8) * 16
-        s = (i // 3) % 10
+        s = (i // 3) % 11
         rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         if s == 1:  # baseline JFIF
             from pdf_parser_spark import jpeg_codec
@@ -216,6 +219,22 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                     [(y, u, v)], quantizer=160
                 )
                 return avif_codec.encode_avif(stream), "image/avif"
+        if s == 10:  # HEIC (HEVC still image; needs libheif's encoder)
+            from pdf_parser_spark import heif_codec
+
+            if heif_codec.have_native_codec() == (True, True):
+                # smooth content: HEVC at this quality keeps the decoded
+                # pixels near the source, like real photos would be
+                yy, xx = np.mgrid[0:h, 0:w]
+                smooth = np.stack(
+                    [(xx * 255 // max(1, w - 1)),
+                     (yy * 255 // max(1, h - 1)),
+                     ((xx + yy) * 127 // max(1, h + w - 2))],
+                    axis=-1,
+                ).astype(np.uint8)
+                return heif_codec.encode_heic_native(
+                    smooth, quality=90
+                ), "image/heic"
         ch = (1, 3, 4)[(i // 3) % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         return media_codecs.encode_png(arr), "image/png"
@@ -388,12 +407,14 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         if kind == "video" and data.startswith(b"YUV4MPEG2"):
             return media_codecs.decode_y4m(data)
         if kind == "image" and data[4:8] == b"ftyp":
-            from pdf_parser_spark import avif_codec
+            from pdf_parser_spark import avif_codec, heif_codec
 
-            # AVIF: from-scratch BMFF item layer, AV1 frame via the
-            # system decoder (av1_codec) — RGB out
+            # AVIF/HEIC: from-scratch BMFF item layer; AV1 frames via
+            # the system dav1d/libaom, HEVC frames via libheif — RGB out
             if avif_codec.is_avif(data):
                 return avif_codec.decode_avif(data)
+            if heif_codec.is_heic(data):
+                return heif_codec.decode_heic(data)
         if kind == "video" and data[4:8] == b"ftyp":
             from pdf_parser_spark import mp4_demux
 
@@ -873,6 +894,14 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                 return avif_codec.encode_avif_rgb(rgb3(arr))
             except NotImplementedError:
                 pass  # no encoder / under rav1e's 16x16 floor → PNG below
+        if data[4:8] == b"ftyp":
+            from pdf_parser_spark import heif_codec
+
+            if heif_codec.is_heic(data):
+                try:
+                    return heif_codec.encode_heic_native(rgb3(arr))
+                except (NotImplementedError, ValueError):
+                    pass  # no x265 / size the encoder refuses → PNG below
         return media_codecs.encode_png(arr)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
