@@ -623,18 +623,15 @@ def video_frame_phashes(media: DataFrame, every_ms: int = 1000,
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 try:
-                    frames = _decode(bytes(payload), "video", fake)
+                    sampled = _decode_sampled(bytes(payload), dur, every_ms, fake)
                 except (ValueError, NotImplementedError):
                     continue  # corrupt/undecodable video: drop the row
-                n = max(1, int(dur or 0) // every_ms)
-                for j in range(min(n, len(frames))):
+                for j, frame in sampled:
                     rows.append(
                         {
                             "media_id": int(mid),
                             "frame_index": j,
-                            "phash": _phash_bits(
-                                frames[j % len(frames)], hash_size, resample
-                            ),
+                            "phash": _phash_bits(frame, hash_size, resample),
                         }
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "phash"])
@@ -928,12 +925,166 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
     return resized.unionByName(other)
 
 
+def _decode_frame_indices(data: bytes, indices: list[int]):
+    """Decode ONLY the requested frame indices of a real video payload.
+
+    Returns {index: frame_array} or None when the container cannot be
+    selectively decoded (animated GIF/WebP composite from frame 0, so
+    selective decode saves nothing there — callers fall back to the full
+    path). This is what makes the sampling operators scale: a 2-hour mp4
+    sampled every minute decodes ~120 frames, not ~200k.
+
+    mp4/mkv raw: direct byte-range slices from the demuxed sample table.
+    mp4 av01 / mkv V_AV1: for each index, decode the temporal units from
+    the nearest preceding sync sample through the target (all-intra
+    streams decode exactly one TU per requested frame).
+    y4m: frame offsets are arithmetic — each needed frame is rewrapped
+    as a 1-frame stream through the normal decoder.
+    """
+    out: dict[int, np.ndarray] = {}
+    if data.startswith(b"YUV4MPEG2"):
+        from pdf_parser_spark import media_codecs
+
+        nl = data.index(b"\n")
+        header = data[: nl + 1]
+        w = h = None
+        cs = "C420jpeg"
+        for prm in data[9:nl].split():
+            if prm[:1] == b"W":
+                w = int(prm[1:])
+            elif prm[:1] == b"H":
+                h = int(prm[1:])
+            elif prm[:1] == b"C":
+                cs = prm.decode()
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        if cs == "C444":
+            frame_bytes = 3 * w * h
+        elif cs.startswith("C420"):
+            frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        else:
+            return None
+        offsets = []
+        pos = nl + 1
+        while pos < len(data):
+            if data[pos:pos + 5] != b"FRAME":
+                raise ValueError(f"Y4M: expected FRAME at {pos}")
+            body = data.index(b"\n", pos) + 1
+            offsets.append((pos, body))
+            pos = body + frame_bytes
+        for idx in indices:
+            mark, body = offsets[idx]
+            mini = header + data[mark:body + frame_bytes]
+            out[idx] = media_codecs.decode_y4m(mini)[0]
+        return out
+    if data[4:8] == b"ftyp":
+        from pdf_parser_spark import av1_codec, mp4_demux
+
+        track = mp4_demux.demux_mp4(data)
+        samples = track.samples
+        if track.codec == "raw ":
+            want = track.height * track.width * 3
+            for idx in indices:
+                sm = samples[idx]
+                if sm.size != want:
+                    raise ValueError("mp4 raw sample size mismatch")
+                out[idx] = np.frombuffer(
+                    data[sm.offset:sm.offset + sm.size], np.uint8
+                ).reshape(track.height, track.width, 3)
+            return out
+        if track.codec == "av01":
+            if track.codec_config is None:
+                raise ValueError("mp4: av01 track without an av1C box")
+            config = av1_codec.parse_av1c(track.codec_config)["config_obus"]
+
+            def tu(i):
+                sm = samples[i]
+                chunk = data[sm.offset:sm.offset + sm.size]
+                return chunk if chunk.startswith(b"\x12") else b"\x12\x00" + chunk
+
+            for idx in indices:
+                start = idx
+                while start > 0 and not samples[start].is_sync:
+                    start -= 1
+                frames = av1_codec.decode_av1(
+                    b"".join(tu(i) for i in range(start, idx + 1)),
+                    config_obus=config,
+                )
+                out[idx] = frames[-1]
+            return out
+        return None
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        from pdf_parser_spark import av1_codec, mkv_demux
+
+        track = mkv_demux.demux_mkv(data)
+        frames = track.frames
+        if track.codec == "V_UNCOMPRESSED":
+            want = track.height * track.width * 3
+            for idx in indices:
+                fr = frames[idx]
+                if fr.size != want:
+                    raise ValueError("mkv raw frame size mismatch")
+                out[idx] = np.frombuffer(
+                    data[fr.offset:fr.offset + fr.size], np.uint8
+                ).reshape(track.height, track.width, 3)
+            return out
+        if track.codec == "V_AV1":
+            if track.codec_private is None:
+                raise ValueError("mkv: V_AV1 track without CodecPrivate")
+            config = av1_codec.parse_av1c(track.codec_private)["config_obus"]
+
+            def tu(i):
+                fr = frames[i]
+                chunk = data[fr.offset:fr.offset + fr.size]
+                return chunk if chunk.startswith(b"\x12") else b"\x12\x00" + chunk
+
+            for idx in indices:
+                start = idx
+                while start > 0 and not frames[start].is_key:
+                    start -= 1
+                dec = av1_codec.decode_av1(
+                    b"".join(tu(i) for i in range(start, idx + 1)),
+                    config_obus=config,
+                )
+                out[idx] = dec[-1]
+            return out
+        return None
+    return None  # composited formats (GIF/animated WebP) and unknowns
+
+
+def _decode_sampled(data: bytes, duration_ms, every_ms: int, fake: bool):
+    """The shared sampling rule: j in range(min(n, total)) with frame
+    ``j % total`` — decoded selectively where the container allows, full
+    decode otherwise. Output is identical either way (asserted in
+    tests)."""
+    n = max(1, int(duration_ms or 0) // every_ms)
+    if not fake:
+        from pdf_parser_spark import media_probe
+
+        try:
+            total = media_probe.probe_bytes(data)["n_frames"]
+            if total:
+                needed = sorted({j % total for j in range(min(n, total))})
+                got = _decode_frame_indices(data, needed)
+                if got is not None:
+                    return [
+                        (j, got[j % total]) for j in range(min(n, total))
+                    ]
+        except (ValueError, NotImplementedError):
+            pass  # fall through to the full decode (its errors decide)
+    frames = _decode(data, "video", fake)
+    return [(j, frames[j % len(frames)]) for j in range(min(n, len(frames)))]
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (fan-out map).
 
-    Frame count derives from meta.duration_ms — the metadata struct drives
-    the plan (rows explode before decode, so a 2h video decodes once per
-    sampled frame, not whole-file)."""
+    Frame count derives from meta.duration_ms, and the real path decodes
+    SELECTIVELY (_decode_frame_indices): sample-table byte ranges for raw
+    mp4/mkv, per-temporal-unit AV1 decode from the nearest sync frame,
+    offset arithmetic for y4m — so a 2h video decodes once per sampled
+    frame, not whole-file (composited GIF/animated-WebP rows fall back
+    to the full decode their format requires)."""
     videos = media.filter(F.col("kind") == "video").select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
@@ -943,12 +1094,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 try:
-                    frames = _decode(bytes(payload), "video", fake)
+                    sampled = _decode_sampled(bytes(payload), dur, every_ms, fake)
                 except (ValueError, NotImplementedError):
                     continue  # corrupt/undecodable video: drop the row
-                n = max(1, int(dur or 0) // every_ms)
-                for j in range(min(n, len(frames))):
-                    frame = frames[j % len(frames)]
+                for j, frame in sampled:
                     rows.append(
                         {
                             "media_id": int(mid),

@@ -388,3 +388,58 @@ def test_all_three_video_containers_flow_through_operators(spark):
                 else "image/webp" if sig[:4] == b"RIFF"
                 else "video/x-yuv4mpeg")
         assert mimes[i] == want
+
+
+# --- selective frame decode --------------------------------------------------
+
+
+def test_selective_decode_equals_full_decode():
+    """_decode_sampled must emit byte-identical frames to the full-decode
+    sampling rule for every video container the corpus mints."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    for i in range(2, 38, 3):  # one pass over all six video sub-slots
+        payload, mime = mm._real_payload(i, "video")
+        dur = (i % 30 + 1) * 1000
+        for ev in (700, 1500):
+            sel = mm._decode_sampled(payload, dur, ev, fake=False)
+            frames = mm._decode(payload, "video", fake=False)
+            n = max(1, dur // ev)
+            ref = [(j, frames[j % len(frames)]) for j in range(min(n, len(frames)))]
+            assert len(sel) == len(ref), (i, mime, ev)
+            for (ja, fa), (jb, fb) in zip(sel, ref):
+                assert ja == jb and np.array_equal(fa, fb), (i, mime, ev, ja)
+
+
+def test_selective_decode_does_not_touch_unrequested_samples():
+    """Corrupt the LAST temporal unit of an av01 mp4: the full decode
+    dies in the OBU layer, but sampling earlier frames still works —
+    proof the selective path decodes only what it was asked for."""
+    from pdf_parser_spark import mp4_demux
+    from pdf_parser_spark.av1_codec import encode_av1_native, have_native_encoder
+    from pdf_parser_spark.operators import multimodal as mm
+
+    if not have_native_encoder():
+        pytest.skip("librav1e absent")
+    rng = np.random.default_rng(0)
+    planes = [
+        (
+            rng.integers(0, 256, (32, 48), np.uint8),
+            rng.integers(0, 256, (16, 24), np.uint8),
+            rng.integers(0, 256, (16, 24), np.uint8),
+        )
+        for _ in range(4)
+    ]
+    blob = bytearray(
+        mp4_demux.encode_mp4_av1(encode_av1_native(planes, quantizer=120))
+    )
+    track = mp4_demux.demux_mp4(bytes(blob))
+    blob[track.samples[-1].offset] |= 0x80  # OBU forbidden bit
+    blob = bytes(blob)
+    with pytest.raises(ValueError, match="forbidden bit"):
+        mm._decode(blob, "video", fake=False)
+    got = mm._decode_frame_indices(blob, [0, 1, 2])
+    assert sorted(got) == [0, 1, 2]
+    # and the sampling rule rides the selective path for those frames
+    sampled = mm._decode_sampled(blob, 3000, 1000, fake=False)
+    assert [j for j, _ in sampled] == [0, 1, 2]
