@@ -56,6 +56,7 @@ __all__ = [
     "parse_hvcc",
     "decode_heic",
     "encode_heic_native",
+    "compose_heic_grid",
     "have_native_codec",
 ]
 
@@ -459,3 +460,131 @@ def encode_heic_native(rgb: np.ndarray, quality: int = 90) -> bytes:
             os.unlink(path)
     finally:
         h.heif_context_free(ctx)
+
+
+# ---------------------------------------------------------------------------
+# from-scratch grid writer
+# ---------------------------------------------------------------------------
+
+
+def compose_heic_grid(tiles: list[bytes], rows: int, cols: int) -> bytes:
+    """Assemble single-tile HEIC files into ONE multi-tile grid HEIC —
+    the iPhone structure — with the from-scratch container writer.
+
+    ``tiles`` are plain single-item HEIC files (e.g. encode_heic_native
+    output), row-major, all the same dimensions; their HEVC payloads and
+    hvcC move into hidden items behind a primary 'grid' item with 'dimg'
+    references. Readers (libheif included — asserted in tests) compose
+    the output image rows*th by cols*tw. No codec library is touched:
+    this is pure container surgery over already-encoded bitstreams."""
+    from pdf_parser_spark.mp4_demux import _box, _full
+
+    if rows * cols != len(tiles) or not tiles:
+        raise ValueError(f"grid {rows}x{cols} needs exactly rows*cols tiles")
+    infos = []
+    for t in tiles:
+        info = parse_heic(t)
+        if info["item_type"] == "grid":
+            if info["grid"]["n_tiles"] != 1:
+                raise ValueError("compose_heic_grid wants single-tile inputs")
+        infos.append(info)
+    tw, th = infos[0]["width"], infos[0]["height"]
+    for info in infos:
+        if (info["width"], info["height"]) != (tw, th):
+            raise ValueError("grid tiles must share dimensions")
+    out_w, out_h = cols * tw, rows * th
+    n = len(tiles)
+    grid_id = n + 1
+
+    # hvcC must come from the actual bitstream; reuse the first tile's
+    # raw hvcC bytes by re-extracting them from its ipco (parse_heic
+    # already validated it). Simplest faithful source: rebuild from the
+    # parsed record is lossy, so pull the raw box body back out.
+    def raw_hvcc(data: bytes) -> bytes:
+        from pdf_parser_spark.avif_codec import _parse_iprp as parse_iprp
+
+        for tag, b, e in _iter_boxes(data, 0, len(data)):
+            if tag != b"meta":
+                continue
+            _v, _f, p = _fullbox(data, b)
+            for t2, b2, e2 in _iter_boxes(data, p, e):
+                if t2 == b"iprp":
+                    props, _assoc = parse_iprp(data, b2, e2)
+                    for pt, body in props:
+                        if pt == b"hvcC":
+                            return body
+        raise ValueError("tile has no hvcC property")
+
+    hvcc = raw_hvcc(tiles[0])
+
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"grid writer\x00",
+    )
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", grid_id))
+    infes = b"".join(
+        _full(  # flags 1: tiles are hidden, exactly like iPhone files
+            b"infe", 2, 1,
+            struct.pack(">HH", i + 1, 0) + b"hvc1" + b"\x00",
+        )
+        for i in range(n)
+    ) + _full(
+        b"infe", 2, 0, struct.pack(">HH", grid_id, 0) + b"grid" + b"\x00"
+    )
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", n + 1) + infes)
+    dimg = _box(
+        b"dimg",
+        struct.pack(">HH", grid_id, n)
+        + b"".join(struct.pack(">H", i + 1) for i in range(n)),
+    )
+    iref = _full(b"iref", 0, 0, dimg)
+    # grid config goes in idat (offset method 1), tile payloads in mdat
+    grid_cfg = struct.pack(">BBBB", 0, 0, rows - 1, cols - 1) + struct.pack(
+        ">HH", out_w, out_h
+    )
+    idat = _box(b"idat", grid_cfg)
+    ispe_tile = _full(b"ispe", 0, 0, struct.pack(">II", tw, th))
+    ispe_grid = _full(b"ispe", 0, 0, struct.pack(">II", out_w, out_h))
+    ipco = _box(b"ipco", ispe_tile + _box(b"hvcC", hvcc) + ispe_grid)
+    # associations: every tile → ispe_tile(1) + hvcC(2, essential);
+    # grid → ispe_grid(3)
+    ipma_entries = b"".join(
+        struct.pack(">H", i + 1) + bytes([2, 1, 0x82]) for i in range(n)
+    ) + struct.pack(">H", grid_id) + bytes([1, 3])
+    ipma = _full(b"ipma", 0, 0, struct.pack(">I", n + 1) + ipma_entries)
+    iprp = _box(b"iprp", ipco + ipma)
+
+    payloads = [info["payload"] for info in infos]
+
+    def make_iloc(mdat_body: int) -> bytes:
+        items = []
+        off = 0
+        for i, pl in enumerate(payloads):
+            items.append(
+                # id, construction_method 0 (file), dref 0, 1 extent
+                struct.pack(">HHHH", i + 1, 0, 0, 1)
+                + struct.pack(">II", mdat_body + off, len(pl))
+            )
+            off += len(pl)
+        # the grid item: version 1 entry with construction_method 1 (idat)
+        items.append(
+            struct.pack(">HHHH", grid_id, 1, 0, 1)  # id, method, dref, n
+            + struct.pack(">II", 0, len(grid_cfg))
+        )
+        body = (
+            struct.pack(">H", 0x4400)  # offset_size=4, length_size=4
+            + struct.pack(">H", n + 1)
+        ) + b"".join(items)
+        return _full(b"iloc", 1, 0, body)
+
+    ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"heicmif1miaf")
+    meta0 = _full(
+        b"meta", 0, 0, hdlr + pitm + iinf + iref + make_iloc(0) + iprp + idat
+    )
+    mdat_body = len(ftyp) + len(meta0) + 8
+    meta = _full(
+        b"meta", 0, 0,
+        hdlr + pitm + iinf + iref + make_iloc(mdat_body) + iprp + idat,
+    )
+    assert len(meta) == len(meta0)
+    return ftyp + meta + _box(b"mdat", b"".join(payloads))

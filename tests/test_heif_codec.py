@@ -184,3 +184,44 @@ def test_probe_and_operator_dispatch():
 
     arr = mm._decode(_PLAIN, "image", fake=False)
     assert arr.shape == (64, 96, 3)
+
+
+@needs_decoder
+@needs_encoder
+def test_compose_grid_writer_against_libheif():
+    """From-scratch multi-tile writer: single-tile HEICs assembled into
+    the iPhone grid structure must (a) parse back with the grid geometry
+    and (b) decode — through libheif, a reader we did not write — to
+    exactly the side-by-side composition of the individually decoded
+    tiles."""
+
+    def tile_rgb(seed, h=64, w=64):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(xx * 3 + seed * 40) % 256, (yy * 3 + seed * 80) % 256,
+             (xx + yy + seed * 20) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    tile_files = [
+        HC.encode_heic_native(tile_rgb(i), quality=95) for i in range(4)
+    ]
+    grid = HC.compose_heic_grid(tile_files, rows=2, cols=2)
+    info = HC.parse_heic(grid)
+    assert info["item_type"] == "grid"
+    assert (info["width"], info["height"]) == (128, 128)
+    assert info["grid"]["n_tiles"] == 4
+    assert (info["grid"]["rows"], info["grid"]["cols"]) == (2, 2)
+    dec = HC.decode_heic(grid)
+    parts = [HC.decode_heic(t) for t in tile_files]
+    expect = np.vstack([np.hstack(parts[0:2]), np.hstack(parts[2:4])])
+    assert np.array_equal(dec, expect)
+
+    from pdf_parser_spark import media_probe
+
+    p = media_probe.probe_bytes(grid)
+    assert (p["format"], p["codec"], p["width"], p["height"]) == (
+        "heic", "hevc", 128, 128,
+    )
+    with pytest.raises(ValueError, match="rows\\*cols"):
+        HC.compose_heic_grid(tile_files, rows=2, cols=1)
