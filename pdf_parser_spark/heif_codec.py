@@ -301,6 +301,8 @@ def _load() -> ctypes.CDLL | None:
                  [ctypes.c_void_p, ctypes.c_char_p]),
                 ("heif_encoder_set_lossy_quality", _HeifError,
                  [ctypes.c_void_p, ctypes.c_int]),
+                ("heif_encoder_set_parameter_string", _HeifError,
+                 [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
             ]:
                 f = getattr(h, fn)
                 f.restype = res
@@ -397,7 +399,9 @@ def decode_heic(data: bytes) -> np.ndarray:
         h.heif_context_free(ctx)
 
 
-def encode_heic_native(rgb: np.ndarray, quality: int = 90) -> bytes:
+def encode_heic_native(
+    rgb: np.ndarray, quality: int = 90, preset: str | None = None
+) -> bytes:
     """(h, w, 3) uint8 RGB → HEIC bytes via libheif's x265 encoder.
 
     FIXTURE/corpus generation only (mirrors av1_codec.encode_av1_native);
@@ -433,6 +437,13 @@ def encode_heic_native(rgb: np.ndarray, quality: int = 90) -> bytes:
                         base + r * stride.value, row[r].tobytes(), wd * 3
                     )
                 h.heif_encoder_set_lossy_quality(enc, int(quality))
+                if preset is not None:
+                    # x265's speed dial; corpus/fixture encodes use
+                    # 'ultrafast' — output quality barely moves at these
+                    # sizes, encode time drops ~10x
+                    h.heif_encoder_set_parameter_string(
+                        enc, b"preset", preset.encode()
+                    )
                 handle = ctypes.c_void_p()
                 _check(
                     h.heif_context_encode_image(

@@ -109,6 +109,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
 import zlib
 from typing import Iterator
 
@@ -125,6 +126,7 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
+@functools.lru_cache(maxsize=256)
 def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
     """Deterministic REAL (payload, mime): a valid file in one of the
     from-scratch-decodable formats, a pure function of i.
@@ -134,8 +136,11 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
     alternate WAV and FLAC, video rows rotate raw mp4 / raw mkv-webm /
     Y4M / animated WebP / AV1-in-mp4 / AV1-in-webm — so the fake=False
     operator paths exercise EVERY real decoder end to end, including in
-    the benched contract entries. The AV1 slots need the optional
-    librav1e encoder and fall back to PNG/Y4M where it is absent."""
+    the benched contract entries. The AV1/HEIC slots need the optional
+    librav1e / libheif encoders and fall back to PNG/Y4M where absent.
+    lru_cached: payloads are pure functions of (i, kind) and Spark
+    reuses python workers across jobs, so the bench's many media entries
+    mint each payload once per worker instead of once per entry."""
     from pdf_parser_spark import media_codecs
 
     rng = np.random.default_rng(i * 2654435761 % (1 << 32))
@@ -233,7 +238,7 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
                     axis=-1,
                 ).astype(np.uint8)
                 return heif_codec.encode_heic_native(
-                    smooth, quality=90
+                    smooth, quality=90, preset="ultrafast"
                 ), "image/heic"
         ch = (1, 3, 4)[(i // 3) % 3]
         arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
@@ -271,19 +276,26 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
     if v == 3:  # animated WebP (VP8X/ANIM/ANMF, lossless frames)
         from pdf_parser_spark import webp_codec
 
+        # cap frames like the AV1 slots: the pure-Python VP8L encoder at
+        # 30 frames is corpus-minting cost, not test value
+        k = min(n_frames, 8)
         rgba = np.concatenate(
-            [frames, np.full((n_frames, h, w, 1), 255, np.uint8)], axis=-1
+            [frames[:k], np.full((k, h, w, 1), 255, np.uint8)], axis=-1
         )
         return (
-            webp_codec.encode_webp_anim(rgba, durations_ms=[1000] * n_frames),
+            webp_codec.encode_webp_anim(rgba, durations_ms=[1000] * k),
             "image/webp",
         )
     if v in (4, 5):  # AV1 bitstream in mp4 (av01) / webm (V_AV1)
         from pdf_parser_spark import av1_codec, mkv_demux, mp4_demux
 
         if av1_codec.have_native_encoder():
+            # cap the encoded frame count: the sampling rule already caps
+            # at the container's frame count, and 30 rav1e encodes per
+            # corpus row is bench cost without test value
             planes = [
-                (f[:, :, 0], f[::2, ::2, 1], f[::2, ::2, 2]) for f in frames
+                (f[:, :, 0], f[::2, ::2, 1], f[::2, ::2, 2])
+                for f in frames[:10]
             ]
             stream = av1_codec.encode_av1_native(planes, quantizer=200)
             if v == 4:
