@@ -172,3 +172,50 @@ def test_fuzz_wav_y4m_containers():
         (ValueError, NotImplementedError),
         17,
     )
+
+
+def test_fuzz_av1_layers():
+    """OBU walk + container carriage + native decode under mutation: the
+    from-scratch layer must fail typed, and bad bytes that survive into
+    the native decoder must come back as the codec's ValueError family,
+    never a segfaulting struct misread."""
+    import base64
+
+    from pdf_parser_spark import av1_codec as A
+
+    from test_av1_codec import _FIXTURE  # embedded rav1e stream
+
+    _fuzz(A.parse_obus, _FIXTURE, (ValueError,), 4)
+    if A.native_decoder_name() is not None:
+        _fuzz(A.decode_av1, _FIXTURE, (ValueError, NotImplementedError), 5)
+
+
+def test_fuzz_avif_heic_items():
+    from pdf_parser_spark import avif_codec as AV
+    from pdf_parser_spark import heif_codec as HC
+
+    from test_avif_codec import _FOREIGN
+    from test_heif_codec import _GRID, _PLAIN
+
+    _fuzz(AV.parse_avif, _FOREIGN, (ValueError, NotImplementedError), 6)
+    _fuzz(HC.parse_heic, _PLAIN, (ValueError, NotImplementedError), 7)
+    _fuzz(HC.parse_heic, _GRID, (ValueError, NotImplementedError), 8)
+    if AV.av1_codec.native_decoder_name() is not None:
+        _fuzz(AV.decode_avif, _FOREIGN, (ValueError, NotImplementedError), 9)
+    if HC.have_native_codec()[0]:
+        _fuzz(HC.decode_heic, _PLAIN, (ValueError, NotImplementedError), 10)
+
+
+def test_fuzz_media_probe():
+    """The triage probe sees raw crawl bytes before anything else — it
+    must be unconditionally crash-free across every format family."""
+    from pdf_parser_spark import media_probe
+    from pdf_parser_spark.operators import multimodal as mm
+
+    for i in (0, 3, 6, 9, 12, 15, 18, 24, 30, 1, 4, 2, 5, 8, 11, 14, 17):
+        kind = ("image", "audio", "video")[i % 3]
+        base, _ = mm._real_payload(i, kind)
+        _fuzz(
+            media_probe.probe_bytes, base,
+            (ValueError, NotImplementedError), 100 + i, rounds=12,
+        )
