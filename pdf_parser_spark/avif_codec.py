@@ -24,9 +24,11 @@ reconstruction); tests cross-check the whole file against libavif in
 both directions (our writer → libavif reader, libavif writer → our
 reader).
 
-Scope: the primary 'av01' item of 8-bit images; auxiliary alpha items
-are ignored (RGB out), derived items ('grid' tiled images, 'iovl'
-overlays) and protected items raise with the feature named. The YUV→RGB
+Scope: the primary 'av01' item of 8-bit images, plus the auxiliary
+alpha item when present (auxl reference + auxC alpha URN, a monochrome
+AV1 stream → RGBA out, same contract as the WebP/GIF decoders); derived
+items ('grid' tiled images, 'iovl' overlays) raise with the feature
+named. The YUV→RGB
 step is outside the AV1 spec (decoders choose their own upsample/matrix)
 — this module uses the documented BT.601 fixed-point transform in
 full- or studio-swing per the stream's color_range flag, deterministic
@@ -224,6 +226,30 @@ def _parse_iprp(data: bytes, b: int, e: int) -> tuple[list, dict[int, list[int]]
     return props, assoc
 
 
+def _parse_iref_all(data: bytes, b: int, e: int) -> dict[bytes, dict[int, list[int]]]:
+    """All item references: ref type → {from_item_id: [to_item_ids]}.
+
+    'dimg' links derived items (grids) to their sources; 'auxl' links an
+    auxiliary item (e.g. an alpha plane) to the item it augments."""
+    version, _f, p = _fullbox(data, b)
+    wide = version > 0
+    out: dict[bytes, dict[int, list[int]]] = {}
+    for tag, rb, _re in _iter_boxes(data, p, e):
+        if wide:
+            from_id = struct.unpack_from(">I", data, rb)[0]
+            n = struct.unpack_from(">H", data, rb + 4)[0]
+            ids = list(struct.unpack_from(f">{n}I", data, rb + 6))
+        else:
+            from_id = struct.unpack_from(">H", data, rb)[0]
+            n = struct.unpack_from(">H", data, rb + 2)[0]
+            ids = list(struct.unpack_from(f">{n}H", data, rb + 4))
+        out.setdefault(tag, {})[from_id] = ids
+    return out
+
+
+_ALPHA_URN = b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
+
+
 @format_boundary("AVIF")
 def parse_avif(data: bytes) -> dict:
     """Container-only parse → the primary item's everything.
@@ -248,6 +274,7 @@ def parse_avif(data: bytes) -> dict:
     iinf: dict | None = None
     props: list = []
     assoc: dict = {}
+    iref: dict = {}
     for tag, b, e in _iter_boxes(data, p, meta_e):
         if tag == b"pitm":
             version, _fl, q = _fullbox(data, b)
@@ -261,6 +288,8 @@ def parse_avif(data: bytes) -> dict:
             iinf = _parse_iinf(data, b, e)
         elif tag == b"iprp":
             props, assoc = _parse_iprp(data, b, e)
+        elif tag == b"iref":
+            iref = _parse_iref_all(data, b, e)
     if primary is None or iloc is None or iinf is None:
         raise ValueError("avif: meta is missing pitm/iloc/iinf")
     item_type = iinf.get(primary)
@@ -284,17 +313,42 @@ def parse_avif(data: bytes) -> dict:
             width, height = struct.unpack_from(">II", body, 4)
         elif tag == b"av1C":
             av1c = av1_codec.parse_av1c(body)
+    idat = _find_idat(data, meta_b, meta_e)
     entry = iloc.get(primary)
     if entry is None:
         raise ValueError("avif: primary item has no iloc entry")
-    payload = _resolve_extents(
-        data, entry, _find_idat(data, meta_b, meta_e), "avif"
-    )
+    payload = _resolve_extents(data, entry, idat, "avif")
     seq = None
     if av1c is not None and av1c["config_obus"]:
         seq = av1_codec.find_sequence_header(av1c["config_obus"])
     if seq is None:
         seq = av1_codec.find_sequence_header(payload)
+
+    # auxiliary alpha: an av01 item that (a) auxl-references the primary
+    # and (b) carries the auxC alpha URN property
+    alpha_payload = alpha_config = None
+    for item_id, targets in iref.get(b"auxl", {}).items():
+        if primary not in targets or iinf.get(item_id) != "av01":
+            continue
+        is_alpha = False
+        a_av1c = None
+        for idx in assoc.get(item_id, []):
+            if not 1 <= idx <= len(props):
+                continue
+            tag, body = props[idx - 1]
+            if tag == b"auxC" and _ALPHA_URN in body:
+                is_alpha = True
+            elif tag == b"av1C":
+                a_av1c = av1_codec.parse_av1c(body)
+        if not is_alpha:
+            continue
+        a_entry = iloc.get(item_id)
+        if a_entry:
+            alpha_payload = _resolve_extents(
+                data, a_entry, idat, "avif alpha item"
+            )
+            alpha_config = a_av1c["config_obus"] if a_av1c else None
+        break
     return {
         "item_type": item_type,
         "width": width if width is not None else (seq or {}).get("max_width"),
@@ -302,6 +356,8 @@ def parse_avif(data: bytes) -> dict:
         "av1c": av1c,
         "payload": payload,
         "seq": seq,
+        "alpha_payload": alpha_payload,
+        "alpha_config": alpha_config,
     }
 
 
@@ -330,7 +386,10 @@ def decode_avif(data: bytes) -> np.ndarray:
 
     Container parse is pure; the AV1 frame reconstructs via
     av1_codec.decode_av1 (system decoder — NotImplementedError when none
-    is loadable). Auxiliary alpha items are ignored."""
+    is loadable). Files carrying an auxiliary alpha item (auxl reference
+    + auxC alpha URN, a monochrome AV1 stream) come back as (h, w, 4)
+    RGBA — same contract as the WebP/GIF decoders; opaque files stay
+    (h, w, 3)."""
     info = parse_avif(data)
     config = info["av1c"]["config_obus"] if info["av1c"] else None
     frames = av1_codec.decode_av1(info["payload"], config_obus=config)
@@ -338,7 +397,13 @@ def decode_avif(data: bytes) -> np.ndarray:
     if info["width"] and info["height"]:
         yuv = yuv[: info["height"], : info["width"]]
     full = bool(info["seq"] and info["seq"]["color_range_full"])
-    return yuv_to_rgb(yuv, full)
+    rgb = yuv_to_rgb(yuv, full)
+    if info["alpha_payload"] is None:
+        return rgb
+    a = av1_codec.decode_av1(
+        info["alpha_payload"], config_obus=info["alpha_config"]
+    )[0][: rgb.shape[0], : rgb.shape[1], 0]  # mono stream: Y is the alpha
+    return np.concatenate([rgb, a[:, :, None]], axis=-1)
 
 
 def encode_avif(stream: bytes) -> bytes:

@@ -24,7 +24,9 @@ Provenance split, same honesty line as av1_codec:
   is a no-op in this libheif build, so bit-exact round trips are not
   available). ``decode_heic`` hands libheif the whole file and asks for
   interleaved RGB — the YUV→RGB step is libheif's own, not ours.
-  Without libheif it raises NotImplementedError, the usual gate.
+  Handles carrying an alpha aux image decode to RGBA (libheif
+  composes the aux plane); opaque files stay RGB. Without libheif it
+  raises NotImplementedError, the usual gate.
 
 These are CODECS, not a DataFrame API: operators/multimodal.py calls
 them inside its Arrow-batched mapInPandas stages.
@@ -309,6 +311,7 @@ def _load() -> ctypes.CDLL | None:
                 f.argtypes = args
             h.heif_image_handle_get_width.argtypes = [ctypes.c_void_p]
             h.heif_image_handle_get_height.argtypes = [ctypes.c_void_p]
+            h.heif_image_handle_has_alpha_channel.argtypes = [ctypes.c_void_p]
             h.heif_image_get_plane_readonly.restype = ctypes.POINTER(
                 ctypes.c_uint8
             )
@@ -372,9 +375,16 @@ def decode_heic(data: bytes) -> np.ndarray:
         )
         try:
             img = ctypes.c_void_p()
-            # colorspace RGB (1), chroma interleaved RGB (10)
-            _check(h.heif_decode_image(handle, ctypes.byref(img), 1, 10, None),
-                   "decode")
+            # colorspace RGB (1); chroma interleaved RGB (10) or RGBA
+            # (11) when the handle carries an alpha aux image — same
+            # RGBA-when-present contract as the WebP/GIF/AVIF decoders
+            nch = 4 if h.heif_image_handle_has_alpha_channel(handle) else 3
+            _check(
+                h.heif_decode_image(
+                    handle, ctypes.byref(img), 1, 11 if nch == 4 else 10, None
+                ),
+                "decode",
+            )
             try:
                 stride = ctypes.c_int()
                 p = h.heif_image_get_plane_readonly(
@@ -387,8 +397,8 @@ def decode_heic(data: bytes) -> np.ndarray:
                 buf = ctypes.string_at(p, stride.value * ht)
                 return (
                     np.frombuffer(buf, np.uint8)
-                    .reshape(ht, stride.value)[:, : wd * 3]
-                    .reshape(ht, wd, 3)
+                    .reshape(ht, stride.value)[:, : wd * nch]
+                    .reshape(ht, wd, nch)
                     .copy()
                 )
             finally:

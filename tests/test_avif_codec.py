@@ -211,3 +211,48 @@ def test_avif_fuzz_never_crashes():
             AV.decode_avif(bytes(mut))
         except (ValueError, NotImplementedError):
             pass
+
+
+_ALPHA_B64 = (
+    "AAAAIGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZk1BMUIAAAGNbWV0YQAAAAAAAAAoaGRscgAA"
+    "AAAAAAAAcGljdAAAAAAAAAAAAAAAAGxpYmF2aWYAAAAADnBpdG0AAAAAAAEAAAAsaWxvYwAA"
+    "AABEAAACAAEAAAABAAACCAAAAJUAAgAAAAEAAAG1AAAAUwAAAEJpaW5mAAAAAAACAAAAGmlu"
+    "ZmUCAAAAAAEAAGF2MDFDb2xvcgAAAAAaaW5mZQIAAAAAAgAAYXYwMUFscGhhAAAAABppcmVm"
+    "AAAAAAAAAA5hdXhsAAIAAQABAAAAw2lwcnAAAACdaXBjbwAAABRpc3BlAAAAAAAAADAAAAAg"
+    "AAAAEHBpeGkAAAAAAwgICAAAAAxhdjFDgQAMAAAAABNjb2xybmNseAACAAIAAoAAAAAOcGl4"
+    "aQAAAAABCAAAAAxhdjFDgQAcAAAAADhhdXhDAAAAAHVybjptcGVnOm1wZWdCOmNpY3A6c3lz"
+    "dGVtczphdXhpbGlhcnk6YWxwaGEAAAAAHmlwbWEAAAAAAAAAAgABBAECgwQAAgQBBYYHAAAA"
+    "8G1kYXQSAAoGGBUv/yqAMkcQAKEMT/9fu60aGLnxsNJrlSnlOpx9on8XCfxBFz7RwpGHBSBT"
+    "mDhNzEFGrjkntoggvBcME/fdOlt9l33YOfElQbKhFkf/+BIACgYYFS//IhAyiAEQAAB8QDuI"
+    "nfyYFSkzcKfjJGOc9DlXz+48bzskCrQtv/AWIBTaz0+0C7+mT0s4//M7R4L3A+sX0NOs+zVT"
+    "/VIG9cAp+rZ83vpV6/UT1KY8VX+zgAT0rOnd3OA68wuwJowzHpCcHY8Dw9CCEIDasWu7m4EA"
+    "7rFRxhayOCARU4FZBKH4ihZ/8j4c"
+)
+_ALPHA = base64.b64decode("".join(_ALPHA_B64))
+_ALPHA_SHA = "ea28c847a5413f7113bb95f2c2f94adf161ba1df507893a1910e49e514ea36e8"
+
+
+def test_alpha_item_parses():
+    """libavif-written alpha AVIF: the from-scratch walk must find the
+    auxl-referenced alpha item and its own av1C — no codec library."""
+    info = AV.parse_avif(_ALPHA)
+    assert info["alpha_payload"] is not None and len(info["alpha_payload"]) > 0
+    # the alpha stream is monochrome AV1; its sequence header travels in
+    # the alpha item's av1C configOBUs OR inline in the item payload
+    # (libavif leaves configOBUs empty and inlines it)
+    seq = A.find_sequence_header(
+        (info["alpha_config"] or b"") + info["alpha_payload"]
+    )
+    assert seq is not None and seq["mono_chrome"]
+
+
+@needs_decoder
+def test_alpha_decodes_rgba_pinned():
+    rgba = AV.decode_avif(_ALPHA)
+    assert rgba.shape == (32, 48, 4)
+    assert hashlib.sha256(rgba.tobytes()).hexdigest() == _ALPHA_SHA
+    # the encoded alpha ramp survives the (lossless-alpha) round trip
+    expect = np.tile(np.linspace(0, 255, 48).astype(np.uint8), (32, 1))
+    assert np.array_equal(rgba[:, :, 3], expect)
+    # opaque files keep the 3-channel contract
+    assert AV.decode_avif(_FOREIGN).shape[2] == 3

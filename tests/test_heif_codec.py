@@ -225,3 +225,51 @@ def test_compose_grid_writer_against_libheif():
     )
     with pytest.raises(ValueError, match="rows\\*cols"):
         HC.compose_heic_grid(tile_files, rows=2, cols=1)
+
+
+_ALPHA_B64 = (
+    "AAAAHGZ0eXBoZWljAAAAAG1pZjFoZWljbWlhZgAAAvxtZXRhAAAAAAAAACFoZGxyAAAAAAAA"
+    "AABwaWN0AAAAAAAAAAAAAAAAAAAAAA5waXRtAAAAAAACAAAAGGlkYXQAAAAAADAAIAAAAAAA"
+    "MAAgAAAAYGlsb2MBAAAAREAABAABAAAAAAAAAyAAAQAAAAAAAAEmAAIAAQAAAAAAAAABAAAA"
+    "AAAAAAgAAwAAAAAAAARGAAEAAAAAAAAAjAAEAAEAAAAAAAAAAQAAAAgAAAAIAAAAYmlpbmYA"
+    "AAAAAAQAAAAVaW5mZQIAAAEAAQAAaHZjMQAAAAAVaW5mZQIAAAAAAgAAZ3JpZAAAAAAVaW5m"
+    "ZQIAAAEAAwAAaHZjMQAAAAAVaW5mZQIAAAAABAAAZ3JpZAAAAAGxaXBycAAAAYRpcGNvAAAA"
+    "dmh2Y0MBA3AAAAAAAAAAAAAe8AD8/fj4AAAPAyAAAQAYQAEMAf//A3AAAAMAkAAAAwAAAwAe"
+    "ugJAIQABACpCAQEDcAAAAwCQAAADAAADAB6gIIEFlurkprm4EBAwIAAAAwAgAAADACEiAAEA"
+    "BkQBwXPAiQAAABRpc3BlAAAAAAAAAEAAAABAAAAAFGlzcGUAAAAAAAAAMAAAACAAAAAQcGl4"
+    "aQAAAAADCAgIAAAAcWh2Y0MBBAgAAAAAAAAAAAAe8AD8/Pj4AAAPAyAAAQAXQAEMAf//BAgA"
+    "AAMAn/gAAAMAAB66AkAhAAEAJkIBAQQIAAADAJ/4AAADAAAewIIEFlurkprmwIAAAAMAgAAA"
+    "AwCEIgABAAZEAcFzwIkAAAAUaXNwZQAAAAAAAABAAAAAQAAAABRpc3BlAAAAAAAAADAAAAAg"
+    "AAAADnBpeGkAAAAAAQgAAAAnYXV4QwAAAAB1cm46bXBlZzpoZXZjOjIwMTU6YXV4aWQ6MQAA"
+    "AAAlaXBtYQAAAAAAAAAEAAECgQIAAgIDhAADAoUGAAQDB4iJAAAANmlyZWYAAAAAAAAADmRp"
+    "bWcAAgABAAEAAAAOZGltZwAEAAEAAwAAAA5hdXhsAAQAAQACAAABum1kYXQAAAEiKAGvBjiJ"
+    "EWGbpEkdAXa53xupqMInHbOgPB+J7gsZGu9kfsZehtUaiNwQ+BH9T2T3Z/8E+3+59z13GIHX"
+    "vG1rmSgf7XQeYO8fFuzbdI0pord4H4JfcdE7oje8lW+h5DQcmS899JDVOQEjZIz/b/F/4x/z"
+    "t9FQyYVnePmcdAkOzUkudBT0Isd/1sAclLS5BFow7r9CEXwn6XlO6gC6uYLPkwqMEBEsl8Me"
+    "VarvEbmJci3UmfW9MhMUUeDl+5DcKmcBHbXegH1MAkT4IlFB1oE7E29boVGUD+tsk51xY+S6"
+    "bgBwGfig8H+I/wX/T7Gphm3YdD6zIBBaO8eKiy3kb2SKkzYb1y7Sw99musK3nGB4KxRZ5CXX"
+    "3yjKxUJB9Z9WlZ0UnsAAAACIKAGuDHDw3KRI7wt0xlMTBCX86yc/Pj9b7/TRWiI14Q718z35"
+    "bR/fTeRhXFOuVzdsQ0L9/1tNNc0CUgy6t6zqwMcmSIRrztDfMtRRoOzTt8AGs7ob8FR/e8Cl"
+    "nel1GNy/+fxZc/4+8c9Qf9T+wAQp3rw2jNxnwpdWB/v6UTmU6oUsAMuCaQ8DyA=="
+)
+_ALPHA = base64.b64decode("".join(_ALPHA_B64))
+_ALPHA_SHA = "46d7570183b158a8d6b56943f4dbad90bd60ed8093c5c479f3f7f97979814ed3"
+
+
+def test_alpha_heic_parses():
+    # the color item still parses; the alpha aux item rides alongside
+    info = HC.parse_heic(_ALPHA)
+    assert info["item_type"] in ("hvc1", "grid")
+    assert (info["width"], info["height"]) == (48, 32)
+
+
+@needs_decoder
+def test_alpha_heic_decodes_rgba_pinned():
+    rgba = HC.decode_heic(_ALPHA)
+    assert rgba.shape == (32, 48, 4)
+    assert hashlib.sha256(rgba.tobytes()).hexdigest() == _ALPHA_SHA
+    # alpha ramp close to source (x265 encodes the aux plane lossily)
+    expect = np.tile(np.linspace(0, 255, 48).astype(np.uint8), (32, 1))
+    assert int(np.abs(rgba[:, :, 3].astype(int) - expect.astype(int)).max()) <= 4
+    # opaque files keep 3 channels
+    assert HC.decode_heic(_PLAIN).shape[2] == 3
