@@ -132,8 +132,8 @@ def _real_payload(i: int, kind: str) -> tuple[bytes, str]:
     from-scratch-decodable formats, a pure function of i.
 
     Image rows rotate PNG / JPEG (baseline + progressive) / WebP
-    (lossless + lossy VP8) / GIF / BMP / ICO / TIFF / AVIF, audio rows
-    alternate WAV and FLAC, video rows rotate raw mp4 / raw mkv-webm /
+    (lossless + lossy VP8) / GIF / BMP / ICO / TIFF / AVIF / HEIC, audio
+    rows alternate WAV and FLAC, video rows rotate raw mp4 / raw mkv-webm /
     Y4M / animated WebP / AV1-in-mp4 / AV1-in-webm — so the fake=False
     operator paths exercise EVERY real decoder end to end, including in
     the benched contract entries. The AV1/HEIC slots need the optional
@@ -422,7 +422,8 @@ def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             from pdf_parser_spark import avif_codec, heif_codec
 
             # AVIF/HEIC: from-scratch BMFF item layer; AV1 frames via
-            # the system dav1d/libaom, HEVC frames via libheif — RGB out
+            # the system dav1d/libaom, HEVC frames via libheif — RGB out,
+            # or RGBA when an auxiliary alpha item/channel is present
             if avif_codec.is_avif(data):
                 return avif_codec.decode_avif(data)
             if heif_codec.is_heic(data):
