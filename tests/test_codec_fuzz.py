@@ -194,10 +194,16 @@ def test_fuzz_avif_heic_items():
     from pdf_parser_spark import avif_codec as AV
     from pdf_parser_spark import heif_codec as HC
 
+    from test_avif_codec import _ALPHA as _AVIF_ALPHA
     from test_avif_codec import _FOREIGN
+    from test_heif_codec import _ALPHA as _HEIC_ALPHA
     from test_heif_codec import _GRID, _PLAIN
 
     _fuzz(AV.parse_avif, _FOREIGN, (ValueError, NotImplementedError), 6)
+    _fuzz(AV.parse_avif, _AVIF_ALPHA, (ValueError, NotImplementedError), 11,
+          rounds=60)
+    _fuzz(HC.parse_heic, _HEIC_ALPHA, (ValueError, NotImplementedError), 12,
+          rounds=60)
     _fuzz(HC.parse_heic, _PLAIN, (ValueError, NotImplementedError), 7)
     _fuzz(HC.parse_heic, _GRID, (ValueError, NotImplementedError), 8)
     if AV.av1_codec.native_decoder_name() is not None:
