@@ -49,7 +49,8 @@ from pdf_parser_spark.media_codecs import format_boundary
 from pdf_parser_spark.mp4_demux import _box, _full, _iter_boxes
 
 __all__ = ["is_avif", "parse_avif", "decode_avif", "encode_avif",
-           "encode_avif_rgb", "yuv_to_rgb", "rgb_to_yuv"]
+           "encode_avif_rgb", "compose_avif_grid", "yuv_to_rgb",
+           "rgb_to_yuv"]
 
 
 def is_avif(data: bytes) -> bool:
@@ -295,29 +296,80 @@ def parse_avif(data: bytes) -> dict:
     item_type = iinf.get(primary)
     if item_type is None:
         raise ValueError(f"avif: primary item {primary} has no infe entry")
-    if item_type in ("grid", "iovl"):
+    if item_type == "iovl":
         raise NotImplementedError(
-            f"avif: derived image item {item_type!r} (tiled/overlay) is not "
-            "supported — single av01 items only"
+            "avif: derived image item 'iovl' (overlay) is not supported"
         )
-    if item_type != "av01":
+    if item_type not in ("av01", "grid"):
         raise ValueError(f"avif: primary item type {item_type!r} != 'av01'")
 
-    width = height = None
-    av1c = None
-    for idx in assoc.get(primary, []):
-        if not 1 <= idx <= len(props):
-            raise ValueError("avif: ipma references a missing property")
-        tag, body = props[idx - 1]
-        if tag == b"ispe":
-            width, height = struct.unpack_from(">II", body, 4)
-        elif tag == b"av1C":
-            av1c = av1_codec.parse_av1c(body)
     idat = _find_idat(data, meta_b, meta_e)
-    entry = iloc.get(primary)
-    if entry is None:
-        raise ValueError("avif: primary item has no iloc entry")
-    payload = _resolve_extents(data, entry, idat, "avif")
+
+    def item_props(item_id):
+        w = h = None
+        cfg = None
+        for idx in assoc.get(item_id, []):
+            if not 1 <= idx <= len(props):
+                raise ValueError("avif: ipma references a missing property")
+            tag, body = props[idx - 1]
+            if tag == b"ispe":
+                w, h = struct.unpack_from(">II", body, 4)
+            elif tag == b"av1C":
+                cfg = av1_codec.parse_av1c(body)
+        return w, h, cfg
+
+    def item_bytes(item_id, what):
+        entry = iloc.get(item_id)
+        if entry is None:
+            raise ValueError(f"avif: {what} has no iloc entry")
+        return _resolve_extents(data, entry, idat, what)
+
+    grid = None
+    tiles = None
+    if item_type == "grid":
+        # tiled image: the primary item's payload is an ImageGrid config
+        # (ISO/IEC 23008-12 §6.6.2.3.2), pixels live in dimg-referenced
+        # av01 tiles — decode_avif composes them ITSELF (per-tile AV1
+        # decode), unlike the HEIC path where libheif composes
+        cfg_bytes = item_bytes(primary, "grid item")
+        if len(cfg_bytes) < 8:
+            raise ValueError("avif: grid config shorter than 8 bytes")
+        gflags = cfg_bytes[1]
+        rows, cols = cfg_bytes[2] + 1, cfg_bytes[3] + 1
+        if gflags & 1:
+            gw, gh = struct.unpack_from(">II", cfg_bytes, 4)
+        else:
+            gw, gh = struct.unpack_from(">HH", cfg_bytes, 4)
+        tile_ids = iref.get(b"dimg", {}).get(primary, [])
+        if len(tile_ids) != rows * cols:
+            raise ValueError(
+                f"avif: grid {rows}x{cols} with {len(tile_ids)} dimg tiles"
+            )
+        tiles = []
+        for t in tile_ids:
+            if iinf.get(t) != "av01":
+                raise NotImplementedError(
+                    f"avif: grid tile type {iinf.get(t)!r} is not av01"
+                )
+            tw, th, t_av1c = item_props(t)
+            tiles.append(
+                {
+                    "payload": item_bytes(t, f"tile {t}"),
+                    "av1c": t_av1c,
+                    "width": tw,
+                    "height": th,
+                }
+            )
+        grid = {"rows": rows, "cols": cols, "width": gw, "height": gh}
+        width, height, av1c = item_props(primary)
+        if width is None:
+            width, height = gw, gh
+        if av1c is None:
+            av1c = tiles[0]["av1c"]
+        payload = tiles[0]["payload"]  # representative, for seq sniffing
+    else:
+        width, height, av1c = item_props(primary)
+        payload = item_bytes(primary, "avif")
     seq = None
     if av1c is not None and av1c["config_obus"]:
         seq = av1_codec.find_sequence_header(av1c["config_obus"])
@@ -358,6 +410,8 @@ def parse_avif(data: bytes) -> dict:
         "seq": seq,
         "alpha_payload": alpha_payload,
         "alpha_config": alpha_config,
+        "grid": grid,
+        "tiles": tiles,
     }
 
 
@@ -391,12 +445,26 @@ def decode_avif(data: bytes) -> np.ndarray:
     RGBA — same contract as the WebP/GIF decoders; opaque files stay
     (h, w, 3)."""
     info = parse_avif(data)
-    config = info["av1c"]["config_obus"] if info["av1c"] else None
-    frames = av1_codec.decode_av1(info["payload"], config_obus=config)
-    yuv = frames[0]
-    if info["width"] and info["height"]:
-        yuv = yuv[: info["height"], : info["width"]]
     full = bool(info["seq"] and info["seq"]["color_range_full"])
+    if info["grid"] is not None:
+        g = info["grid"]
+        rows_px = []
+        it = iter(info["tiles"])
+        for _r in range(g["rows"]):
+            row_tiles = []
+            for _c in range(g["cols"]):
+                t = next(it)
+                cfg = t["av1c"]["config_obus"] if t["av1c"] else None
+                tyuv = av1_codec.decode_av1(t["payload"], config_obus=cfg)[0]
+                row_tiles.append(tyuv)
+            rows_px.append(np.hstack(row_tiles))
+        yuv = np.vstack(rows_px)[: g["height"], : g["width"]]
+    else:
+        config = info["av1c"]["config_obus"] if info["av1c"] else None
+        frames = av1_codec.decode_av1(info["payload"], config_obus=config)
+        yuv = frames[0]
+        if info["width"] and info["height"]:
+            yuv = yuv[: info["height"], : info["width"]]
     rgb = yuv_to_rgb(yuv, full)
     if info["alpha_payload"] is None:
         return rgb
@@ -498,3 +566,109 @@ def encode_avif_rgb(rgb: np.ndarray, quantizer: int = 120) -> bytes:
     v = np.ascontiguousarray(yuv[::2, ::2, 2])
     stream = av1_codec.encode_av1_native([(y, u, v)], quantizer=quantizer)
     return encode_avif(stream)
+
+
+def compose_avif_grid(tile_files: list[bytes], rows: int, cols: int) -> bytes:
+    """Assemble single-item AVIFs into ONE multi-tile grid AVIF with the
+    from-scratch writer (the AV1 twin of heif_codec.compose_heic_grid).
+
+    Row-major equal-size tiles; their AV1 payloads and av1C configs move
+    into hidden av01 items behind a primary 'grid' item with 'dimg'
+    references (ImageGrid config in idat). Our own decode composes the
+    tiles; libavif is the foreign-reader oracle in tests. Note MIAF's
+    grid rule, which libavif enforces: tiles should be at least 64x64
+    (smaller tiles still round-trip through OUR reader, but strict
+    readers reject them)."""
+    if rows * cols != len(tile_files) or not tile_files:
+        raise ValueError(f"grid {rows}x{cols} needs exactly rows*cols tiles")
+    infos = [parse_avif(t) for t in tile_files]
+    for info in infos:
+        if info["grid"] is not None:
+            raise ValueError("compose_avif_grid wants single-item inputs")
+    tw, th = infos[0]["width"], infos[0]["height"]
+    for info in infos:
+        if (info["width"], info["height"]) != (tw, th):
+            raise ValueError("grid tiles must share dimensions")
+    out_w, out_h = cols * tw, rows * th
+    n = len(tile_files)
+    grid_id = n + 1
+
+    def raw_av1c(data: bytes) -> bytes:
+        for tag, b, e in _iter_boxes(data, 0, len(data)):
+            if tag != b"meta":
+                continue
+            _v, _f, p = _fullbox(data, b)
+            for t2, b2, e2 in _iter_boxes(data, p, e):
+                if t2 == b"iprp":
+                    props, _assoc = _parse_iprp(data, b2, e2)
+                    for pt, body in props:
+                        if pt == b"av1C":
+                            return body
+        raise ValueError("tile has no av1C property")
+
+    av1c = raw_av1c(tile_files[0])
+
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"grid writer\x00",
+    )
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", grid_id))
+    infes = b"".join(
+        _full(b"infe", 2, 1, struct.pack(">HH", i + 1, 0) + b"av01" + b"\x00")
+        for i in range(n)
+    ) + _full(b"infe", 2, 0, struct.pack(">HH", grid_id, 0) + b"grid" + b"\x00")
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", n + 1) + infes)
+    dimg = _box(
+        b"dimg",
+        struct.pack(">HH", grid_id, n)
+        + b"".join(struct.pack(">H", i + 1) for i in range(n)),
+    )
+    iref = _full(b"iref", 0, 0, dimg)
+    grid_cfg = struct.pack(">BBBB", 0, 0, rows - 1, cols - 1) + struct.pack(
+        ">HH", out_w, out_h
+    )
+    idat = _box(b"idat", grid_cfg)
+    ispe_tile = _full(b"ispe", 0, 0, struct.pack(">II", tw, th))
+    ispe_grid = _full(b"ispe", 0, 0, struct.pack(">II", out_w, out_h))
+    pixi = _full(b"pixi", 0, 0, bytes([3, 8, 8, 8]))
+    ipco = _box(
+        b"ipco", ispe_tile + _box(b"av1C", av1c) + ispe_grid + pixi
+    )
+    # tiles → ispe_tile(1) + av1C(2, essential) + pixi(4);
+    # grid → ispe_grid(3) + pixi(4). libavif refuses items without pixi.
+    ipma_entries = b"".join(
+        struct.pack(">H", i + 1) + bytes([3, 1, 0x82, 4]) for i in range(n)
+    ) + struct.pack(">H", grid_id) + bytes([2, 3, 4])
+    ipma = _full(b"ipma", 0, 0, struct.pack(">I", n + 1) + ipma_entries)
+    iprp = _box(b"iprp", ipco + ipma)
+    payloads = [info["payload"] for info in infos]
+
+    def make_iloc(mdat_body: int) -> bytes:
+        items = []
+        off = 0
+        for i, pl in enumerate(payloads):
+            items.append(
+                struct.pack(">HHHH", i + 1, 0, 0, 1)
+                + struct.pack(">II", mdat_body + off, len(pl))
+            )
+            off += len(pl)
+        items.append(
+            struct.pack(">HHHH", grid_id, 1, 0, 1)
+            + struct.pack(">II", 0, len(grid_cfg))
+        )
+        body = (
+            struct.pack(">H", 0x4400) + struct.pack(">H", n + 1)
+        ) + b"".join(items)
+        return _full(b"iloc", 1, 0, body)
+
+    ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1miaf")
+    meta0 = _full(
+        b"meta", 0, 0, hdlr + pitm + iinf + iref + make_iloc(0) + iprp + idat
+    )
+    mdat_body = len(ftyp) + len(meta0) + 8
+    meta = _full(
+        b"meta", 0, 0,
+        hdlr + pitm + iinf + iref + make_iloc(mdat_body) + iprp + idat,
+    )
+    assert len(meta) == len(meta0)
+    return ftyp + meta + _box(b"mdat", b"".join(payloads))

@@ -59,11 +59,13 @@ mis-decode):
            LZW/PackBits/Deflate, gray/                   16-bit, JPEG-in-TIFF → TiffError
            palette/RGB/RGBA, predictor,
            both byte orders, 1/4/8-bit)
-    image  AVIF (AV1 still image)          yes           avif_codec.py (from-scratch
-                                                         BMFF item layer; AV1 frame
-                                                         via system dav1d/libaom,
-                                                         cross-checked vs libavif in
-                                                         both writer/reader roles)
+    image  AVIF (AV1 still image, incl.    yes           avif_codec.py (from-scratch
+           grid/tiled items + alpha)                     BMFF item layer incl. grid
+                                                         composition done by OUR code
+                                                         and auxl alpha items; AV1
+                                                         frames via system dav1d/
+                                                         libaom, cross-checked vs
+                                                         libavif in both roles)
     image  HEIC (HEVC still image,         yes           heif_codec.py (from-scratch
            incl. grid/tiled items)                       HEIF item + hvcC + grid/iref
                                                          layer shared with avif_codec;

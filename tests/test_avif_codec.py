@@ -96,10 +96,12 @@ def test_is_avif_rejects_non_avif():
 
 
 def test_parse_rejects_derived_and_truncated():
-    # primary item retyped to 'grid' → named NotImplementedError
+    # primary item retyped to 'grid' is now *supported* as a structure —
+    # but this one is malformed (no dimg references), so it must fail
+    # with the typed error naming the inconsistency
     grid = _FOREIGN.replace(b"av01Color", b"gridColor", 1)
     if grid != _FOREIGN:
-        with pytest.raises(NotImplementedError, match="grid"):
+        with pytest.raises(ValueError, match="dimg"):
             AV.parse_avif(grid)
     # extent overrun → typed error
     with pytest.raises(ValueError):
@@ -256,3 +258,61 @@ def test_alpha_decodes_rgba_pinned():
     assert np.array_equal(rgba[:, :, 3], expect)
     # opaque files keep the 3-channel contract
     assert AV.decode_avif(_FOREIGN).shape[2] == 3
+
+
+@needs_decoder
+@needs_rav1e
+def test_compose_grid_and_self_decode():
+    """Multi-tile grid AVIF: the from-scratch writer assembles hidden
+    av01 tiles behind a 'grid' item, and OUR decoder composes the tiles
+    itself (per-tile AV1 decode), matching per-tile decodes exactly."""
+    tile_streams = [
+        encode_av1(planes_420(64, 64, 1, seed=i), quantizer=80)
+        for i in range(4)
+    ]
+    tile_files = [AV.encode_avif(st) for st in tile_streams]
+    grid = AV.compose_avif_grid(tile_files, rows=2, cols=2)
+    info = AV.parse_avif(grid)
+    assert info["item_type"] == "grid"
+    assert info["grid"] == {"rows": 2, "cols": 2, "width": 128, "height": 128}
+    assert len(info["tiles"]) == 4
+    dec = AV.decode_avif(grid)
+    parts = [AV.decode_avif(t) for t in tile_files]
+    expect = np.vstack([np.hstack(parts[0:2]), np.hstack(parts[2:4])])
+    assert np.array_equal(dec, expect)
+    with pytest.raises(ValueError, match="rows\\*cols"):
+        AV.compose_avif_grid(tile_files, rows=3, cols=2)
+
+
+@needs_decoder
+@needs_rav1e
+@needs_libavif
+def test_libavif_reads_our_grid():
+    """Foreign-reader oracle for the grid writer: libavif must accept
+    the composed file and reconstruct the same composition, plane for
+    plane (64x64 tiles — MIAF's minimum, which libavif enforces)."""
+    tile_streams = [
+        encode_av1(planes_420(64, 64, 1, seed=i), quantizer=80)
+        for i in range(4)
+    ]
+    grid = AV.compose_avif_grid(
+        [AV.encode_avif(st) for st in tile_streams], rows=2, cols=2
+    )
+    dec = _LIBAVIF.avifDecoderCreate()
+    img = _LIBAVIF.avifImageCreateEmpty()
+    assert _LIBAVIF.avifDecoderReadMemory(dec, img, grid, len(grid)) == 0
+    u32 = C.cast(img, C.POINTER(C.c_uint32 * 24)).contents
+    u64 = C.cast(img, C.POINTER(C.c_uint64 * 12)).contents
+    assert (u32[0], u32[1]) == (128, 128)
+
+    def plane(ptr, stride, ph, pw):
+        buf = C.string_at(ptr, stride * ph)
+        return np.frombuffer(buf, np.uint8).reshape(ph, stride)[:, :pw]
+
+    tiles_yuv = [A.decode_av1(st)[0] for st in tile_streams]
+    comp = np.vstack(
+        [np.hstack(tiles_yuv[0:2]), np.hstack(tiles_yuv[2:4])]
+    )
+    assert np.array_equal(plane(u64[3], u32[12], 128, 128), comp[:, :, 0])
+    assert np.array_equal(plane(u64[4], u32[13], 64, 64), comp[::2, ::2, 1])
+    assert np.array_equal(plane(u64[5], u32[14], 64, 64), comp[::2, ::2, 2])
