@@ -59,6 +59,28 @@ def with_probe_keys(df: DataFrame, amount="amount", datekey="dateKey") -> DataFr
     )
 
 
+def fan_group_probe(df: DataFrame, cents: str = "_cents", day: str = "_day") -> DataFrame:
+    """Probe fan-out for rows already carrying exact (cents, day) keys —
+    the group-level twin of with_probe_keys for pre-aggregated sides
+    (operators/pairing.py collapses each side to one representative row
+    per (cents, day) group before the banded join; the fan-out then costs
+    9 rows per GROUP, not per transaction)."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(dc).alias("dc"), F.lit(db).alias("db"))
+            for dc in OFFSETS
+            for db in OFFSETS
+        ]
+    )
+    return (
+        df.withColumn("_bucket", F.floor(F.col(day) / 6).cast("long"))
+        .withColumn("_probe", F.explode(pairs))
+        .withColumn("_cents_p", F.col(cents) + F.col("_probe.dc"))
+        .withColumn("_bucket_p", F.col("_bucket") + F.col("_probe.db"))
+        .drop("_probe")
+    )
+
+
 def residual(
     a_amount: Column, a_day: Column, b_amount: Column, b_day: Column,
 ) -> Column:

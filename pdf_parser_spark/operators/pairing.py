@@ -21,12 +21,15 @@ rank each other first. This is deterministic, order-free, exclusive (each txn
 in ≤ 1 pair), and symmetric; property tests assert those invariants rather
 than arrival-order equivalence (SURVEY.md §7 hard part 2).
 
-Plan shape: pre-filtered leader/shadow sides → 9× banded probe fan-out →
-equi-join on (cents band, date bucket) → residual filter → explode each
-candidate into a leader-keyed and a shadow-keyed row → ONE min_by aggregate
-computes both argmins in a single pass over the join output → unordered-pair
-regroup keeps pairs where both sides chose each other. No cartesian, no
-window sort over the candidate fan-out, no Python.
+Plan shape: pre-filtered leader/shadow sides → collapse each side to one
+min-id representative per exact (cents, day) group (map-side-combinable;
+result-identical — see _banded_candidates) → 9× banded probe fan-out over
+GROUP rows → equi-join on (cents band, date bucket) → residual filter →
+explode each group-pair candidate into a leader-keyed and a shadow-keyed
+row → ONE min_by aggregate computes both argmins in a single pass over the
+join output → unordered-pair regroup keeps pairs where both sides chose
+each other. No cartesian, no window sort over the candidate fan-out, no
+per-band quadratic blow-up under repeated amounts, no Python.
 """
 
 from __future__ import annotations
@@ -40,47 +43,83 @@ PAIR_COLS = ["pairId", "eventLeader", "pairedWith", "pairReason"]
 
 
 def _banded_candidates(txns: DataFrame) -> DataFrame:
-    """Raw banded-join candidates — each pair may appear up to 3× (one per
-    matching probe band). Consumers doing per-key argmin selection use this
-    directly: duplicates carry identical ordering structs, so the argmin is
-    unaffected and the dedupe shuffle is skipped."""
-    leaders = banding.with_probe_keys(
-        txns.filter((F.col("sourceType") == "bank") & (F.col("amount") >= 0)).select(
-            F.col("txn_id").alias("l_id"),
-            F.col("amount").alias("l_amount"),
-            F.col("dateKey").alias("l_dateKey"),
-        ),
-        amount="l_amount",
-        datekey="l_dateKey",
-    ).select("l_id", "l_amount", "_cents", "_day", "_cents_p", "_bucket_p")
+    """GROUP-level banded-join candidates: one row per (leader-group,
+    shadow-group) band pair, where a group is an exact (cents, day) key and
+    each side is pre-collapsed to its minimum-txn_id representative.
 
-    shadows = banding.with_build_keys(
-        txns.filter(
-            (F.col("amount") < 0)
-            & F.col("sourceType").isin("card", "loan", "bank")
-        ).select(
-            F.col("txn_id").alias("s_id"),
-            F.col("amount").alias("s_amount"),
-            F.col("dateKey").alias("s_dateKey"),
-            F.col("sourceType").alias("s_type"),
-        ),
-        amount="s_amount",
-        datekey="s_dateKey",
-    ).select(
-        "s_id",
-        "s_amount",
-        "s_type",
-        F.col("_cents").alias("s_cents"),
-        F.col("_day").alias("s_day"),
-        F.col("_bucket").alias("s_bucket"),
+    Why this is result-identical to the per-transaction join it replaces:
+    the mutual-best ordering is (day_dist, cents_dist, other_id), and both
+    distances are functions of the two (cents, day) keys ALONE. So every
+    leader in one (cents, day) group ranks the candidate shadows
+    identically, and among shadows sharing a (cents, day) key only the
+    lexicographically smallest s_id can ever be chosen (the ordering's
+    final tiebreak is the id). Symmetrically for leaders. Pairs can
+    therefore only ever form between group representatives, and the
+    group-level mutual-best over representatives IS the transaction-level
+    mutual-best (the q13 DuckDB oracle — still the per-transaction
+    row_number formulation — proves the equivalence every round, as does
+    the greedy-reference property suite).
+
+    Why it matters at scale: the per-transaction join fanned out
+    |leaders| x |shadows| within each band — quadratic under repeated
+    amounts. Statement corpora are EXACTLY that (thousands of $9.99 rows
+    on the same day); measured at 600k synthetic docs the candidate
+    stream was ~10^8 rows feeding a struct-ordered min_by that compiles
+    to SortAggregate (mutable-buffer rules exclude string-bearing
+    structs from HashAggregate), i.e. an external sort of the whole
+    stream — 14.7 GB spilled, ~700 s of CPU, the single largest stage in
+    the fused chain at every parallelism level. The group collapse is a
+    map-side-combinable pre-aggregation (the exchange carries one row per
+    group) and bounds the join output at one row per band pair, which
+    also removes the banded join's worst-case skew: a hot (cents, bucket)
+    key now meets 1x1 per group pair, not |L|x|S|.
+
+    Each group pair may still appear up to 3x (one per matching probe
+    band); duplicates carry identical ordering structs, so the downstream
+    argmin is unaffected and the dedupe shuffle is skipped."""
+    leaders = (
+        banding.with_build_keys(
+            txns.filter(
+                (F.col("sourceType") == "bank") & (F.col("amount") >= 0)
+            ).select(F.col("txn_id").alias("l_id"), "amount", "dateKey")
+        )
+        .groupBy("_cents", "_day")
+        .agg(F.min("l_id").alias("l_id"))
+    )
+    probes = banding.fan_group_probe(leaders).select(
+        "l_id", "_cents", "_day", "_cents_p", "_bucket_p"
+    )
+
+    shadows = (
+        banding.with_build_keys(
+            txns.filter(
+                (F.col("amount") < 0)
+                & F.col("sourceType").isin("card", "loan", "bank")
+            ).select(
+                F.col("txn_id").alias("s_id"),
+                F.col("sourceType").alias("s_type"),
+                "amount",
+                "dateKey",
+            )
+        )
+        .groupBy("_cents", "_day")
+        # representative = min s_id; struct min is lexicographic and s_id
+        # is unique, so this is (min s_id, its own sourceType)
+        .agg(F.min(F.struct("s_id", "s_type")).alias("_m"))
+        .select(
+            F.col("_cents").alias("s_cents"),
+            F.col("_day").alias("s_day"),
+            F.floor(F.col("_day") / 6).cast("long").alias("s_bucket"),
+            F.col("_m.s_id").alias("s_id"),
+            F.col("_m.s_type").alias("s_type"),
+        )
     )
 
     return (
-        leaders.join(
+        probes.join(
             shadows,
             (F.col("_cents_p") == F.col("s_cents"))
-            & (F.col("_bucket_p") == F.col("s_bucket"))
-            & (F.col("l_id") != F.col("s_id")),
+            & (F.col("_bucket_p") == F.col("s_bucket")),
             "inner",
         )
         .filter(
@@ -104,9 +143,11 @@ def matched_pairs(txns: DataFrame) -> DataFrame:
     `min_by` aggregations instead of row_number windows. A window rank-1
     must shuffle and fully sort every candidate row per key; min_by is
     partially aggregable, so the map side collapses each partition to one
-    row per key before the exchange — at corpus sizes where the banded
-    join fans out to 10^8 candidates, the shuffle carries only the
-    distinct leader/shadow ids.
+    row per key before the exchange — the shuffle carries only the
+    distinct leader/shadow representative ids. The candidate stream
+    itself is group-level (one row per band pair of (cents, day) groups —
+    see _banded_candidates), so the aggregate's input is bounded by the
+    number of co-banded group pairs, not by transaction multiplicity.
 
     Both argmins come from ONE pass over the banded join: each candidate
     explodes into a leader-keyed and a shadow-keyed row and a single
