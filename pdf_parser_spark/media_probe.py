@@ -337,6 +337,17 @@ def _probe_mp4(data: bytes) -> dict:
     track = mp4_demux.demux_mp4(data)
     codec = track.codec.strip()
     bit_depth = 8 if codec in ("raw", "av01") else None
+    if codec == "vp09":
+        codec = "vp9"
+        if track.codec_config and len(track.codec_config) >= 7:
+            # vpcC VPCodecConfigurationRecord: FullBox(4) then profile u8,
+            # level u8, bitDepth(4)|chromaSubsampling(3)|videoFullRange(1)
+            bit_depth = track.codec_config[6] >> 4
+        elif track.samples:
+            fh = _vp9_frame_header(data[track.samples[0].offset:
+                                        track.samples[0].offset
+                                        + track.samples[0].size])
+            bit_depth = fh["bit_depth"]
     if codec == "av01" and track.codec_config:
         cfg = av1_codec.parse_av1c(track.codec_config)
         seq = (
@@ -369,7 +380,14 @@ def _probe_mkv(data: bytes) -> dict:
         )
         if seq:
             bit_depth = seq["bit_depth"]
-    name = {"V_UNCOMPRESSED": "raw", "V_AV1": "av1"}.get(codec, codec)
+    if codec == "V_VP9" and track.frames:
+        f0 = track.frames[0]
+        fh = _vp9_frame_header(data[f0.offset:f0.offset + f0.size])
+        bit_depth = fh["bit_depth"]
+    name = {
+        "V_UNCOMPRESSED": "raw", "V_AV1": "av1", "V_VP9": "vp9",
+        "V_VP8": "vp8", "V_MPEG4/ISO/AVC": "h264", "V_MPEGH/ISO/HEVC": "h265",
+    }.get(codec, codec)
     last = track.frames[-1].ts_ms if track.frames else 0
     return _out(
         format="mkv", codec=name, width=track.width, height=track.height,
@@ -392,6 +410,217 @@ def _probe_av1_stream(data: bytes) -> dict:
         height=seq["max_height"], n_frames=len(shown),
         bit_depth=seq["bit_depth"],
         n_keyframes=sum(1 for f in fts if f["key"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mp3 / ivf / vp9 headers — probe-only formats (no decoder in this engine)
+# ---------------------------------------------------------------------------
+
+# ISO/IEC 11172-3 §2.4.2.3 (MPEG-1) and ISO/IEC 13818-3 (MPEG-2 / the
+# de-facto MPEG-2.5 extension) frame-header tables. Index = the 4-bit
+# bitrate_index field; values in kbit/s; index 0 is "free format" (refused
+# loudly below), index 15 is forbidden.
+_MP3_BITRATE = {
+    # (version_group, layer) → table; version_group: 1 = MPEG-1, 2 = MPEG-2/2.5
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_SAMPLERATE = {  # version_bits (header bits 19-20) → table
+    3: [44100, 48000, 32000],   # MPEG-1
+    2: [22050, 24000, 16000],   # MPEG-2
+    0: [11025, 12000, 8000],    # MPEG-2.5
+}
+
+
+def _mp3_frame_header(b: bytes, off: int) -> tuple[int, int, int] | None:
+    """Parse one MPEG audio frame header at ``off``.
+
+    Returns (frame_length_bytes, samples_per_frame, sample_rate) or None
+    if the 4 bytes are not a valid header. Raises ValueError for
+    free-format frames (bitrate_index 0: the frame length is not derivable
+    from the header — a declared probe gate, not a silent guess)."""
+    if off + 4 > len(b):
+        return None
+    h = int.from_bytes(b[off:off + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    version_bits = (h >> 19) & 3          # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (h >> 17) & 3            # 0=reserved, 1=III, 2=II, 3=I
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits                # 1/2/3
+    bitrate_idx = (h >> 12) & 0xF
+    samplerate_idx = (h >> 10) & 3
+    if bitrate_idx == 15 or samplerate_idx == 3:
+        return None
+    if bitrate_idx == 0:
+        raise ValueError("free-format mp3 (bitrate_index 0): frame size "
+                         "not derivable from the header")
+    vgroup = 1 if version_bits == 3 else 2
+    bitrate = _MP3_BITRATE[(vgroup, layer)][bitrate_idx] * 1000
+    sample_rate = _MP3_SAMPLERATE[version_bits][samplerate_idx]
+    padding = (h >> 9) & 1
+    if layer == 1:
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+        frame_len = spf // 8 * bitrate // sample_rate + padding
+    return frame_len, spf, sample_rate
+
+
+def _probe_mp3(data: bytes) -> dict:
+    """MPEG audio (mp3) probe: ID3v2 skip + full frame-header walk.
+
+    Frame lengths are derived from each header's bitrate/samplerate
+    fields, so VBR streams get exact frame counts and durations without
+    relying on a Xing/VBRI header. The sample DECODE stays a declared
+    gate (no decoder, no in-container oracle); this walk never touches
+    the entropy-coded payload — the same header-only contract as the
+    rest of this module."""
+    off = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for byte in data[6:10]:  # syncsafe u28
+            if byte & 0x80:
+                raise ValueError("mp3: non-syncsafe ID3v2 size")
+            size = (size << 7) | byte
+        off = 10 + size + (10 if data[5] & 0x10 else 0)  # footer flag
+    n_frames = 0
+    total_samples = 0
+    sample_rate = None
+    while off < len(data):
+        if data[off:off + 3] == b"TAG" and len(data) - off == 128:
+            break  # trailing ID3v1 tag
+        parsed = _mp3_frame_header(data, off)
+        if parsed is None:
+            if n_frames == 0:
+                raise ValueError("mp3: no frame sync where a frame was expected")
+            if len(data) - off < 4:
+                break  # sub-header trailing bytes
+            raise ValueError(f"mp3: lost frame sync at offset {off}")
+        frame_len, spf, rate = parsed
+        if off + frame_len > len(data):
+            break  # truncated final frame: count only complete frames
+        if sample_rate is None:
+            sample_rate = rate
+        n_frames += 1
+        total_samples += spf
+        off += frame_len
+    if n_frames == 0:
+        raise ValueError("mp3: no complete audio frame")
+    return _out(
+        format="mp3", codec="mp3", n_frames=n_frames,
+        sample_rate=sample_rate,
+        duration_ms=int(round(total_samples * 1000 / sample_rate)),
+    )
+
+
+def _vp9_frame_header(b: bytes) -> dict:
+    """VP9 uncompressed frame header (VP9 Bitstream & Decoding Process
+    Specification §6.2) — the few fixed-position fields ahead of the
+    compressed header. Never touches the arithmetic-coded payload.
+
+    Returns {key, show, profile, bit_depth, width, height}; width/height
+    (and bit_depth for inter frames) are None when the header does not
+    carry them (inter frames repeat reference dimensions)."""
+    bitpos = 0
+
+    def bits(n: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for _ in range(n):
+            byte = b[bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    if bits(2) != 2:
+        raise ValueError("vp9: bad frame_marker")
+    profile = bits(1) | (bits(1) << 1)
+    if profile == 3 and bits(1):
+        raise ValueError("vp9: reserved profile bit set")
+    if bits(1):  # show_existing_frame
+        return {"key": False, "show": True, "profile": profile,
+                "bit_depth": None, "width": None, "height": None}
+    key = bits(1) == 0
+    show = bits(1) == 1
+    bits(1)  # error_resilient_mode
+    if not key:
+        return {"key": False, "show": show, "profile": profile,
+                "bit_depth": None, "width": None, "height": None}
+    if bits(24) != 0x498342:
+        raise ValueError("vp9: bad frame_sync_code")
+    bit_depth = 8
+    if profile >= 2:
+        bit_depth = 12 if bits(1) else 10
+    color_space = bits(3)
+    if color_space != 7:  # CS_RGB
+        bits(1)  # color_range
+        if profile in (1, 3):
+            if bits(1) or bits(1) or bits(1):  # subsampling_x/y, reserved
+                raise ValueError("vp9: unexpected subsampling/reserved bits")
+    else:
+        if profile in (1, 3) and bits(1):
+            raise ValueError("vp9: reserved bit after CS_RGB")
+    width = bits(16) + 1
+    height = bits(16) + 1
+    return {"key": True, "show": show, "profile": profile,
+            "bit_depth": bit_depth, "width": width, "height": height}
+
+
+def _probe_ivf(data: bytes) -> dict:
+    """IVF (the raw VP8/VP9/AV1 stream container: 32-byte header +
+    length-prefixed frames). Dimensions come from the header; keyframe
+    detection per codec from each frame's first bytes (VP8: keyframe bit
+    in the frame tag, RFC 6386 §9.1; VP9: uncompressed header above; AV1:
+    the OBU frame-type walk)."""
+    if len(data) < 32:
+        raise ValueError("ivf: truncated header")
+    hdr_len = int.from_bytes(data[6:8], "little")
+    fourcc = data[8:12]
+    width = int.from_bytes(data[12:14], "little")
+    height = int.from_bytes(data[14:16], "little")
+    codec = {b"VP80": "vp8", b"VP90": "vp9", b"AV01": "av1"}.get(fourcc)
+    if codec is None:
+        raise ValueError(f"ivf: unknown fourcc {fourcc!r}")
+    off = hdr_len
+    n_frames = 0
+    n_key = 0
+    bit_depth = 8 if codec != "av1" else None
+    while off + 12 <= len(data):
+        size = int.from_bytes(data[off:off + 4], "little")
+        frame = data[off + 12:off + 12 + size]
+        if len(frame) < size:
+            raise ValueError("ivf: truncated frame payload")
+        n_frames += 1
+        if codec == "vp8":
+            if frame and not frame[0] & 1:
+                n_key += 1
+        elif codec == "vp9":
+            fh = _vp9_frame_header(frame)
+            if fh["key"]:
+                n_key += 1
+                bit_depth = fh["bit_depth"]
+        else:
+            from pdf_parser_spark import av1_codec
+
+            fts = av1_codec.frame_types(frame)
+            if any(f["key"] for f in fts):
+                n_key += 1
+            if bit_depth is None:
+                seq = av1_codec.find_sequence_header(frame)
+                if seq:
+                    bit_depth = seq["bit_depth"]
+        off += 12 + size
+    return _out(
+        format="ivf", codec=codec, width=width, height=height,
+        n_frames=n_frames, n_keyframes=n_key, bit_depth=bit_depth,
     )
 
 
@@ -441,7 +670,18 @@ def probe_bytes(data: bytes) -> dict:
         return _probe_mp4(data)
     if data[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_mkv(data)
+    if data[:4] == b"DKIF":
+        return _probe_ivf(data)
     if data[0] in (0x12, 0x0A) and not data[0] & 0x80:
         # low-overhead AV1 OBU stream (TD or sequence-header first)
         return _probe_av1_stream(data)
+    if data[:3] == b"ID3":
+        return _probe_mp3(data)
+    first = _mp3_frame_header(data, 0)
+    if first is not None:
+        # bare mp3 sync is promiscuous (11 set bits); require that the
+        # header's own frame length lands exactly on a second valid header
+        # before classifying — every other magic above was tried first
+        if _mp3_frame_header(data, first[0]) is not None:
+            return _probe_mp3(data)
     raise ValueError(f"unrecognized media magic {data[:8]!r}")

@@ -77,7 +77,11 @@ mis-decode):
            rice residuals)
     audio  mp3 / AAC bitstreams            no            NotImplementedError at the
                                                          codec layer (multimodal.py
-                                                         _decode gate)
+                                                         _decode gate); mp3 HEADER
+                                                         probe (frame walk: exact
+                                                         frame count/duration/rate,
+                                                         VBR included) works without
+                                                         decode (media_probe.py)
     video  YUV4MPEG2 (raw frames)          yes           media_codecs.py
     video  mp4/ISO-BMFF container          demux: yes    mp4_demux.py; raw RGB and
            (any codec inside)              decode: raw   av01 (AV1 via av1_codec +
@@ -91,7 +95,14 @@ mis-decode):
                                            decode: raw   V_AV1 decode fully;
                                            RGB + AV1     V_MPEG4/V_VP9 codec ids →
                                                          NotImplementedError after
-                                                         demux
+                                                         demux (VP9 keyframe
+                                                         headers still parse for
+                                                         probe: dims/bit depth/
+                                                         keyframe map)
+    video  IVF raw-stream container        probe: yes    media_probe.py (VP8/VP9/AV1
+           (VP8/VP9/AV1)                                 fourccs, per-frame keyframe
+                                                         detection from each codec's
+                                                         own header layer)
 
 A production 100 TB media pipeline attaches ffmpeg/libjpeg at exactly the
 gated seams above; everything up to them (container demux, schema,
