@@ -122,58 +122,88 @@ def run_level(cpus: int, n_docs: int) -> dict:
 # -- steal-gated pass selection -----------------------------------------
 # The selection rule used to live as prose in BENCH.md; encoding it here
 # makes headlines COMPUTED, not narrated, so BENCH.md cannot drift from
-# the raw data. A pass is CLEAN iff:
-#   (a) no timed run in either child saw CPU steal > MAX_STEAL_PCT, and
-#   (b) its low-side (local[N]) extract throughput is on-anchor: within
-#       ANCHOR_TOL of the best low-side throughput seen across passes —
-#       a slowed low child inflates the ratio (drift can only FAKE
-#       efficiency upward, never downward, so the anchor is the max).
-# Headline = the clean pass with the LOWEST extract efficiency (the
-# conservative representative; medians over 2-3 passes are dominated by
-# the same pass anyway). With zero clean passes the minimum-efficiency
-# pass is reported, flagged evidence_quality="contaminated".
+# the raw data. Gating is PER METRIC (extract and full-chain judged
+# independently): each metric's ratio is computed from its own timed
+# windows, and a steal hit in one metric's window says nothing about the
+# other metric's windows, which are disjoint time intervals with their
+# own recorded steal. A metric's pass is CLEAN iff:
+#   (a) no timed run of THAT metric, in either child, saw CPU steal
+#       > MAX_STEAL_PCT, and
+#   (b) its low-side (local[N]) throughput for that metric is on-anchor:
+#       within ANCHOR_TOL of the best low-side throughput for the metric
+#       across passes — a slowed low child inflates the ratio (drift can
+#       only FAKE efficiency upward, never downward, so the anchor is
+#       the max).
+# Per metric, headline = the clean pass with the LOWEST efficiency (the
+# conservative representative). With zero clean passes the minimum-
+# efficiency pass is reported, flagged evidence_quality="contaminated".
 
 MAX_STEAL_PCT = 1.0
 ANCHOR_TOL = 0.90
 
 
-def select_headline(passes: list[dict]) -> dict:
-    anchor = max(p["low"]["extract_docs_per_sec"] for p in passes)
+def _select_metric(passes: list[dict], metric: str) -> dict:
+    tp_key = f"{metric}_docs_per_sec"
+    steal_key = f"{metric}_steal_pct"
+    eff_key = (
+        "scaling_efficiency_extract"
+        if metric == "extract"
+        else "scaling_efficiency_full_pipeline"
+    )
+    anchor = max(p["low"][tp_key] for p in passes)
     annotated = []
     for i, p in enumerate(passes):
         reasons = []
-        steal = max(
-            max(p["low"]["extract_steal_pct"] + p["low"]["full_steal_pct"]),
-            max(p["high"]["extract_steal_pct"] + p["high"]["full_steal_pct"]),
-        )
+        steal = max(max(p["low"][steal_key]), max(p["high"][steal_key]))
         if steal > MAX_STEAL_PCT:
             reasons.append(f"steal {steal}% > {MAX_STEAL_PCT}%")
-        low_tp = p["low"]["extract_docs_per_sec"]
+        low_tp = p["low"][tp_key]
         if low_tp < ANCHOR_TOL * anchor:
             reasons.append(
                 f"low-side off-anchor ({low_tp} < {ANCHOR_TOL:.2f}*{anchor})"
             )
         annotated.append(
             {"pass": i + 1, "clean": not reasons, "reasons": reasons,
-             "max_steal_pct": steal,
-             "eff_extract": p["scaling_efficiency_extract"],
-             "eff_full": p["scaling_efficiency_full_pipeline"]}
+             "max_steal_pct": steal, "eff": p[eff_key]}
         )
     clean = [a for a in annotated if a["clean"]]
     pool = clean if clean else annotated
-    pick = min(pool, key=lambda a: a["eff_extract"])
+    pick = min(pool, key=lambda a: a["eff"])
     return {
-        "rule": (
-            f"clean = every timed run steal <= {MAX_STEAL_PCT}% and "
-            f"low-side extract throughput >= {ANCHOR_TOL} * best low-side; "
-            "headline = min-efficiency clean pass (conservative); no clean "
-            "pass => min-efficiency pass, flagged contaminated"
-        ),
         "passes": annotated,
         "headline_pass": pick["pass"],
         "evidence_quality": "clean" if clean else "contaminated",
-        "eff_extract": pick["eff_extract"],
-        "eff_full": pick["eff_full"],
+        "eff": pick["eff"],
+    }
+
+
+def select_headline(passes: list[dict]) -> dict:
+    ex = _select_metric(passes, "extract")
+    fu = _select_metric(passes, "full")
+    merged = []
+    for i in range(len(passes)):
+        merged.append(
+            {"pass": i + 1,
+             "extract": {k: ex["passes"][i][k]
+                         for k in ("clean", "reasons", "max_steal_pct", "eff")},
+             "full": {k: fu["passes"][i][k]
+                      for k in ("clean", "reasons", "max_steal_pct", "eff")}}
+        )
+    return {
+        "rule": (
+            f"per metric: clean = every timed run of the metric steal <= "
+            f"{MAX_STEAL_PCT}% in both children and low-side throughput >= "
+            f"{ANCHOR_TOL} * best low-side for the metric; headline = "
+            "min-efficiency clean pass (conservative); no clean pass => "
+            "min-efficiency pass, flagged contaminated"
+        ),
+        "passes": merged,
+        "headline_pass": ex["headline_pass"],
+        "headline_pass_full": fu["headline_pass"],
+        "evidence_quality": ex["evidence_quality"],
+        "evidence_quality_full": fu["evidence_quality"],
+        "eff_extract": ex["eff"],
+        "eff_full": fu["eff"],
     }
 
 
@@ -215,13 +245,17 @@ def main() -> None:
         passes.append(pass_eff(run_level(n, n_docs), run_level(four_n, n_docs)))
     sel = select_headline(passes)
     headline = passes[sel["headline_pass"] - 1]
+    headline_full = passes[sel["headline_pass_full"] - 1]
     lo, hi = headline["low"], headline["high"]
+    lo_f, hi_f = headline_full["low"], headline_full["high"]
     eff_extract = sel["eff_extract"]
     eff_full = sel["eff_full"]
     result = {
         "n_docs": n_docs,
         "low": lo,
         "high": hi,
+        "low_full_headline": lo_f,
+        "high_full_headline": hi_f,
         "scaling_efficiency_extract": eff_extract,
         "scaling_efficiency_full_pipeline": eff_full,
         "selection": sel,
@@ -235,10 +269,19 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    def _status(m: dict, is_headline: bool) -> str:
+        if is_headline:
+            return "HEADLINE"
+        if m["clean"]:
+            return "clean"
+        return "REJECTED: " + "; ".join(m["reasons"])
+
     pass_table = "\n".join(
-        f"| {a['pass']} | {a['eff_extract']} | {a['eff_full']} | "
-        f"{a['max_steal_pct']}% | "
-        f"{'HEADLINE' if a['pass'] == sel['headline_pass'] else ('clean' if a['clean'] else 'REJECTED: ' + '; '.join(a['reasons']))} |"
+        f"| {a['pass']} | {a['extract']['eff']} "
+        f"({_status(a['extract'], a['pass'] == sel['headline_pass'])}, "
+        f"steal {a['extract']['max_steal_pct']}%) | {a['full']['eff']} "
+        f"({_status(a['full'], a['pass'] == sel['headline_pass_full'])}, "
+        f"steal {a['full']['max_steal_pct']}%) |"
         for a in sel["passes"]
     )
 
@@ -263,13 +306,14 @@ unoversubscribed while preserving the required N->4N shape.
 | stage | docs/sec @ local[{n}] | docs/sec @ local[{four_n}] | efficiency |
 |---|---|---|---|
 | extraction (mapInPandas, shuffle-free) | {lo['extract_docs_per_sec']} | {hi['extract_docs_per_sec']} | **{eff_extract}** |
-| full pipeline (extract → normalize → classify → pair) | {lo['full_docs_per_sec']} | {hi['full_docs_per_sec']} | **{eff_full}** |
+| full pipeline (extract → normalize → classify → pair) | {lo_f['full_docs_per_sec']} | {hi_f['full_docs_per_sec']} | **{eff_full}** |
 
 Pass selection (computed, not narrated — rule: {sel['rule']};
-evidence quality: **{sel['evidence_quality']}**):
+evidence quality: extract **{sel['evidence_quality']}**, full chain
+**{sel['evidence_quality_full']}**):
 
-| pass | eff extract | eff full | max steal | status |
-|---|---|---|---|---|
+| pass | eff extract (status, steal) | eff full (status, steal) |
+|---|---|---|
 {pass_table}
 
 Raw per-run seconds (and CPU steal % seen by each run — this sandbox is a
@@ -278,8 +322,8 @@ any contaminated window is visible rather than silently averaged):
 
 - extract @ local[{n}]: {lo['extract_runs_sec']} s, steal {lo['extract_steal_pct']} %
 - extract @ local[{four_n}]: {hi['extract_runs_sec']} s, steal {hi['extract_steal_pct']} %
-- full @ local[{n}]: {lo['full_runs_sec']} s, steal {lo['full_steal_pct']} %
-- full @ local[{four_n}]: {hi['full_runs_sec']} s, steal {hi['full_steal_pct']} %
+- full @ local[{n}]: {lo_f['full_runs_sec']} s, steal {lo_f['full_steal_pct']} %
+- full @ local[{four_n}]: {hi_f['full_runs_sec']} s, steal {hi_f['full_steal_pct']} %
 
 Extraction metrics @ local[{four_n}]: {hi['n_txns']} transactions,
 {hi['bytes_in']} bytes in, {hi['chars_out']} chars out,
