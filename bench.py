@@ -84,6 +84,8 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from pdf_parser_spark.plans import pipeline as _pipeline
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -92,6 +94,16 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # Isolate queries from each other: several entries build the
+        # transactions pipeline, whose barrier persists a serialized copy
+        # of the transactions table per call. Without a release, ~95
+        # queries accumulate dozens of pinned caches and late entries
+        # fight a polluted block manager (measured: q53 37.6s in-suite
+        # vs 7.6s standalone in the same session). Untimed, between
+        # queries — each timing measures the query, not its predecessors'
+        # leftovers.
+        _pipeline.release_pipeline_caches()
+        spark.catalog.clearCache()
 
     extraction = run_extraction_bench(spark, sf)
     total += extraction["sec"]
